@@ -1,0 +1,133 @@
+"""Relational operators — the reference's full execution surface,
+re-expressed as declarative DataFrame transforms.
+
+Reference operator → here (citations into /root/reference):
+  Scan        src/qp/operators/Scan.java:19-109        → catalog.load_table
+  Select      src/qp/operators/Select.java:27-228      → select_ / filter chain
+  Project     src/qp/operators/Project.java:31-120     → project
+  DISTINCT    src/qp/operators/Project.java:122-292    → distinct_project
+  NestedJoin  src/qp/operators/NestedJoin.java:15-191  ┐
+  BlockNested src/qp/operators/BlockNestedJoin.java    ├ equi_join (Catalyst
+  SortMerge   src/qp/operators/SortMergeJoin.java:14-249┘ picks BHJ/SHJ/SMJ)
+  Sort        src/qp/operators/Sort.java:14-261        → order_by
+  GROUPBY     src/qp/optimizer/RandomInitialPlan.java:188-196 → group_by_distinct
+
+Semantics fine print (SURVEY.md §2.2) and how we resolve it:
+  * The reference executes ONLY inner equi-joins; a theta-join parses
+    but silently runs as equi (src/qp/operators/NestedJoin.java:139).
+    We implement theta joins correctly (`theta_join`) and document the
+    divergence.
+  * The reference drops un-joined FROM tables instead of producing a
+    cross product (src/qp/optimizer/RandomInitialPlan.java:93-102).
+    We provide a principled `cross_join`.
+  * Join output keeps BOTH copies of the key (src/qp/utils/Schema.java:83-90);
+    `equi_join` with an expression condition reproduces that, while the
+    `on=[names]` form dedups — both exposed.
+
+Scale notes: every function here lowers to a Catalyst logical plan, so
+predicate pushdown, column pruning, partial aggregation, broadcast vs
+shuffle join choice, and AQE skew handling are automatic. Joins whose
+small side is below spark.sql.autoBroadcastJoinThreshold broadcast;
+callers can force it with broadcast_hint=True for dimension tables
+(region/nation/supplier at any SF).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_OPS = {
+    "<": Column.__lt__,
+    "<=": Column.__le__,
+    ">": Column.__gt__,
+    ">=": Column.__ge__,
+    "=": Column.__eq__,
+    "==": Column.__eq__,
+    "!=": Column.__ne__,
+    "<>": Column.__ne__,
+}
+
+
+def select_(df: DataFrame, attr: str, op: str, value) -> DataFrame:
+    """σ: one condition `attr op literal` (reference stacks one Select
+    operator per conjunct; chained .filter calls fuse in codegen)."""
+    return df.filter(_OPS[op](F.col(attr), F.lit(value)))
+
+
+def select_attr(df: DataFrame, left: str, op: str, right: str) -> DataFrame:
+    """σ: same-table attr-vs-attr compare (reference Select.java:142-199)."""
+    return df.filter(_OPS[op](F.col(left), F.col(right)))
+
+
+def project(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """π: column subset + reorder, no dedup."""
+    return df.select(*cols)
+
+
+def distinct_project(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """π + duplicate elimination. The reference implements this as an
+    external sort over all projected columns with dup-skip merge
+    (blocking); Spark's hash-based dedup shuffles once on the full
+    row hash and never needs a total order."""
+    return df.select(*cols).distinct()
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[tuple[str, str]],
+    broadcast_hint: bool = False,
+) -> DataFrame:
+    """Inner equi-join on AND-ed key pairs (composite keys = the
+    reference's parallel index lists, src/qp/operators/NestedJoin.java:49-57).
+    Uses an expression condition so BOTH key copies survive, matching
+    reference join schema semantics (src/qp/utils/Schema.java:83-90)."""
+    cond = None
+    for lc, rc in on:
+        c = left[lc] == right[rc]
+        cond = c if cond is None else (cond & c)
+    r = F.broadcast(right) if broadcast_hint else right
+    return left.join(r, cond, "inner")
+
+
+def theta_join(left: DataFrame, right: DataFrame, condition: Column) -> DataFrame:
+    """General theta join. The reference parses these
+    (src/qp/parser/parser.cup:203-208) but executes equality anyway;
+    we run them correctly (Catalyst → BroadcastNestedLoopJoin for
+    non-equi conditions)."""
+    return left.join(right, condition, "inner")
+
+
+def cross_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Principled cartesian product (the reference silently drops
+    un-joined tables instead)."""
+    return left.crossJoin(right)
+
+
+def order_by(
+    df: DataFrame, cols: Sequence[str], descending: bool | Sequence[bool] = False
+) -> DataFrame:
+    """ORDER BY. The reference supports only a single global ASC/DESC
+    flag (src/qp/utils/SQLQuery.java:24-25); we allow per-column
+    direction. Spark range-partitions on a sampled key distribution,
+    so the sort scales out instead of single-threaded merge passes."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(cols)
+    exprs = [F.col(c).desc() if d else F.col(c).asc() for c, d in zip(cols, descending)]
+    return df.orderBy(*exprs)
+
+
+def group_by_distinct(df: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """The reference's GROUPBY (no aggregate support): rewritten to a
+    distinct-Project on the group keys
+    (src/qp/optimizer/RandomInitialPlan.java:188-196)."""
+    return df.select(*group_cols).distinct()
+
+
+def limit_(df: DataFrame, n: int) -> DataFrame:
+    """LIMIT — absent from the reference grammar (SURVEY.md §2.6).
+    Spark executes as LocalLimit per partition + GlobalLimit."""
+    return df.limit(n)

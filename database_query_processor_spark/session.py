@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+The reference engine hand-manages a global buffer pool split across
+join/sort consumers (reference: src/qp/optimizer/BufferManager.java:14-21,
+src/QueryMain.java:93-115). On Spark, memory/spill management is
+Tungsten's job; our knobs are partition counts, AQE, and broadcast
+thresholds — set here once with scale-minded defaults.
+
+Design notes for the 100 TB target (tested on local[32]):
+  * AQE on: runtime partition coalescing, skew-join splitting, and
+    plan re-optimization replace the reference's randomized
+    iterative-improvement optimizer (src/qp/optimizer/RandomOptimizer.java).
+  * shuffle.partitions defaults to cores locally; on a real cluster
+    this should be ~2-3x total executor cores — AQE coalesces down,
+    so err high. Exposed as a parameter.
+  * maxPartitionBytes 128m: at 100 TB that is ~800k input splits —
+    fine for a 1000-executor cluster, keeps per-task memory bounded.
+  * Arrow enabled: every Pandas-UDF extension operator (dedup,
+    similarity, multimodal) rides vectorized Arrow batches.
+  * session timezone pinned UTC so timestamp semantics are stable
+    across engines (and match the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "database_query_processor_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "48g",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-minded defaults."""
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long, catalog converts to micros.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

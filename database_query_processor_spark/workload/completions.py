@@ -1,0 +1,357 @@
+"""Completions workload — everything the reference declares or hints at
+but never executes (SURVEY.md §2.5-2.6): real aggregates with GROUP BY
++ HAVING, grouping sets (rollup/cube), exact + approximate distinct
+counting, set operations (the `Schema.checkCompat` vestige,
+src/qp/utils/Schema.java:114-126), LIMIT/top-k, window functions,
+semi/anti joins and subqueries, scalar expressions (the reference has
+NO scalar functions at all, src/qp/parser/parser.cup:197-255), pivot.
+
+All doubles that pass through aggregation use the exact-decimal
+contract from operators.aggregates so the DuckDB oracle hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from database_query_processor_spark.catalog import load_table
+from database_query_processor_spark.operators.aggregates import avg_money, dec, sum_money
+from database_query_processor_spark.workload import QuerySpec
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def agg_global(spark, sf_dir):
+    """Un-grouped aggregates over lineitem: COUNT/COUNT DISTINCT/
+    MIN/MAX/SUM/AVG in one pass (single partial+final aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        sum_money("l_extendedprice", "sum_price"),
+        avg_money("l_extendedprice", "avg_price"),
+    )
+
+
+def tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary — the flagship aggregate (grouped, 8
+    aggregates, partial-agg shuffle carries 4 groups not 600k rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = dec("l_discount")
+    ext = dec("l_extendedprice")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(ext).cast("double").alias("sum_base_price"),
+            F.sum(ext * (F.lit(1).cast("decimal(12,2)") - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ext * (F.lit(1).cast("decimal(12,2)") - disc) * (F.lit(1).cast("decimal(12,2)") + dec("l_tax")))
+            .cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(ext).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+TPCH_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def groupby_having(spark, sf_dir):
+    """GROUP BY + HAVING (testcases/query8.sql shape, executed for real
+    — the reference aborts, src/qp/operators/Project.java:66-70)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), sum_money("o_totalprice", "total_spent"),
+             F.max("o_totalprice").alias("max_order"))
+        .filter(F.col("n_orders") >= 8)
+    )
+
+
+def rollup_(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), sum_money("l_extendedprice", "sum_price")
+    )
+
+
+def cube_(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), sum_money("l_quantity", "sum_qty")
+    )
+
+
+def approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++) — the 100 TB-friendly distinct
+    count. No cross-engine oracle (sketch values are engine-specific);
+    pytest checks relative error vs exact instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+
+
+def union_all(spark, sf_dir):
+    """UNION ALL of two σ branches (set-op surface the reference only
+    hints at via Schema.checkCompat)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 250000.0).select("o_orderkey", "o_totalprice")
+    lo = o.filter(F.col("o_totalprice") < 1000.0).select("o_orderkey", "o_totalprice")
+    return hi.unionAll(lo)
+
+
+def intersect_(spark, sf_dir):
+    """INTERSECT (distinct semantics): nations having both customers
+    and suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def except_(spark, sf_dir):
+    """EXCEPT: nations with customers but no suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s).distinct()
+
+
+def topk(spark, sf_dir):
+    """ORDER BY + LIMIT = distributed TopK (Spark's TakeOrderedAndProject:
+    per-partition heap + driver merge of K, not a global sort). Tie-broken
+    on the key so the result set is deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+def window_topk_per_group(spark, sf_dir):
+    """Top-3 customers by balance per nation: row_number window (no
+    reference analog — SURVEY.md §2.6 'none')."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+def window_running_sum(spark, sf_dir):
+    """Per-customer running order total (rows-frame cumulative sum over
+    exact decimals)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+def window_lag_lead(spark, sf_dir):
+    """lag/lead + rank over event stream per user."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id", 1).over(w).alias("prev_event"),
+        F.lead("event_id", 1).over(w).alias("next_event"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+def semi_join(spark, sf_dir):
+    """EXISTS as left-semi join: customers with ≥1 high-value order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def anti_join(spark, sf_dir):
+    """NOT EXISTS as left-anti join: customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def outer_join(spark, sf_dir):
+    """LEFT OUTER join (reference executes inner only — SURVEY.md §2.2):
+    every customer with order counts, 0 for orderless (NULL-aware agg)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+    return j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("n_orders"))
+
+
+def scalar_subquery(spark, sf_dir):
+    """Scalar subquery: orders above 2× the deterministic average price."""
+    o = _t(spark, sf_dir, "orders")
+    avg_row = o.agg((F.sum(dec("o_totalprice", 18, 2)).cast("double") / F.count("*")).alias("a"))
+    threshold = 2.0 * avg_row.collect()[0]["a"]
+    return o.filter(F.col("o_totalprice") > threshold).select("o_orderkey", "o_totalprice")
+
+
+def scalar_functions(spark, sf_dir):
+    """Scalar expression surface (string/date/math/conditional) — the
+    reference has NO scalar functions (src/qp/parser/parser.cup:197-255).
+    floor/ceil instead of round (round tie-breaking differs by engine)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("status_prio"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("price_k"),
+        F.when(F.col("o_totalprice") > 150000.0, F.lit("big"))
+        .when(F.col("o_totalprice") > 50000.0, F.lit("mid"))
+        .otherwise(F.lit("small"))
+        .alias("bucket"),
+    )
+
+
+def pivot_(spark, sf_dir):
+    """PIVOT l_linestatus → columns (conditional-aggregation form in
+    the oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O").cast("double").alias("qty_open"),
+        F.col("F").cast("double").alias("qty_filled"),
+    )
+
+
+SPECS = [
+    QuerySpec("c01_agg_global", agg_global,
+              "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_partkey) AS n_parts, "
+              "MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, "
+              "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, "
+              "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price "
+              "FROM lineitem",
+              "ungrouped COUNT/COUNT-DISTINCT/MIN/MAX/SUM/AVG (ref parses, aborts)"),
+    QuerySpec("c02_tpch_q1", tpch_q1, TPCH_Q1_ORACLE,
+              "TPC-H Q1: grouped 8-aggregate pricing summary", bench=True),
+    QuerySpec("c03_groupby_having", groupby_having,
+              "SELECT o_custkey, COUNT(*) AS n_orders, "
+              "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent, "
+              "MAX(o_totalprice) AS max_order "
+              "FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8",
+              "GROUP BY + HAVING executed for real (query8 shape)"),
+    QuerySpec("c04_rollup", rollup_,
+              "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+              "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price "
+              "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+              "ROLLUP grouping sets"),
+    QuerySpec("c05_cube", cube_,
+              "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+              "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty "
+              "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
+              "CUBE grouping sets"),
+    QuerySpec("c06_approx_count_distinct", approx_distinct, None,
+              "HLL++ approximate distinct (scale path; engine-specific sketch → rows-only)"),
+    QuerySpec("c07_union_all", union_all,
+              "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 250000.0 "
+              "UNION ALL SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 1000.0",
+              "UNION ALL (set-op surface the ref never built)"),
+    QuerySpec("c08_intersect", intersect_,
+              "SELECT c_nationkey AS nationkey FROM customer "
+              "INTERSECT SELECT s_nationkey AS nationkey FROM supplier",
+              "INTERSECT distinct semantics"),
+    QuerySpec("c09_except", except_,
+              "SELECT DISTINCT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer "
+              "EXCEPT ALL SELECT s_nationkey AS nationkey FROM supplier)",
+              "EXCEPT ALL + distinct"),
+    QuerySpec("c10_topk", topk,
+              "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+              "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25",
+              "ORDER BY + LIMIT → TakeOrderedAndProject (no global sort)"),
+    QuerySpec("c11_window_topk_per_group", window_topk_per_group,
+              "SELECT c_nationkey, c_custkey, c_acctbal, rn FROM ("
+              "SELECT c_nationkey, c_custkey, c_acctbal, ROW_NUMBER() OVER "
+              "(PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn "
+              "FROM customer) WHERE rn <= 3",
+              "top-k per group via window row_number", bench=True),
+    QuerySpec("c12_window_running_sum", window_running_sum,
+              "SELECT o_custkey, o_orderkey, "
+              "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER "
+              "(PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC "
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total "
+              "FROM orders",
+              "cumulative window sum (exact-decimal frame)"),
+    QuerySpec("c13_window_lag_lead", window_lag_lead,
+              "SELECT user_id, event_id, "
+              "LAG(event_id, 1) OVER w AS prev_event, LEAD(event_id, 1) OVER w AS next_event, "
+              "ROW_NUMBER() OVER w AS seq FROM events "
+              "WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)",
+              "lag/lead/sequence windows over event stream"),
+    QuerySpec("c14_semi_join", semi_join,
+              "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+              "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)",
+              "EXISTS → left-semi join"),
+    QuerySpec("c15_anti_join", anti_join,
+              "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+              "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+              "NOT EXISTS → left-anti join"),
+    QuerySpec("c16_outer_join", outer_join,
+              "SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer "
+              "LEFT OUTER JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey",
+              "LEFT OUTER join + null-aware count (ref: inner only)"),
+    QuerySpec("c17_scalar_subquery", scalar_subquery,
+              "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > "
+              "2.0 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)",
+              "scalar subquery threshold"),
+    QuerySpec("c18_scalar_functions", scalar_functions,
+              "SELECT o_orderkey, UPPER(SUBSTRING(o_orderpriority, 1, 3)) AS prio3, "
+              "LENGTH(o_orderstatus) AS status_len, "
+              "CONCAT_WS('-', o_orderstatus, o_orderpriority) AS status_prio, "
+              "YEAR(o_orderdate) AS order_year, MONTH(o_orderdate) AS order_month, "
+              "CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS price_k, "
+              "CASE WHEN o_totalprice > 150000.0 THEN 'big' "
+              "WHEN o_totalprice > 50000.0 THEN 'mid' ELSE 'small' END AS bucket "
+              "FROM orders",
+              "string/date/math/CASE scalar surface (ref has none)"),
+    QuerySpec("c19_pivot", pivot_,
+              "SELECT l_returnflag, "
+              "CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_open, "
+              "CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_filled "
+              "FROM lineitem GROUP BY l_returnflag",
+              "PIVOT as conditional aggregation"),
+]
