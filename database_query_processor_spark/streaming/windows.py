@@ -1,0 +1,91 @@
+"""Windowed event-time aggregation: tumbling / sliding / session
+windows, batch and Structured-Streaming forms.
+
+The streaming entry (`run_tumbling_stream`) drives a real
+readStream → watermark → window-agg → memory-sink query to completion
+over the finite events parquet — the same topology that would run
+against Kafka at scale, where the shuffle key is (window, group) and
+state is bounded by the watermark.
+
+Batch forms use the identical `window()` / `session_window()`
+expressions, so results are oracle-comparable; timestamps stay
+TIMESTAMP_NTZ (catalog normalizes the nanos column) to match DuckDB's
+naive timestamps.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+def tumbling_counts(events: DataFrame, size: str = "1 hour") -> DataFrame:
+    """Tumbling event-time windows: count + min/max value per
+    (window, event_type). min/max are order-independent, so the
+    result is engine-stable without the decimal contract."""
+    return (
+        events.groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.min("value").alias("min_value"), F.max("value").alias("max_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "min_value", "max_value")
+    )
+
+
+def sliding_counts(events: DataFrame, size: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding windows: each event lands in size/slide windows."""
+    return (
+        events.groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows with a fixed inactivity gap: session =
+    maximal event chain with inter-event gap < `gap`. session_end =
+    last event + gap (Spark session_window semantics)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_tumbling_stream(spark: SparkSession, sf_dir: str, size: str = "1 hour") -> DataFrame:
+    """REAL streaming execution of tumbling_counts: file-source
+    readStream over events.parquet, 10-minute watermark, complete-mode
+    memory sink, driven synchronously to completion. Returns the sink
+    table (same schema/values as the batch form)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source wants a directory: glob-filter to events
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # nanos → micros; keep TimestampType inside the stream (watermarks
+    # reject NTZ), cast to NTZ at the edge — session tz is UTC so the
+    # wall-clock value is unchanged.
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.min("value").alias("min_value"), F.max("value").alias("max_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("ws"),
+            "event_type", "n", "min_value", "max_value",
+        )
+    )
+    name = "tumbling_" + uuid.uuid4().hex[:8]
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,7 +1,225 @@
-"""LLM-data-pipeline extension workload (dedup, similarity, text,
-multimodal) — filled in incrementally; see operators/dedup.py,
-operators/similarity.py, functions/text.py."""
+"""LLM-data-pipeline extension workload: dedup (exact / MinHash-LSH /
+SimHash / n-gram-Jaccard / embedding-cosine), similarity search
+(brute-force + hyperplane-LSH ANN), text analysis (language ID,
+quality, token counting, fingerprinting), and multimodal binary
+plumbing. Mandated by BASELINE.json's north star; no reference analog.
+
+Every oracle mirrors the Spark logic expression-for-expression
+(tokenizer regex, stopword lists, hyperplane constants, double-cast
+sequential sums) so even the approximate-algorithm pipelines
+hash-match where their output is deterministic. SimHash is the one
+rows-only entry (needs xxhash64, which DuckDB lacks).
+"""
 
 from __future__ import annotations
 
-SPECS: list = []
+from pyspark.sql import functions as F
+
+from database_query_processor_spark.catalog import load_table
+from database_query_processor_spark.functions import text as TX
+from database_query_processor_spark.operators import dedup as DD
+from database_query_processor_spark.operators import multimodal as MM
+from database_query_processor_spark.operators import similarity as SIM
+from database_query_processor_spark.workload import QuerySpec
+
+# --- shared DuckDB fragments (mirror functions/text.py verbatim) ---
+
+TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+GRAMS_SQL = (
+    "list_distinct([array_to_string(list_slice(toks, i, i+2), ' ') "
+    "for i in range(1, len(toks)-1)])"
+)
+
+
+def _stop_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    return f"len(list_intersect(list_distinct(toks), [{words}]))"
+
+
+JACCARD_PAIRS_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, {GRAMS_SQL} AS grams FROM t),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams)) AS shared,
+         len(a.grams) AS na, len(b.grams) AS nb
+  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, shared / (na + nb - shared) AS jaccard
+FROM pairs WHERE shared / (na + nb - shared) >= 0.5
+"""
+
+COSINE_PAIRS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {SIM.sql_cosine('a.embedding', 'b.embedding')} AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {SIM.sql_cosine('a.embedding', 'b.embedding')} >= 0.5
+"""
+
+COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {SIM.sql_cosine('embedding', 'qv')} AS cos
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+ANN_LSH_SQL = f"""
+WITH b AS (SELECT vec_id, embedding, {SIM.sql_hyperplane_bucket('embedding')} AS bucket
+           FROM embeddings),
+q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id, bucket, {SIM.sql_cosine('embedding', 'qv')} AS cos
+FROM b, q WHERE bucket = qbucket AND vec_id <> 0
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+LANGID_SQL = f"""
+WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '{TX.CJK_RE}') THEN 'zh'
+       WHEN {_stop_sql('en')} = 0 AND {_stop_sql('de')} = 0
+            AND {_stop_sql('fr')} = 0 AND {_stop_sql('es')} = 0 THEN 'und'
+       WHEN {_stop_sql('en')} >= {_stop_sql('de')} AND {_stop_sql('en')} >= {_stop_sql('fr')}
+            AND {_stop_sql('en')} >= {_stop_sql('es')} THEN 'en'
+       WHEN {_stop_sql('de')} >= {_stop_sql('fr')} AND {_stop_sql('de')} >= {_stop_sql('es')} THEN 'de'
+       WHEN {_stop_sql('fr')} >= {_stop_sql('es')} THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM t
+"""
+
+_EN_OCC = "len(list_filter(toks, t -> list_contains([{}], t)))".format(
+    ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+)
+
+QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text) AS punct_ratio,
+  {_EN_OCC} / greatest(len(toks), 1) AS stopword_ratio,
+  least(1.0, len(toks) / 50.0)
+    * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text))
+    * (0.5 + 0.5 * ({_EN_OCC} / greatest(len(toks), 1))) AS quality
+FROM t
+"""
+
+TOKENS_SQL_Q = f"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS ws_tokens,
+  len(regexp_extract_all(text, '{TX.BPE_ISH_RE}')) AS bpe_tokens,
+  length(text) AS n_chars_calc
+FROM documents
+"""
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --- builds ---
+
+
+def dedup_exact(spark, sf_dir):
+    return DD.exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def dedup_minhash(spark, sf_dir):
+    return DD.minhash_dedup_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def dedup_simhash(spark, sf_dir):
+    return DD.simhash_dedup_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def dedup_embedding(spark, sf_dir):
+    return SIM.embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+def sim_cosine_topk(spark, sf_dir):
+    return SIM.cosine_topk(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", query_id=0)
+
+
+def sim_ann_lsh(spark, sf_dir):
+    return SIM.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", query_id=0)
+
+
+def text_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+def text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n_toks = F.size(toks)
+    en = F.array(*[F.lit(w) for w in TX.STOPWORDS["en"]])
+    sw_ratio = F.size(F.filter(toks, lambda t: F.array_contains(en, t))) / F.greatest(n_toks, F.lit(1))
+    pr = TX.punct_ratio("text")
+    return d.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        pr.alias("punct_ratio"),
+        sw_ratio.alias("stopword_ratio"),
+        (F.least(F.lit(1.0), n_toks / F.lit(50.0)) * (F.lit(1.0) - pr)
+         * (F.lit(0.5) + F.lit(0.5) * sw_ratio)).alias("quality"),
+    )
+
+
+def text_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.ws_token_count("text").alias("ws_tokens"),
+        TX.bpe_ish_token_count("text").alias("bpe_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+def text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.content_fingerprint("text").alias("fingerprint"))
+
+
+def multimodal_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return MM.decode_image_batch(MM.with_binary_payload(d, "doc_id", "text"))
+
+
+SPECS = [
+    QuerySpec("x01_dedup_exact", dedup_exact,
+              f"SELECT md5({NORM_SQL}) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
+              "FROM documents GROUP BY 1",
+              "exact dedup via normalized-content fingerprint (hash-groupBy)", bench=True),
+    QuerySpec("x02_dedup_minhash", dedup_minhash, JACCARD_PAIRS_SQL,
+              "MinHash-LSH banded candidates + exact-Jaccard verify (oracle = exact pair set; "
+              "LSH recall ≈1 at observed dup similarity)", bench=True),
+    QuerySpec("x03_dedup_simhash", dedup_simhash, None,
+              "SimHash-64 near-dups, hamming ≤3 via pigeonhole banding (xxhash64 → rows-only)"),
+    QuerySpec("x04_dedup_ngram_jaccard", dedup_ngram_jaccard, JACCARD_PAIRS_SQL,
+              "exact word-3-gram Jaccard pairs via inverted-index join"),
+    QuerySpec("x05_dedup_embedding", dedup_embedding, COSINE_PAIRS_SQL,
+              "embedding cosine near-dup pairs (bit-exact double math)"),
+    QuerySpec("x06_sim_cosine_topk", sim_cosine_topk, COSINE_TOPK_SQL,
+              "brute-force cosine top-k neighbors (exact ANN baseline)", bench=True),
+    QuerySpec("x07_sim_ann_lsh", sim_ann_lsh, ANN_LSH_SQL,
+              "hyperplane-LSH bucketed ANN top-k (deterministic → full oracle)"),
+    QuerySpec("x08_text_langid", text_langid, LANGID_SQL,
+              "language ID: CJK detection + stopword-overlap argmax"),
+    QuerySpec("x09_text_quality", text_quality, QUALITY_SQL,
+              "quality scoring: length/punct/stopword heuristics"),
+    QuerySpec("x10_text_token_counts", text_token_counts, TOKENS_SQL_Q,
+              "token counting: whitespace + BPE-ish regex"),
+    QuerySpec("x11_text_fingerprint", text_fingerprint,
+              f"SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents",
+              "document fingerprinting (normalized md5)"),
+    QuerySpec("x12_multimodal_decode", multimodal_decode,
+              "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+              "64 + octet_length(encode(text)) % 512 AS fake_width, "
+              "64 + (octet_length(encode(text)) * 7) % 512 AS fake_height, "
+              "1 + octet_length(encode(text)) % 8 AS n_frames FROM documents",
+              "multimodal binary plumbing: payload + metadata + mapInPandas decode (stubbed codec)"),
+]

@@ -1,6 +1,129 @@
-"""Streaming + temporal-join workload — filled in incrementally; see
-streaming/windows.py and operators/temporal.py."""
+"""Temporal + streaming workload: as-of join, range join, and
+event-time windowed aggregation (tumbling via REAL Structured
+Streaming execution, sliding + session via the identical batch window
+expressions). No reference analog — the reference is batch-only with
+no timestamp type (SURVEY.md §2.7).
+"""
 
 from __future__ import annotations
 
-SPECS: list = []
+from pyspark.sql import functions as F
+
+from database_query_processor_spark.catalog import load_table
+from database_query_processor_spark.operators import temporal as TMP
+from database_query_processor_spark.streaming import windows as SW
+from database_query_processor_spark.workload import QuerySpec
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def asof_join(spark, sf_dir):
+    """For each purchase, the latest click of the same user at or
+    before the purchase (clicks deduped to one per (user, ts))."""
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = TMP.as_of_join(purchases, clicks, key="user_id", left_ts="ts",
+                         right_ts="ts", right_val="click_id")
+    return out.filter(F.col("matched_val").isNotNull()).select(
+        "event_id", "user_id", "ts",
+        F.col("matched_val").alias("click_id"), F.col("matched_ts").alias("click_ts"),
+    )
+
+
+ASOF_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, p.ts, c.click_id, c.ts AS click_ts
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+def range_join(spark, sf_dir):
+    """Events within 1 hour after each signup of the same user: the
+    equi-key (user_id) drives the join; the interval is a join filter."""
+    e = _events(spark, sf_dir)
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("user_id").alias("su"), F.col("ts").alias("sts")
+    )
+    j = TMP.range_join(
+        s, e,
+        key_cond=F.col("su") == F.col("user_id"),
+        range_cond=(F.col("ts") > F.col("sts")) & (F.col("ts") <= F.col("sts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return j.groupBy("signup_id").agg(F.count("*").alias("n_follow"))
+
+
+RANGE_SQL = """
+WITH s AS (SELECT event_id AS signup_id, user_id, ts FROM events WHERE event_type = 'signup')
+SELECT s.signup_id, COUNT(*) AS n_follow
+FROM s JOIN events e ON s.user_id = e.user_id
+  AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+GROUP BY s.signup_id
+"""
+
+
+def stream_tumbling(spark, sf_dir):
+    return SW.run_tumbling_stream(spark, sf_dir)
+
+
+TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sliding_windows(spark, sf_dir):
+    return SW.sliding_counts(_events(spark, sf_dir))
+
+
+SLIDING_SQL = """
+SELECT ws, event_type, COUNT(*) AS n
+FROM (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE]) AS ws,
+             event_type
+      FROM events)
+GROUP BY ws, event_type
+"""
+
+
+def session_windows(spark, sf_dir):
+    return SW.session_windows(_events(spark, sf_dir))
+
+
+SESSION_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM x)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+SPECS = [
+    QuerySpec("t01_asof_join", asof_join, ASOF_SQL,
+              "as-of join via union-merge window (one shuffle, no pair blowup)", bench=True),
+    QuerySpec("t02_range_join", range_join, RANGE_SQL,
+              "interval range join on an equi-key"),
+    QuerySpec("s01_stream_tumbling", stream_tumbling, TUMBLING_SQL,
+              "REAL Structured Streaming tumbling-window agg (watermark + memory sink)"),
+    QuerySpec("s02_sliding_windows", sliding_windows, SLIDING_SQL,
+              "sliding event-time windows (1h size / 30m slide)"),
+    QuerySpec("s03_session_windows", session_windows, SESSION_SQL,
+              "per-user session windows, 30m inactivity gap"),
+]
