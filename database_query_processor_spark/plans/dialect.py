@@ -1,0 +1,95 @@
+"""Translator for the reference's SQL dialect → Spark SQL.
+
+The reference grammar (src/qp/parser/parser.cup:53-255,
+src/qp/parser/scaner.lex) differs from ANSI in exactly these ways:
+
+  * WHERE conjuncts are COMMA-separated (no AND keyword)
+  * `GROUPBY` / `ORDERBY` are single keywords
+  * ORDER BY direction is one global trailing `DESC` flag
+  * literals are double-quoted strings, coerced per column type at
+    eval time (src/qp/operators/Select.java:140-141)
+  * column refs are mandatorily qualified `TABLE.col`
+  * aggregates MAX/MIN/SUM/COUNT/AVG parse in the project list
+    (they abort at execution in the reference; they run here)
+
+Translation is a deliberate string transform, not a parser port —
+Catalyst is the real parser/analyzer/optimizer; this shim only
+normalizes surface syntax so the reference's own testcase files run
+verbatim on the Spark engine. Aggregate projections get deterministic
+aliases `<fn>_<col>` so results are oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CLAUSE_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<from>.*?)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?:\s+GROUPBY\s+(?P<groupby>.*?))?"
+    r"(?:\s+ORDERBY\s+(?P<orderby>.*?))?"
+    r"\s*(?P<desc>DESC)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_AGG_RE = re.compile(r"\b(MAX|MIN|SUM|COUNT|AVG)\s*\(\s*([A-Za-z_][\w.]*)\s*\)", re.IGNORECASE)
+
+_NUMERIC_RE = re.compile(r'^-?\d+(\.\d+)?$')
+
+
+def _convert_literal(m: re.Match) -> str:
+    body = m.group(1)
+    if _NUMERIC_RE.match(body):
+        return body  # typed coercion: numeric literal stays bare
+    return "'" + body.replace("'", "''") + "'"
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def translate(ref_sql: str) -> str:
+    """Reference-dialect query text → equivalent Spark SQL."""
+    sql = ref_sql.strip().rstrip(";")
+    m = _CLAUSE_RE.match(sql)
+    if not m:
+        raise ValueError(f"not a reference-dialect query: {ref_sql!r}")
+    select = m.group("select").strip()
+    select = _AGG_RE.sub(
+        lambda a: f"{a.group(1).upper()}({a.group(2)}) AS "
+        f"{a.group(1).lower()}_{a.group(2).split('.')[-1].lower()}",
+        select,
+    )
+    out = [f"SELECT {select}", f"FROM {m.group('from').strip()}"]
+    if m.group("where"):
+        where = re.sub(r'"([^"]*)"', _convert_literal, m.group("where"))
+        out.append("WHERE " + " AND ".join(_split_top_level_commas(where)))
+    if m.group("groupby"):
+        out.append("GROUP BY " + m.group("groupby").strip())
+    if m.group("orderby"):
+        keys = _split_top_level_commas(m.group("orderby"))
+        direction = " DESC" if m.group("desc") else ""
+        out.append("ORDER BY " + ", ".join(k + direction for k in keys))
+    return "\n".join(out)
+
+
+def run_reference_sql(spark: SparkSession, ref_sql: str) -> DataFrame:
+    """Translate and execute a reference-dialect query (FROM-list
+    tables must be registered as temp views, e.g. via
+    catalog.register_tables)."""
+    return spark.sql(translate(ref_sql))

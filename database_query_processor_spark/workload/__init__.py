@@ -38,13 +38,14 @@ class QuerySpec:
 def all_specs() -> list[QuerySpec]:
     from database_query_processor_spark.workload import (
         completions,
+        dialect_queries,
         extensions,
         parity,
         streaming_ops,
     )
 
     specs: list[QuerySpec] = []
-    for mod in (parity, completions, extensions, streaming_ops):
+    for mod in (parity, completions, extensions, streaming_ops, dialect_queries):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
