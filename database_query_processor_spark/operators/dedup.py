@@ -71,15 +71,26 @@ def shingle_hashes(text_col: str, n: int = 3) -> Column:
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc MinHash signature: sig[i] = min over shingles of
-    (a_i*h + b_i) mod p. Pure scan-side map — no shuffle, no UDF."""
-    hashes = shingle_hashes(text_col)
+    (a_i*h + b_i) mod p. Pure scan-side map — no shuffle, no UDF.
+
+    The shingle-hash array is materialized in its own projection and
+    the 64 permutation mins reference that attribute. Inlining the
+    tokenize→ngram→hash pipeline into all 64 array elements (one
+    projection) makes the expression tree ~64× larger — Catalyst and
+    codegen choke on it (30s+ of plan/compile time at ANY data size)
+    and the shingling would be re-evaluated per permutation.
+    CollapseProject keeps the boundary because the alias is non-cheap
+    and referenced 64 times."""
+    with_hashes = df.select(
+        F.col(id_col).alias("doc_id"), shingle_hashes(text_col).alias("hs")
+    )
     sig = F.array(
         *[
-            F.array_min(F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)))
+            F.array_min(F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)))
             for (a, b) in PERMS
         ]
     )
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    return with_hashes.select("doc_id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
@@ -101,12 +112,21 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Bucket-then-pair instead of a self-join: ONE shuffle on
+    # (band, key), the upstream signature pipeline is evaluated once
+    # (a self-join would recompute it per side), and pairs materialize
+    # only inside multi-occupant buckets. At 100 TB a pathological
+    # mega-bucket (all-identical docs) is the skew risk — cap bucket
+    # size or df-cap shingles upstream if that appears.
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -145,13 +165,30 @@ def minhash_dedup_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates →
-    exact-Jaccard verification of candidates only. With 16×4 banding,
-    recall at the observed duplicate similarity (≥0.9) is ≈1, so the
-    verified output equals the exact-Jaccard pair set (which is what
-    the DuckDB oracle computes quadratically)."""
+    exact-Jaccard verification of the CANDIDATE PAIRS ONLY (join each
+    side back to its distinct-shingle set, jaccard via array_intersect
+    — cost is O(|candidates|), never the corpus-wide pair space).
+    With 16×4 banding, recall at the observed duplicate similarity
+    (≥0.9) is ≈1, so the verified output equals the exact-Jaccard pair
+    set (which is what the DuckDB oracle computes quadratically)."""
     cands = lsh_candidate_pairs(minhash_signature(df, id_col, text_col))
-    exact = ngram_jaccard_pairs(df, id_col, text_col, threshold=threshold)
-    return cands.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(tokens(text_col), 3)).alias("grams"),
+    )
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("shared", F.size(F.array_intersect("grams_a", "grams_b")))
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.size("grams_a") + F.size("grams_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash64(text_col: str) -> Column:
