@@ -63,26 +63,47 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Shingling/hashing stages are CPU-bound maps, so their
+    parallelism equals the number of input splits — a small parquet
+    file arrives as ONE split and pins the whole stage to a single
+    core. Spread low-partition inputs to cluster parallelism; no-op at
+    scale, where the scan already yields many splits."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, grams): distinct word n-gram shingle set per document.
+    The single heavy text-processing map — every downstream consumer
+    (signatures, candidate verify, exact jaccard) derives from this."""
+    return _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(tokens(text_col), n)).alias("grams"),
+    )
+
+
 def shingle_hashes(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles → 32-bit hashes."""
     grams = F.array_distinct(word_ngrams(tokens(text_col), n))
     return F.transform(grams, lambda g: F.xxhash64(g).bitwiseAND(F.lit(0xFFFFFFFF)))
 
 
-def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-doc MinHash signature: sig[i] = min over shingles of
-    (a_i*h + b_i) mod p. Pure scan-side map — no shuffle, no UDF.
+def _signature_from_shingles(grams_df: DataFrame) -> DataFrame:
+    """(doc_id, grams) → (doc_id, sig).
 
     The shingle-hash array is materialized in its own projection and
     the 64 permutation mins reference that attribute. Inlining the
-    tokenize→ngram→hash pipeline into all 64 array elements (one
-    projection) makes the expression tree ~64× larger — Catalyst and
-    codegen choke on it (30s+ of plan/compile time at ANY data size)
-    and the shingling would be re-evaluated per permutation.
-    CollapseProject keeps the boundary because the alias is non-cheap
-    and referenced 64 times."""
-    with_hashes = df.select(
-        F.col(id_col).alias("doc_id"), shingle_hashes(text_col).alias("hs")
+    hash pipeline into all 64 array elements (one projection) makes
+    the expression tree ~64× larger — Catalyst and codegen choke on
+    it (30s+ of plan/compile time at ANY data size) and the hashing
+    would be re-evaluated per permutation. CollapseProject keeps the
+    boundary because the alias is non-cheap and referenced 64 times."""
+    with_hashes = grams_df.select(
+        "doc_id",
+        F.transform("grams", lambda g: F.xxhash64(g).bitwiseAND(F.lit(0xFFFFFFFF))).alias("hs"),
     )
     sig = F.array(
         *[
@@ -91,6 +112,12 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ]
     )
     return with_hashes.select("doc_id", sig.alias("sig"))
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over shingles of
+    (a_i*h + b_i) mod p. Pure scan-side map — no shuffle, no UDF."""
+    return _signature_from_shingles(doc_shingles(df, id_col, text_col))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
@@ -138,9 +165,8 @@ def ngram_jaccard_pairs(
     explode distinct shingles, self-join on shingle, count shared,
     jaccard = |∩| / (|A|+|B|−|∩|). Output-sensitive — never builds
     the full pair matrix."""
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_ngrams(tokens(text_col), n))).alias("gram"),
+    grams = doc_shingles(df, id_col, text_col, n).select(
+        "doc_id", F.explode("grams").alias("gram")
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = grams.alias("a")
@@ -170,12 +196,16 @@ def minhash_dedup_pairs(
     — cost is O(|candidates|), never the corpus-wide pair space).
     With 16×4 banding, recall at the observed duplicate similarity
     (≥0.9) is ≈1, so the verified output equals the exact-Jaccard pair
-    set (which is what the DuckDB oracle computes quadratically)."""
-    cands = lsh_candidate_pairs(minhash_signature(df, id_col, text_col))
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_ngrams(tokens(text_col), 3)).alias("grams"),
-    )
+    set (which is what the DuckDB oracle computes quadratically).
+
+    The shingle sets are computed ONCE and persisted — signatures,
+    and both sides of the verify join, read the materialized arrays
+    instead of re-running tokenize→ngram per consumer (at 100 TB
+    you'd checkpoint this to parquet; MEMORY_AND_DISK spills fine)."""
+    from pyspark import StorageLevel
+
+    grams = doc_shingles(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidate_pairs(_signature_from_shingles(grams))
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
     return (
@@ -216,7 +246,7 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: 
     Pigeonhole banding: split 64 bits into 4 × 16-bit bands; any pair
     with ≤3 differing bits collides on ≥1 band, so candidate
     generation is an equi-join on (band, band_bits), not O(n²)."""
-    sh = df.select(F.col(id_col).alias("doc_id"), simhash64(text_col).alias("sh"))
+    sh = _spread(df).select(F.col(id_col).alias("doc_id"), simhash64(text_col).alias("sh"))
     banded = sh.select(
         "doc_id",
         "sh",
@@ -232,17 +262,23 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: 
             )
         ).alias("bk"),
     ).select("doc_id", "sh", "bk.band", "bk.bits")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Bucket-then-pair (see lsh_candidate_pairs): one shuffle on
+    # (band, bits), signatures computed once, pairs only within
+    # multi-occupant buckets.
+    buckets = (
+        banded.groupBy("band", "bits")
+        .agg(F.collect_list(F.struct("doc_id", "sh")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
     pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bits") == F.col("b.bits"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
-                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        buckets.select(F.explode("docs").alias("a"), F.col("docs"))
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
         .distinct()
     )
-    return (
-        pairs.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return pairs.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
