@@ -1,0 +1,35 @@
+"""Tab-delimited text ingest — the reference's ConvertTxtToTbl.
+
+Reference: reads `<T>.txt` (tab-separated rows, no header), types each
+field per the serialized `<T>.md` schema, writes serialized `Tuple`s
+(src/ConvertTxtToTbl.java:18-73). Here the typed read is a single
+distributed csv scan with the det-derived schema, and the sink is
+parquet — self-describing, columnar, splittable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from database_query_processor_spark.sources.det import TableSpec
+
+
+def read_text_table(spark: SparkSession, path: str, spec: TableSpec) -> DataFrame:
+    """`<T>.txt` + spec → typed DataFrame. FAILFAST mirrors the
+    reference's exit-on-bad-field (src/ConvertTxtToTbl.java:60-65)."""
+    return spark.read.csv(
+        path,
+        sep="\t",
+        header=False,
+        schema=spec.schema,
+        mode="FAILFAST",
+    )
+
+
+def ingest_text_table(
+    spark: SparkSession, txt_path: str, spec: TableSpec, parquet_path: str
+) -> DataFrame:
+    """Full ConvertTxtToTbl equivalent: text in, columnar table out."""
+    df = read_text_table(spark, txt_path, spec)
+    df.write.mode("overwrite").parquet(parquet_path)
+    return spark.read.parquet(parquet_path)

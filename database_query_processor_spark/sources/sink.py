@@ -1,0 +1,26 @@
+"""Result sink — the reference's QueryMain output stage.
+
+Reference: pulls root batches and writes a header row plus
+tab-delimited tuples, printing ``-NULL-`` for null cells
+(src/QueryMain.java:162-226). Spark form: a csv write with the same
+separator / header / null token. ``single_file=True`` coalesces to
+one partition to mirror the reference's single result file — leave it
+False at scale (one file per partition, written in parallel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+NULL_TOKEN = "-NULL-"
+
+
+def write_result(df: DataFrame, path: str, single_file: bool = False) -> None:
+    out = df.coalesce(1) if single_file else df
+    (
+        out.write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", "true")
+        .option("nullValue", NULL_TOKEN)
+        .csv(path)
+    )

@@ -1,0 +1,52 @@
+"""Table statistics — the reference's `<T>.stat` sidecar, Spark-side.
+
+Reference: datagen writes a text file with the exact row count on
+line 1 and tab-separated per-column distinct counts on line 2
+(src/RandomDB.java:147-170); the optimizer's System-R cost model
+reads it back (src/qp/optimizer/PlanCost.java:244-304). On Spark the
+cost model is Catalyst CBO, fed by ``ANALYZE TABLE`` catalog stats —
+:func:`analyze_table` wires that. :func:`table_stats` computes the
+same numbers as the sidecar for inspection/tests;
+``approx_count_distinct`` (HyperLogLog++) replaces exact distincts so
+the pass stays one scan + one partial-aggregating reduce at 100 TB
+(`exact=True` for small data / tests).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class TableStats:
+    row_count: int
+    distinct_counts: dict[str, int]
+
+    def to_stat_text(self) -> str:
+        """Render in the reference's `.stat` layout (row count line,
+        then tab-separated per-column distincts)."""
+        return f"{self.row_count}\n" + "\t".join(
+            str(self.distinct_counts[c]) for c in self.distinct_counts
+        )
+
+
+def table_stats(df: DataFrame, exact: bool = False) -> TableStats:
+    agg = F.count_distinct if exact else F.approx_count_distinct
+    row = df.agg(
+        F.count(F.lit(1)).alias("__rows"),
+        *[agg(F.col(c)).alias(c) for c in df.columns],
+    ).first()
+    return TableStats(
+        row_count=row["__rows"],
+        distinct_counts={c: row[c] for c in df.columns},
+    )
+
+
+def analyze_table(spark: SparkSession, table: str) -> None:
+    """Populate Catalyst CBO stats (row counts, per-column NDV/min/
+    max/nulls) for a catalog table — the engine-side consumer of what
+    the `.stat` file fed in the reference."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")

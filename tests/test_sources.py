@@ -1,0 +1,124 @@
+"""Sources & sinks: det parsing, distributed datagen invariants,
+text ingest roundtrip, result-sink format, stats.
+
+The reference has no automated tests (SURVEY.md §5); these pin the
+semantics its ETL path implements by construction: PK uniqueness and
+range bounds (src/RandomDB.java:117-175), typed tab-text ingest
+(src/ConvertTxtToTbl.java:18-73), tab-delimited `-NULL-` result
+output (src/QueryMain.java:162-226).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import FloatType, IntegerType, StringType
+
+from database_query_processor_spark.sources import (
+    generate_table,
+    ingest_text_table,
+    parse_det,
+    table_stats,
+    write_result,
+)
+
+# Our own spec, in the reference's .det layout (format:
+# src/RandomDB.java:41-111; cf. testcases/CUSTOMER.det shape).
+ACCOUNT_DET = """\
+4
+32
+aid INTEGER 5000 PK 4
+branch INTEGER 7 NK 4
+owner STRING 8 NK 16
+balance REAL 1000 NK 4
+"""
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return parse_det(ACCOUNT_DET)
+
+
+def test_parse_det(spec):
+    assert [c.name for c in spec.columns] == ["aid", "branch", "owner", "balance"]
+    assert spec.tuple_bytes == 32
+    assert spec.primary_key == "aid"
+    assert [f.dataType for f in spec.schema.fields] == [
+        IntegerType(), IntegerType(), StringType(), FloatType(),
+    ]
+    assert not any(f.nullable for f in spec.schema.fields)
+
+
+def test_parse_det_rejects_bad_type():
+    with pytest.raises(ValueError):
+        parse_det("1\n4\nx DECIMAL 10 NK 4\n")
+
+
+def test_generate_table_invariants(spark, spec):
+    n = 3000
+    df = generate_table(spark, spec, n, seed=7).cache()
+    assert df.count() == n
+    # PK: unique, within [0, range)
+    pk = df.agg(
+        F.count_distinct("aid").alias("d"),
+        F.min("aid").alias("lo"),
+        F.max("aid").alias("hi"),
+    ).first()
+    assert pk["d"] == n and pk["lo"] >= 0 and pk["hi"] < 5000
+    # NK int within range; every branch value hit (7 << 3000 rows)
+    br = df.agg(F.min("branch").alias("lo"), F.max("branch").alias("hi"),
+                F.count_distinct("branch").alias("d")).first()
+    assert br["lo"] >= 0 and br["hi"] < 7 and br["d"] == 7
+    # STRING: exact length, lowercase a-z
+    assert df.filter(~F.col("owner").rlike("^[a-z]{8}$")).count() == 0
+    # REAL within [0, range)
+    bal = df.agg(F.min("balance").alias("lo"), F.max("balance").alias("hi")).first()
+    assert bal["lo"] >= 0.0 and bal["hi"] < 1000.0
+
+
+def test_generate_table_deterministic_across_partitionings(spark, spec):
+    a = generate_table(spark, spec, 500, seed=7, num_partitions=1)
+    b = generate_table(spark, spec, 500, seed=7, num_partitions=13)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_generate_table_pk_overflow_rejected(spark, spec):
+    with pytest.raises(ValueError):
+        generate_table(spark, spec, 5001)
+
+
+def test_ingest_roundtrip(spark, spec, tmp_path):
+    src = generate_table(spark, spec, 200, seed=3)
+    txt = str(tmp_path / "account_txt")
+    src.write.option("sep", "\t").mode("overwrite").csv(txt)
+    out = ingest_text_table(spark, txt, spec, str(tmp_path / "account_parquet"))
+    # Spark file sources force nullable=true regardless of the read
+    # schema — compare names/types only.
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in spec.schema.fields
+    ]
+    assert out.exceptAll(src).count() == 0 and src.exceptAll(out).count() == 0
+
+
+def test_result_sink_format(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None)], "k int, v string"
+    )
+    path = str(tmp_path / "result")
+    write_result(df, path, single_file=True)
+    lines = sorted(
+        spark.sparkContext.textFile(path).collect()
+    )
+    assert "k\tv" in lines  # header row
+    assert "2\t-NULL-" in lines  # reference null token (QueryMain.java:219-220)
+
+
+def test_table_stats(spark, spec):
+    df = generate_table(spark, spec, 1000, seed=7)
+    st = table_stats(df, exact=True)
+    assert st.row_count == 1000
+    assert st.distinct_counts["aid"] == 1000
+    assert st.distinct_counts["branch"] == 7
+    text = st.to_stat_text()
+    assert text.splitlines()[0] == "1000"
+    assert len(text.splitlines()[1].split("\t")) == 4
