@@ -104,6 +104,84 @@ def ann_lsh_topk(
     )
 
 
+IVF_CELLS = 8
+IVF_NPROBE = 2
+
+
+def _py_dot(a, b) -> float:
+    """Driver-side double dot product, sequential — bit-identical to
+    dot_d / sql_dot (same fold order, same IEEE ops)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def _py_cos(a, b) -> float:
+    import math
+
+    return _py_dot(a, b) / (math.sqrt(_py_dot(a, a)) * math.sqrt(_py_dot(b, b)))
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+    cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into
+    ``cells`` Voronoi cells, probe the ``nprobe`` cells nearest the
+    query, exact cosine within the probed cells only.
+
+    Codebook: the vectors of the ``cells`` smallest ids — a
+    deterministic stand-in for a KMeans-trained codebook so the DuckDB
+    oracle can reproduce the exact partition (centroid *quality*
+    changes recall, not the algebra; swap in
+    ``pyspark.ml.clustering.KMeans`` fit on a sample at scale — the
+    plumbing below is unchanged).
+
+    Scale path (100 TB): centroids are tiny → collected + broadcast
+    into a literal argmax expression, so assignment is a pure scan-side
+    map (no shuffle, no UDF). Writing the corpus partitioned by
+    ``cell`` turns probing into partition pruning: a query touches
+    nprobe/cells of the data."""
+    cent_rows = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(cells)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    qv = [float(x) for x in df.filter(F.col(id_col) == query_id).select(vec_col).first()[0]]
+    probe_ids = [
+        cid
+        for _, cid in sorted(
+            ((-_py_cos(qv, [float(x) for x in r["cv"]]), r["cent_id"]) for r in cent_rows)
+        )[:nprobe]
+    ]
+    # argmax-cosine assignment; ties break to the smaller cent_id
+    # (nid = -cent_id, so the larger struct wins on the smaller id).
+    best = F.greatest(
+        *[
+            F.struct(
+                cosine(F.col(vec_col), _lit_vec([float(x) for x in r["cv"]])).alias("c"),
+                F.lit(-r["cent_id"]).alias("nid"),
+            )
+            for r in cent_rows
+        ]
+    )
+    assigned = df.select(F.col(id_col), F.col(vec_col), (-best.getField("nid")).alias("cell"))
+    return (
+        assigned.filter(F.col(id_col) != query_id)
+        .filter(F.col("cell").isin(probe_ids))
+        .select(F.col(id_col), F.col("cell"), cosine(F.col(vec_col), _lit_vec(qv)).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.5) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold. Exact pair
     join here (test scale); the 100 TB path blocks by hyperplane_bucket

@@ -73,6 +73,24 @@ FROM b, q WHERE bucket = qbucket AND vec_id <> 0
 ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 
+ANN_IVF_SQL = f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+               ORDER BY vec_id LIMIT {SIM.IVF_CELLS}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT vec_id, embedding, cent_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {SIM.sql_cosine('e.embedding', 'c.cv')} DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+probe AS (SELECT cent_id FROM cents, q
+          ORDER BY {SIM.sql_cosine('cv', 'qv')} DESC, cent_id LIMIT {SIM.IVF_NPROBE})
+SELECT a.vec_id, a.cell, {SIM.sql_cosine('a.embedding', 'qv')} AS cos
+FROM assign a, q
+WHERE a.vec_id <> 0 AND a.cell IN (SELECT cent_id FROM probe)
+ORDER BY cos DESC, a.vec_id ASC LIMIT 10
+"""
+
 LANGID_SQL = f"""
 WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents)
 SELECT doc_id,
@@ -147,6 +165,10 @@ def sim_ann_lsh(spark, sf_dir):
     return SIM.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", query_id=0)
 
 
+def sim_ann_ivf(spark, sf_dir):
+    return SIM.ann_ivf_topk(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", query_id=0)
+
+
 def text_langid(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", TX.lang_id("text").alias("lang_pred"))
@@ -205,6 +227,8 @@ SPECS = [
               "embedding cosine near-dup pairs (bit-exact double math)"),
     QuerySpec("x06_sim_cosine_topk", sim_cosine_topk, COSINE_TOPK_SQL,
               "brute-force cosine top-k neighbors (exact ANN baseline)", bench=True),
+    QuerySpec("x13_sim_ann_ivf", sim_ann_ivf, ANN_IVF_SQL,
+              "IVF ANN: Voronoi coarse-quantize, probe 2/8 cells, exact cosine within"),
     QuerySpec("x07_sim_ann_lsh", sim_ann_lsh, ANN_LSH_SQL,
               "hyperplane-LSH bucketed ANN top-k (deterministic → full oracle)"),
     QuerySpec("x08_text_langid", text_langid, LANGID_SQL,

@@ -99,6 +99,18 @@ def session_windows(spark, sf_dir):
     return SW.session_windows(_events(spark, sf_dir))
 
 
+def stream_stateful_profiles(spark, sf_dir):
+    from database_query_processor_spark.streaming.stateful import run_user_profile_stream
+
+    return run_user_profile_stream(spark, sf_dir)
+
+
+STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
 SESSION_SQL = """
 WITH x AS (
   SELECT user_id, ts,
@@ -126,4 +138,7 @@ SPECS = [
               "sliding event-time windows (1h size / 30m slide)"),
     QuerySpec("s03_session_windows", session_windows, SESSION_SQL,
               "per-user session windows, 30m inactivity gap"),
+    QuerySpec("s04_stream_stateful_profiles", stream_stateful_profiles, STATEFUL_SQL,
+              "custom stateful op: applyInPandasWithState per-user profile, "
+              "REAL streaming execution to a memory sink"),
 ]
