@@ -78,3 +78,82 @@ def decode_image_batch(df_bin: DataFrame) -> DataFrame:
             )
 
     return df_bin.select("doc_id", "payload").mapInPandas(decode, DECODED_SCHEMA)
+
+
+RESIZE_MAX_DIM = 128
+RESIZED_SCHEMA = "doc_id long, width long, height long, out_width long, out_height long"
+
+
+def resize_image_batch(df_bin: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
+    """mapInPandas resize: decode dims, scale so max(w, h) ≤ max_dim
+    preserving aspect ratio (factor = min(1, max_dim/max(w, h))). The
+    fake decode supplies dims; a real deployment resizes the pixel
+    buffer in the same batch loop and emits the re-encoded payload."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["payload"].map(_fake_decode)
+            w = dims.map(lambda d: d[0]).astype("int64")
+            h = dims.map(lambda d: d[1]).astype("int64")
+            factor = (float(max_dim) / w.combine(h, max)).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "out_width": (w * factor).astype("int64"),
+                    "out_height": (h * factor).astype("int64"),
+                }
+            )
+
+    return df_bin.select("doc_id", "payload").mapInPandas(resize, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx long"
+
+
+def sample_frames(df_bin: DataFrame, every: int = 2) -> DataFrame:
+    """mapInPandas frame sampling: one output row per kept frame
+    (indexes 0, every, 2·every, … below n_frames) — the variable-fanout
+    shape of video decode. Partition-parallel; fanout ≤ 8 per doc here,
+    bounded by the codec's frame count in deployment."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_frames = pdf["payload"].map(lambda p: _fake_decode(p)[2])
+            ids, idxs = [], []
+            for doc_id, nf in zip(pdf["doc_id"], n_frames):
+                for i in range(0, int(nf), every):
+                    ids.append(doc_id)
+                    idxs.append(i)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "frame_idx": pd.Series(idxs, dtype="int64")})
+
+    return df_bin.select("doc_id", "payload").mapInPandas(sample, FRAMES_SCHEMA)
+
+
+FEATURE_DIM = 8
+FEATURES_SCHEMA = "doc_id long, features array<double>"
+
+
+def extract_features_batch(df_bin: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """mapInPandas feature extraction: fixed-dim embedding per payload.
+    The fake 'model' is a deterministic arithmetic function of the
+    byte length (feature_i = ((n·(i+3)) mod 97)/97), chosen to be
+    SQL-expressible so even this stubbed path keeps a full value-hash
+    oracle; a real deployment runs the vision/audio encoder over the
+    Arrow batch here (batch inference is exactly this shape)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features": n.map(
+                        lambda nb: [float((nb * (i + 3)) % 97) / 97.0 for i in range(dim)]
+                    ),
+                }
+            )
+
+    return df_bin.select("doc_id", "payload").mapInPandas(extract, FEATURES_SCHEMA)

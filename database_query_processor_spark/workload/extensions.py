@@ -211,6 +211,51 @@ def multimodal_decode(spark, sf_dir):
     return MM.decode_image_batch(MM.with_binary_payload(d, "doc_id", "text"))
 
 
+def multimodal_resize(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return MM.resize_image_batch(MM.with_binary_payload(d, "doc_id", "text"))
+
+
+def multimodal_frames(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return MM.sample_frames(MM.with_binary_payload(d, "doc_id", "text"))
+
+
+def multimodal_features(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = MM.extract_features_batch(MM.with_binary_payload(d, "doc_id", "text"))
+    # explode to scalar rows so the value-hash compare is
+    # representation-independent (array renderings differ per engine)
+    return out.select("doc_id", F.posexplode("features").alias("pos", "feature"))
+
+
+# Fake-codec arithmetic mirrored from operators/multimodal.py:
+# n = payload bytes, width = 64 + n%512, height = 64 + (n*7)%512,
+# n_frames = 1 + n%8, feature_i = ((n*(i+3)) mod 97)/97.
+_N_BYTES = "octet_length(encode(text))"
+
+RESIZE_SQL = f"""
+WITH d AS (SELECT doc_id, 64 + {_N_BYTES} % 512 AS width,
+                  64 + ({_N_BYTES} * 7) % 512 AS height FROM documents)
+SELECT doc_id, width, height,
+       CAST(floor(width * least(1.0, 128.0 / greatest(width, height))) AS BIGINT) AS out_width,
+       CAST(floor(height * least(1.0, 128.0 / greatest(width, height))) AS BIGINT) AS out_height
+FROM d
+"""
+
+FRAMES_SQL = f"""
+WITH b AS (SELECT doc_id, 1 + {_N_BYTES} % 8 AS n_frames FROM documents)
+SELECT doc_id, unnest(range(0, n_frames, 2)) AS frame_idx FROM b
+"""
+
+FEATURES_SQL = f"""
+WITH b AS (SELECT doc_id, {_N_BYTES} AS n FROM documents),
+i AS (SELECT unnest(range(0, 8)) AS pos)
+SELECT b.doc_id, i.pos, CAST((b.n * (i.pos + 3)) % 97 AS DOUBLE) / 97.0 AS feature
+FROM b CROSS JOIN i
+"""
+
+
 SPECS = [
     QuerySpec("x01_dedup_exact", dedup_exact,
               f"SELECT md5({NORM_SQL}) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
@@ -246,4 +291,11 @@ SPECS = [
               "64 + (octet_length(encode(text)) * 7) % 512 AS fake_height, "
               "1 + octet_length(encode(text)) % 8 AS n_frames FROM documents",
               "multimodal binary plumbing: payload + metadata + mapInPandas decode (stubbed codec)"),
+    QuerySpec("x14_multimodal_resize", multimodal_resize, RESIZE_SQL,
+              "mapInPandas resize: aspect-preserving downscale to max_dim=128"),
+    QuerySpec("x15_multimodal_frames", multimodal_frames, FRAMES_SQL,
+              "mapInPandas frame sampling: variable fanout, every 2nd frame"),
+    QuerySpec("x16_multimodal_features", multimodal_features, FEATURES_SQL,
+              "mapInPandas feature extraction: fixed-dim embedding per payload "
+              "(batch-inference shape, deterministic fake model)"),
 ]

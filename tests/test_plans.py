@@ -19,7 +19,12 @@ SF = "/root/testdata/sf0.001"
 
 # Specs whose plans legitimately run Python (Arrow-batched pandas
 # paths: multimodal decode). Everything else must stay JVM-side.
-PANDAS_OK = {"x12_multimodal_decode"}
+PANDAS_OK = {
+    "x12_multimodal_decode",
+    "x14_multimodal_resize",
+    "x15_multimodal_frames",
+    "x16_multimodal_features",
+}
 # Streaming specs execute during build (memory-sink result table);
 # their returned plan is the sink read, not the streaming topology.
 STREAMING = {"s01_stream_tumbling", "s04_stream_stateful_profiles"}
