@@ -131,3 +131,31 @@ def limit_(df: DataFrame, n: int) -> DataFrame:
     """LIMIT — absent from the reference grammar (SURVEY.md §2.6).
     Spark executes as LocalLimit per partition + GlobalLimit."""
     return df.limit(n)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: left rows get a deterministic salt
+    in [0, num_salts) (hash of the full row, so any partitioning gives
+    the same spread), the right side is replicated num_salts times,
+    and the join key becomes (keys…, salt) — a single hot key fans out
+    across num_salts reducers instead of pinning one.
+
+    AQE's skew-join split handles moderate skew automatically
+    (session.py turns it on); reach for this when one key is
+    pathological enough that even split partitions overflow, at the
+    price of num_salts× the small side. Result is identical to
+    ``left.join(right, on, how)`` for inner/left joins (the right side
+    must be unique-per-key for right/full to stay correct — the usual
+    dim-join contract)."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts))
+    l = left.withColumn("__salt", salt)
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    return l.join(r, [*on, "__salt"], how).drop("__salt")

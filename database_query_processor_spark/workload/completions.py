@@ -105,6 +105,28 @@ def cube_(spark, sf_dir):
     )
 
 
+def grouping_sets_(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): the two-level +
+    grand-total set list."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(F.count("*").alias("n"), sum_money("l_extendedprice", "sum_price"))
+
+
+def percentile_(spark, sf_dir):
+    """Exact percentiles (median/p95) per group — sort-based exact
+    aggregate; both engines interpolate (n-1)·p positions identically
+    on this integral-valued column."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5D)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.95D)").alias("p95_qty"),
+    )
+
+
 def approx_distinct(spark, sf_dir):
     """approx_count_distinct (HLL++) — the 100 TB-friendly distinct
     count. No cross-engine oracle (sketch values are engine-specific);
@@ -348,6 +370,17 @@ SPECS = [
               "WHEN o_totalprice > 50000.0 THEN 'mid' ELSE 'small' END AS bucket "
               "FROM orders",
               "string/date/math/CASE scalar surface (ref has none)"),
+    QuerySpec("c20_grouping_sets", grouping_sets_,
+              "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+              "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price "
+              "FROM lineitem GROUP BY GROUPING SETS "
+              "((l_returnflag, l_linestatus), (l_returnflag), ())",
+              "explicit GROUPING SETS"),
+    QuerySpec("c21_percentile", percentile_,
+              "SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, "
+              "quantile_cont(l_quantity, 0.95) AS p95_qty "
+              "FROM lineitem GROUP BY l_returnflag",
+              "exact percentiles per group"),
     QuerySpec("c19_pivot", pivot_,
               "SELECT l_returnflag, "
               "CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_open, "

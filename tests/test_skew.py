@@ -1,0 +1,51 @@
+"""salted_join: result-equivalence with the plain join under heavy
+key skew, and the fan-out property that makes it work.
+
+(AQE's automatic skew split is asserted on in session config; this is
+the manual fallback for pathological keys — see SCALE.md 'Known
+cliffs'.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_query_processor_spark.operators.relational import salted_join
+
+
+def _skewed(spark):
+    # 10k rows, 90% on key 0 — the classic hot-key shape.
+    left = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim_"), F.col("id")).alias("name")
+    )
+    return left, right
+
+
+def test_salted_join_matches_plain_inner(spark):
+    left, right = _skewed(spark)
+    plain = left.join(right, ["k"], "inner")
+    salted = salted_join(left, right, ["k"], num_salts=8)
+    assert salted.columns == plain.columns
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_matches_plain_left(spark):
+    left, right = _skewed(spark)
+    plain = left.join(right, ["k"], "left")
+    salted = salted_join(left, right, ["k"], num_salts=4, how="left")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salt_fans_out_hot_key(spark):
+    """The hot key's rows must actually spread across salts —
+    otherwise the helper is a no-op."""
+    left, _ = _skewed(spark)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8))
+    n_salts = left.withColumn("s", salt).filter("k = 0").select("s").distinct().count()
+    assert n_salts == 8
