@@ -1,0 +1,58 @@
+"""Command-line entry point — the reference's QueryMain UX on Spark.
+
+Reference: ``java QueryMain query.sql resultfile [pagesize numbuffer]``
+reads one query file, executes, writes a tab-delimited result file and
+prints the wall-clock time (src/QueryMain.java:21-40,162-226). Here::
+
+    python -m database_query_processor_spark.cli QUERY.sql RESULT_DIR \
+        [--data-dir /root/testdata/sf0.01] [--dialect reference|spark] \
+        [--explain] [--single-file]
+
+The page-size/buffer knobs have no Spark analog (Tungsten manages
+memory); the closest levers are the session config in session.py.
+``--dialect reference`` (default) accepts the reference's syntax
+verbatim (comma-AND, GROUPBY/ORDERBY, double-quoted literals);
+``--dialect spark`` passes the file straight to ``spark.sql``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from database_query_processor_spark.catalog import DEFAULT_SF_DIR, register_tables
+from database_query_processor_spark.plans.dialect import translate
+from database_query_processor_spark.session import get_spark
+from database_query_processor_spark.sources.sink import write_result
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="database_query_processor_spark")
+    ap.add_argument("query_file", help="SQL file (one query)")
+    ap.add_argument("result_dir", help="output directory (tab-delimited, header, -NULL- nulls)")
+    ap.add_argument("--data-dir", default=DEFAULT_SF_DIR, help="parquet table directory")
+    ap.add_argument("--dialect", choices=("reference", "spark"), default="reference")
+    ap.add_argument("--explain", action="store_true", help="print the physical plan")
+    ap.add_argument("--single-file", action="store_true", help="coalesce to one output file")
+    args = ap.parse_args(argv)
+
+    with open(args.query_file, encoding="utf-8") as fh:
+        raw = fh.read().strip().rstrip(";")
+    sql = translate(raw) if args.dialect == "reference" else raw
+
+    spark = get_spark(app_name="dqps-cli")
+    register_tables(spark, args.data_dir)
+    df = spark.sql(sql)
+    if args.explain:
+        df.explain("formatted")
+    t0 = time.perf_counter()
+    write_result(df, args.result_dir, single_file=args.single_file)
+    elapsed = time.perf_counter() - t0
+    # same closing line the reference prints (src/QueryMain.java:190-193)
+    print(f"Execution time = {elapsed:.3f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

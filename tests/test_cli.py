@@ -1,0 +1,37 @@
+"""CLI (QueryMain equivalent): reference-dialect query file in,
+tab-delimited result out."""
+
+from __future__ import annotations
+
+from database_query_processor_spark.cli import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cli_reference_dialect(spark, tmp_path):
+    q = tmp_path / "q.sql"
+    q.write_text(
+        'SELECT lineitem.l_orderkey, lineitem.l_quantity FROM lineitem '
+        'WHERE lineitem.l_quantity < "3", lineitem.l_returnflag = "A" '
+        'ORDERBY lineitem.l_orderkey\n'
+    )
+    out = tmp_path / "result"
+    rc = main([str(q), str(out), "--data-dir", SF, "--single-file"])
+    assert rc == 0
+    lines = spark.sparkContext.textFile(str(out)).collect()
+    assert lines[0] == "l_orderkey\tl_quantity"
+    assert len(lines) > 1
+    # all rows satisfy the translated predicate
+    for ln in lines[1:]:
+        _, qty = ln.split("\t")
+        assert float(qty) < 3
+
+
+def test_cli_spark_dialect(spark, tmp_path):
+    q = tmp_path / "q.sql"
+    q.write_text("SELECT COUNT(*) AS n FROM orders")
+    out = tmp_path / "result"
+    rc = main([str(q), str(out), "--data-dir", SF, "--dialect", "spark", "--single-file"])
+    assert rc == 0
+    lines = spark.sparkContext.textFile(str(out)).collect()
+    assert lines[0] == "n" and int(lines[1]) > 0
