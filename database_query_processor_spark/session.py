@@ -55,6 +55,7 @@ def get_spark(
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/dqps-warehouse")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long, catalog converts to micros.
