@@ -105,6 +105,86 @@ def cube_(spark, sf_dir):
     )
 
 
+def tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): selective dim filter →
+    3-way join → grouped revenue → top-10. Catalyst broadcasts the
+    filtered customer side; the revenue shuffle carries one row per
+    surviving order. Dates shifted to this dataset's 1995-2001 range;
+    deterministic tie-break keys added for oracle stability."""
+    one = F.lit(1).cast("decimal(12,2)")
+    cutoff = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(dec("l_extendedprice") * (one - dec("l_discount"))).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+TPCH_Q3_ORACLE = """
+SELECT l_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): 6-way join — three
+    broadcastable dims (supplier, nation, region) + the
+    customer⋈orders⋈lineitem fact chain, with the c_nationkey =
+    s_nationkey 'local' condition. The classic join-order/broadcast
+    stress test."""
+    one = F.lit(1).cast("decimal(12,2)")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(dec("l_extendedprice") * (one - dec("l_discount"))).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+TPCH_Q5_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
 def grouping_sets_(spark, sf_dir):
     """Explicit GROUPING SETS (beyond rollup/cube): the two-level +
     grand-total set list."""
@@ -370,6 +450,12 @@ SPECS = [
               "WHEN o_totalprice > 50000.0 THEN 'mid' ELSE 'small' END AS bucket "
               "FROM orders",
               "string/date/math/CASE scalar surface (ref has none)"),
+    QuerySpec("c22_tpch_q3", tpch_q3, TPCH_Q3_ORACLE,
+              "TPC-H Q3: selective dim filter + 3-way join + grouped revenue top-10",
+              bench=True),
+    QuerySpec("c23_tpch_q5", tpch_q5, TPCH_Q5_ORACLE,
+              "TPC-H Q5: 6-way join (3 broadcast dims + fact chain) + grouped revenue",
+              bench=True),
     QuerySpec("c20_grouping_sets", grouping_sets_,
               "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
               "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price "
