@@ -41,11 +41,12 @@ def all_specs() -> list[QuerySpec]:
         dialect_queries,
         extensions,
         parity,
+        sources_ops,
         streaming_ops,
     )
 
     specs: list[QuerySpec] = []
-    for mod in (parity, completions, extensions, streaming_ops, dialect_queries):
+    for mod in (parity, completions, extensions, streaming_ops, dialect_queries, sources_ops):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"

@@ -1,0 +1,89 @@
+"""ANSI semantics this engine guarantees where the reference diverges
+(SURVEY.md §2.2 fine print): null handling (the reference has no null
+concept and would NPE, src/qp/utils/Tuple.java:37-43), theta joins
+(the reference silently downgrades them to equi,
+src/qp/operators/NestedJoin.java:139), cross products (the reference
+silently DROPS un-joined tables,
+src/qp/optimizer/RandomInitialPlan.java:93-102), and duplicate join
+columns (src/qp/utils/Schema.java:83-90). These pin OUR documented
+behavior, not the reference's bugs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_query_processor_spark.operators.relational import (
+    cross_join,
+    equi_join,
+    theta_join,
+)
+
+
+def _lr(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c")], "k int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (None, "y"), (3, "z")], "k int, rv string"
+    )
+    return left, right
+
+
+def test_inner_join_drops_null_keys(spark):
+    left, right = _lr(spark)
+    rows = left.join(right, "k").select("k", "lv", "rv").collect()
+    assert [(r.k, r.lv, r.rv) for r in rows] == [(1, "a", "x")]
+
+
+def test_outer_join_preserves_null_key_rows_unmatched(spark):
+    left, right = _lr(spark)
+    out = left.join(right, "k", "full").where(F.col("lv") == "c").collect()
+    assert len(out) == 1 and out[0].rv is None  # null != null in join
+
+
+def test_theta_join_is_real_not_silently_equi(spark):
+    """col < col theta join — the reference would parse this and run
+    equality instead."""
+    a = spark.createDataFrame([(1,), (5,)], "x int")
+    b = spark.createDataFrame([(3,), (4,)], "y int")
+    got = sorted(
+        (r.x, r.y)
+        for r in theta_join(a, b, F.col("x") < F.col("y")).collect()
+    )
+    assert got == [(1, 3), (1, 4)]
+
+
+def test_unjoined_tables_cross_product(spark):
+    """Two FROM tables without a join condition → principled cartesian
+    product (the reference silently loses one table)."""
+    a = spark.createDataFrame([(1,), (2,)], "x int")
+    b = spark.createDataFrame([(10,), (20,), (30,)], "y int")
+    assert cross_join(a, b).count() == 6
+
+
+def test_duplicate_join_columns_both_forms(spark):
+    """Expression-condition join keeps both key copies (reference
+    behavior, Schema.java:83-90); on=[names] form dedups."""
+    left, right = _lr(spark)
+    expr_form = equi_join(left, right, [("k", "k")])
+    assert expr_form.columns.count("k") == 2
+    named_form = left.join(right, ["k"])
+    assert named_form.columns.count("k") == 1
+
+
+def test_count_star_vs_count_col_on_nulls(spark):
+    df = spark.createDataFrame([(1,), (None,), (3,)], "v int")
+    row = df.agg(
+        F.count("*").alias("n_star"), F.count("v").alias("n_v"),
+        F.sum("v").alias("s"),
+    ).first()
+    assert row.n_star == 3 and row.n_v == 2 and row.s == 4
+
+
+def test_empty_input_aggregates(spark):
+    df = spark.createDataFrame([], "g string, v int")
+    # global agg: exactly one row, count 0, sum NULL
+    row = df.agg(F.count("*").alias("n"), F.sum("v").alias("s")).first()
+    assert row.n == 0 and row.s is None
+    # grouped agg: zero rows
+    assert df.groupBy("g").agg(F.sum("v")).count() == 0

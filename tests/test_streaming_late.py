@@ -1,0 +1,53 @@
+"""Watermark semantics under REAL streaming execution: a late event
+arriving after the watermark has passed its window must be dropped,
+not silently aggregated. This is the late-data contract SCALE.md
+claims for the streaming operators (state bounded by the watermark).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+
+def test_late_event_dropped_after_watermark(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    schema = "ts timestamp, user string"
+
+    from datetime import datetime
+
+    def write_batch(rows, fname):
+        typed = [(datetime.fromisoformat(ts), u) for ts, u in rows]
+        spark.createDataFrame(typed, schema).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: one event in window W1 [00:00, 01:00), one at 05:00
+    # (advances max event time → watermark becomes 04:50 ≫ W1's end).
+    write_batch(
+        [("2024-01-01 00:10:00", "u1"), ("2024-01-01 05:00:00", "u2")], "b1"
+    )
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    name = "late_" + uuid.uuid4().hex[:8]
+    q = agg.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event for W1 (ts < watermark) plus a fresh one.
+        write_batch(
+            [("2024-01-01 00:20:00", "u3"), ("2024-01-01 05:10:00", "u4")], "b2"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.table(name).filter(F.col("ws") == F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    counts = sorted(r.n for r in out.collect())
+    # W1 was emitted once (n=1) in batch 1; the late u3 event must NOT
+    # have produced an n=2 update.
+    assert counts == [1], counts
