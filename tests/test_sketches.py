@@ -1,0 +1,46 @@
+"""Sketch aggregates: approx_count_distinct (HLL++) has no
+cross-engine oracle (sketch internals differ), so its correctness
+check is an error bound against the exact count — the contract that
+makes it usable as the 100 TB distinct-count path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_query_processor_spark.catalog import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    li = load_table(spark, SF, "lineitem")
+    row = (
+        li.agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx"),
+            F.count_distinct("l_partkey").alias("exact"),
+        )
+    ).first()
+    rel_err = abs(row.approx - row.exact) / row.exact
+    # rsd=0.01 → ~1% standard deviation; 5% is a generous hard bound
+    assert rel_err < 0.05, (row.approx, row.exact, rel_err)
+
+
+def test_grouped_approx_matches_exact_ordering(spark):
+    """Grouped sketch counts must preserve the coarse structure: same
+    groups, each within the error bound."""
+    li = load_table(spark, SF, "lineitem")
+    approx = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("n"))
+        .collect()
+    }
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
