@@ -1,0 +1,34 @@
+"""Engine facade: the switch-over API for a reference user."""
+
+from __future__ import annotations
+
+from database_query_processor_spark.engine import Engine
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_engine_surface(spark, tmp_path):
+    eng = Engine(SF, spark=spark)
+    assert eng.sql("SELECT COUNT(*) AS n FROM orders").first().n > 0
+    ref = eng.reference_sql(
+        'SELECT orders.o_orderkey FROM orders WHERE orders.o_totalprice > "200000"'
+    )
+    ansi = eng.sql("SELECT o_orderkey FROM orders WHERE o_totalprice > 200000")
+    assert ref.count() == ansi.count()
+    assert eng.table("region").count() == 5
+
+    out = str(tmp_path / "res")
+    eng.execute_to_file("SELECT * FROM region", out)
+    lines = spark.sparkContext.textFile(out).collect()
+    assert len(lines) == 6  # header + 5 regions
+
+
+def test_engine_analyze_feeds_cbo(spark):
+    eng = Engine(SF, spark=spark)
+    try:
+        eng.analyze("nation")
+        # stats visible to the optimizer: row count on the analyzed view
+        stats = eng.sql("SELECT * FROM nation")._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined()
+    finally:
+        spark.catalog.uncacheTable("nation")

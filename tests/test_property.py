@@ -71,11 +71,49 @@ def sql_query(draw) -> str:
     return f"SELECT {', '.join(cols)} FROM lineitem{where}"
 
 
+ORDERS_NUM = ["o_orderkey", "o_custkey", "o_totalprice"]
+ORDERS_STR = ["o_orderstatus"]
+
+o_num_pred = st.builds(
+    lambda c, op, v: f"{c} {op} {v}",
+    st.sampled_from(ORDERS_NUM),
+    st.sampled_from(OPS),
+    st.integers(min_value=0, max_value=300_000),
+)
+o_str_pred = st.builds(
+    lambda op, v: f"o_orderstatus {op} '{v}'",
+    st.sampled_from(["=", "<>"]),
+    st.sampled_from(["F", "O", "P"]),
+)
+
+
+@st.composite
+def join_query(draw) -> str:
+    """Random 2-table join: lineitem ⋈ orders on the real FK, with
+    predicates on either side, as projection or grouped aggregate."""
+    preds = draw(st.lists(st.one_of(num_pred, o_num_pred, o_str_pred), max_size=3))
+    where = (" AND " + " AND ".join(preds)) if preds else ""
+    if draw(st.booleans()):
+        key = draw(st.sampled_from(["l_returnflag", "o_orderstatus", "l_linenumber"]))
+        target = draw(st.sampled_from(NUM_COLS + ORDERS_NUM))
+        agg = draw(st.sampled_from(["COUNT(*)", f"MIN({target})", f"MAX({target})"]))
+        return (
+            f"SELECT {key}, {agg} AS agg_val FROM lineitem JOIN orders "
+            f"ON l_orderkey = o_orderkey WHERE 1=1{where} GROUP BY {key}"
+        )
+    cols = draw(st.lists(st.sampled_from(NUM_COLS + STR_COLS + ORDERS_NUM + ORDERS_STR),
+                         min_size=1, max_size=4, unique=True))
+    return (
+        f"SELECT {', '.join(cols)} FROM lineitem JOIN orders "
+        f"ON l_orderkey = o_orderkey WHERE 1=1{where}"
+    )
+
+
 @pytest.fixture(scope="module")
 def views(spark):
     from database_query_processor_spark.catalog import register_tables
 
-    register_tables(spark, SF, tables=("lineitem",))
+    register_tables(spark, SF, tables=("lineitem", "orders"))
     return spark
 
 
@@ -86,5 +124,16 @@ def views(spark):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_spark_matches_duckdb(views, sql):
+    probs = compare(views.sql(sql), duckdb_run(sql, SF))
+    assert not probs, f"{sql}\n{probs}"
+
+
+@given(sql=join_query())
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_join_spark_matches_duckdb(views, sql):
     probs = compare(views.sql(sql), duckdb_run(sql, SF))
     assert not probs, f"{sql}\n{probs}"
