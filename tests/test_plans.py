@@ -1,5 +1,6 @@
 """Plan-quality gates: the properties that make queries survive a
-100× scale-up, asserted on the actual physical plans.
+100× scale-up, asserted on the actual physical plans via
+plans/inspect.py.
 
 The reference's optimizer guarantees (predicate placement above scans,
 join-algorithm choice — src/qp/optimizer/RandomInitialPlan.java:49-62,
@@ -13,12 +14,22 @@ from __future__ import annotations
 
 import pytest
 
+from database_query_processor_spark.plans.inspect import (
+    audit,
+    count_exchanges,
+    explain_str,
+    join_strategies,
+    pushed_filters,
+    read_schemas,
+    uses_python,
+)
 from database_query_processor_spark.workload import all_specs
 
 SF = "/root/testdata/sf0.001"
 
 # Specs whose plans legitimately run Python (Arrow-batched pandas
-# paths: multimodal decode). Everything else must stay JVM-side.
+# paths: multimodal decode/resize/frames/features). Everything else
+# must stay JVM-side.
 PANDAS_OK = {
     "x12_multimodal_decode",
     "x14_multimodal_resize",
@@ -34,28 +45,20 @@ def _specs():
     return {s.name: s for s in all_specs()}
 
 
-def _plan(spark, df, mode: str = "formatted") -> str:
-    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
-
-
 def test_filter_pushdown_reaches_scan(spark):
     """A range filter must land in the parquet scan's PushedFilters,
     not evaluate post-scan only."""
     df = _specs()["p04_filter_band"].build(spark, SF)
-    plan = _plan(spark, df)
-    assert "PushedFilters:" in plan
-    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
-    assert any(("GreaterThan" in ln or "LessThan" in ln or "In(" in ln) for ln in pushed), pushed
+    pushed = pushed_filters(df)
+    assert any(("GreaterThan" in p or "LessThan" in p) for p in pushed), pushed
 
 
 def test_column_pruning_reaches_scan(spark):
     """A 2-column projection must read a 2-column schema."""
     df = _specs()["p02_project"].build(spark, SF)
-    plan = _plan(spark, df)
-    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
-    assert read, plan
-    # no more fields read than the query projects
-    assert read[0].count(":") - 1 <= len(df.columns) + 1, read[0]
+    schemas = read_schemas(df)
+    assert schemas, "no ReadSchema found"
+    assert schemas[0].count(":") <= len(df.columns) + 1, schemas[0]
 
 
 def test_small_dim_join_broadcasts(spark):
@@ -63,8 +66,16 @@ def test_small_dim_join_broadcasts(spark):
     come in as a broadcast, not force a full shuffle of the fact
     table."""
     df = _specs()["p10_join3"].build(spark, SF)
-    plan = _plan(spark, df, "simple")
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_tpch_q5_join_plan(spark):
+    """Q5's three dims + fact chain: every join hash-based, at least
+    the dim joins broadcast."""
+    df = _specs()["c23_tpch_q5"].build(spark, SF)
+    strategies = join_strategies(df)
+    assert len(strategies) == 5, strategies
+    assert strategies.count("BroadcastHashJoin") >= 3, strategies
 
 
 def test_whole_stage_codegen_covers_agg(spark):
@@ -73,7 +84,7 @@ def test_whole_stage_codegen_covers_agg(spark):
     df = _specs()["c02_tpch_q1"].build(spark, SF)
     # "simple" mode shows the unexecuted AQE wrapper; "codegen" mode
     # compiles and reports the actual WholeStageCodegen subtrees.
-    plan = _plan(spark, df, "codegen")
+    plan = explain_str(df, "codegen")
     assert "WholeStageCodegen" in plan, plan[:500]
 
 
@@ -81,10 +92,17 @@ def test_partial_aggregation_before_shuffle(spark):
     """groupBy must map-side combine (HashAggregate below the
     exchange), not ship raw rows."""
     df = _specs()["c02_tpch_q1"].build(spark, SF)
-    plan = _plan(spark, df, "simple")
+    plan = explain_str(df, "simple")
     ex = plan.find("Exchange")
     assert ex != -1
     assert "HashAggregate" in plan[ex:], plan
+
+
+def test_single_shuffle_for_group_agg(spark):
+    """One groupBy = exactly one shuffle (plus the orderBy range
+    exchange) — no accidental re-partitioning."""
+    df = _specs()["c02_tpch_q1"].build(spark, SF)
+    assert count_exchanges(df) <= 2, explain_str(df, "simple")
 
 
 @pytest.mark.parametrize(
@@ -95,15 +113,23 @@ def test_no_python_in_hot_path(spark, name):
     """Declared queries run JVM-side: no row-at-a-time Python UDFs,
     no pandas fallbacks outside the explicitly-pandas operators."""
     df = _specs()[name].build(spark, SF)
-    plan = _plan(spark, df, "simple")
-    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
-        assert marker not in plan, f"{name}: {marker} found in plan"
+    assert not uses_python(df), f"{name}: Python evaluation found in plan"
 
 
 def test_multimodal_is_arrow_batched(spark):
     """The multimodal decode path must be the Arrow-batched pandas
     form (mapInPandas), never row-at-a-time Python."""
     df = _specs()["x12_multimodal_decode"].build(spark, SF)
-    plan = _plan(spark, df, "simple")
+    plan = explain_str(df, "simple")
     assert "MapInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_audit_shape(spark):
+    """audit() returns the full summary dict for any plan."""
+    df = _specs()["p04_filter_band"].build(spark, SF)
+    a = audit(df)
+    assert set(a) == {"exchanges", "pushed_filters", "read_schemas",
+                      "join_strategies", "uses_python"}
+    assert a["uses_python"] is False
+    assert a["pushed_filters"]
