@@ -1,0 +1,67 @@
+"""Stream-stream join: the two-moving-sides case (no reference
+analog — SURVEY.md §2.7).
+
+Both inputs are unbounded; Spark buffers each side's recent rows in
+watermark-bounded state and emits matches as they form. The join MUST
+carry an event-time constraint — that is what lets the engine discard
+state: a click older than (purchase watermark − interval) can never
+match a future purchase, so its buffer entry is dropped. At 100 TB
+the state store holds only the interval window per key, not history.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def purchase_click_attribution(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Each purchase joined to the same user's clicks in the hour
+    before it — the classic attribution join, expressed with an
+    event-time range so both state buffers stay bounded."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "10 minutes")
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "10 minutes")
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+
+
+def run_purchase_click_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the attribution join as a REAL stream-stream join over
+    the finite events parquet (append-mode memory sink)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _stream():
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(s.dtypes)["ts"] == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    purchases = _stream().filter(F.col("event_type") == "purchase")
+    clicks = _stream().filter(F.col("event_type") == "click")
+    out = purchase_click_attribution(purchases, clicks)
+    name = "attribution_" + uuid.uuid4().hex[:8]
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

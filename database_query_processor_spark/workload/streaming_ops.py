@@ -99,6 +99,21 @@ def session_windows(spark, sf_dir):
     return SW.session_windows(_events(spark, sf_dir))
 
 
+def stream_stream_join(spark, sf_dir):
+    from database_query_processor_spark.streaming.joins import run_purchase_click_stream
+
+    return run_purchase_click_stream(spark, sf_dir)
+
+
+STREAM_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+"""
+
+
 def stream_stateful_profiles(spark, sf_dir):
     from database_query_processor_spark.streaming.stateful import run_user_profile_stream
 
@@ -141,4 +156,7 @@ SPECS = [
     QuerySpec("s04_stream_stateful_profiles", stream_stateful_profiles, STATEFUL_SQL,
               "custom stateful op: applyInPandasWithState per-user profile, "
               "REAL streaming execution to a memory sink"),
+    QuerySpec("s05_stream_stream_join", stream_stream_join, STREAM_JOIN_SQL,
+              "REAL stream-stream join: purchase←click attribution with "
+              "event-time range constraint bounding both state buffers"),
 ]
