@@ -31,10 +31,13 @@ def main() -> None:
         try:
             df = spec.build(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # warm (JIT/codegen/cache)
-            t0 = time.perf_counter()
-            spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[spec.name] = round(time.perf_counter() - t0, 3)
-            print(f"  {spec.name}: {timings[spec.name]}s", file=sys.stderr)
+            runs = []
+            for _ in range(3):  # median-of-3: JVM/GC noise dominates at this scale
+                t0 = time.perf_counter()
+                spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            timings[spec.name] = round(sorted(runs)[1], 3)
+            print(f"  {spec.name}: {timings[spec.name]}s {[round(r,2) for r in runs]}", file=sys.stderr)
         except Exception as ex:  # one broken query must not zero the whole bench
             timings[spec.name] = -1.0
             print(f"  {spec.name}: FAILED {type(ex).__name__}: {ex}", file=sys.stderr)
