@@ -123,3 +123,20 @@ def content_fingerprint(text: Column | str) -> Column:
     """MD5 of the normalized text — the exact-dedup key. (The rolling
     winnowing fingerprint lives in operators/dedup.py simhash path.)"""
     return F.md5(normalize_text(text))
+
+
+# PII scrubbing — patterns kept in the Java∩RE2 common dialect so the
+# DuckDB oracle applies byte-identical replacements.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^ ]+"
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Training-data PII redaction: URLs then emails replaced with
+    placeholder tokens. Single scan-side map (two regex passes inside
+    one projection); extend the chain for phones/ids/keys the same
+    way."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(c, URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"
+    )

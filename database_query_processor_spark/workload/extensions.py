@@ -206,6 +206,44 @@ def text_fingerprint(spark, sf_dir):
     return d.select("doc_id", TX.content_fingerprint("text").alias("fingerprint"))
 
 
+def text_scrub(spark, sf_dir):
+    """PII scrub parity: inject synthetic email+URL into every 3rd doc
+    (deterministic function of doc_id — the corpus itself is
+    PII-free), scrub, and report what was removed."""
+    d = _t(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com via "),
+            F.lit("https://example.org/u/"), F.col("doc_id"),
+        ),
+    ).otherwise(F.col("text"))
+    return d.select(
+        "doc_id",
+        TX.pii_scrub(injected).alias("clean_text"),
+        injected.rlike(TX.EMAIL_RE).alias("had_email"),
+        injected.rlike(TX.URL_RE).alias("had_url"),
+    )
+
+
+SCRUB_SQL = f"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || doc_id || '@example.com via '
+                   || 'https://example.org/u/' || doc_id
+              ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(t, 'https?://[^ ]+', '<URL>', 'g'),
+                      '{TX.EMAIL_RE}', '<EMAIL>', 'g') AS clean_text,
+       regexp_matches(t, '{TX.EMAIL_RE}') AS had_email,
+       regexp_matches(t, 'https?://[^ ]+') AS had_url
+FROM inj
+"""
+
+
 def multimodal_decode(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return MM.decode_image_batch(MM.with_binary_payload(d, "doc_id", "text"))
@@ -285,6 +323,9 @@ SPECS = [
     QuerySpec("x11_text_fingerprint", text_fingerprint,
               f"SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents",
               "document fingerprinting (normalized md5)"),
+    QuerySpec("x17_text_scrub", text_scrub, SCRUB_SQL,
+              "PII redaction (URL/email regex chain) with deterministic "
+              "synthetic injection for parity"),
     QuerySpec("x12_multimodal_decode", multimodal_decode,
               "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
               "64 + octet_length(encode(text)) % 512 AS fake_width, "
