@@ -1,0 +1,275 @@
+"""Corpus-level training-data preparation operators: duplicate-cluster
+resolution (connected components), benchmark decontamination, document
+chunking, deterministic stratified sampling, deterministic global
+shuffle, and JSONL serialization.
+
+No reference analog (the reference stops at relational operators,
+src/qp/operators/); these are the pipeline stages between "deduped
+corpus" and "training shards". All JVM-side built-ins — no Python in
+any hot path.
+
+Scale design:
+  * Connected components: min-label propagation as iterated
+    (edges ⋈ labels) → groupBy-min rounds. Each round is one shuffle
+    keyed by node id; rounds needed = O(log(component diameter)), and
+    near-dup components are near-cliques (diameter ≤ 2-3), so 2-4
+    rounds in practice. Labels are persisted per round and the
+    previous round unpersisted; at 100 TB, localCheckpoint every few
+    rounds to truncate lineage.
+  * Decontamination: the benchmark side is tiny by construction
+    (~1% held-out slice), so its distinct n-gram set is broadcast —
+    the training corpus is filtered in a single scan + broadcast hash
+    join, no shuffle of the big side.
+  * Chunking: pure scan-side flatMap (tokenize once, explode chunk
+    indices, slice) — linear, no shuffle.
+  * Stratified sampling: a deterministic per-row modular hash gate —
+    embarrassingly parallel, reproducible across runs and cluster
+    sizes (never rand()-based, which resamples per retry/speculative
+    task).
+  * Global shuffle: two-pass distributed total order — range-
+    repartition by shuffle key, count per partition, broadcast the
+    cumulative offsets, then within-partition row_number + offset.
+    No single-partition global window (the naive ORDER BY window
+    collapses 100 TB onto one task).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from database_query_processor_spark.functions.text import tokens, word_ngrams
+
+# --- connected components ------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 25
+) -> DataFrame:
+    """Resolve undirected `edges` (id_a, id_b) over `nodes` (node_id)
+    into components: returns (node_id, cluster_id) where cluster_id is
+    the minimum node id reachable from node_id. Singletons keep their
+    own id — every input node appears exactly once.
+
+    Min-label propagation to fixpoint: each round joins current labels
+    across edges (both directions) and takes the per-node min. A round
+    is one shuffle; convergence needs O(log diameter) rounds."""
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = nodes.select(
+        F.col(nodes.columns[0]).alias("node_id"),
+        F.col(nodes.columns[0]).alias("cluster_id"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(max_rounds):
+        prop = sym.join(labels, sym.src == labels.node_id).select(
+            F.col("dst").alias("node_id"), "cluster_id"
+        )
+        new = (
+            labels.union(prop)
+            .groupBy("node_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+# --- decontamination -----------------------------------------------------
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_pred: Column,
+    n: int = 5,
+) -> DataFrame:
+    """Flag training documents that share ≥1 word n-gram with the
+    held-out benchmark slice (`bench_pred` selects benchmark rows).
+    Returns every NON-benchmark row as (doc_id, n_bench_grams,
+    contaminated).
+
+    Real pipelines use 8-13-gram overlap; n=5 here because the test
+    corpus is short-doc. The benchmark n-gram set is distinct-ed and
+    broadcast — the big side never shuffles."""
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        bench_pred.alias("is_bench"),
+        F.array_distinct(word_ngrams(tokens(text_col), n)).alias("grams"),
+    )
+    bench_grams = (
+        grams.where("is_bench")
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train_grams = grams.where(~F.col("is_bench")).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bench_grams"))
+    )
+    base = grams.where(~F.col("is_bench")).select("doc_id")
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bench_grams", F.lit(0)).alias("n_bench_grams"),
+        (F.coalesce("n_bench_grams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# --- chunking ------------------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split each document into overlapping token windows of
+    `chunk_size` tokens every `stride` tokens (the standard pretrain
+    packing prep). Every document yields ≥1 chunk (an empty doc yields
+    one empty chunk). Output: (doc_id, chunk_idx, chunk_text,
+    n_chunk_tokens). Scan-side flatMap — tokenize once per doc, then
+    explode precomputed chunk indices."""
+    toked = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    counted = toked.select(
+        "doc_id",
+        "toks",
+        F.greatest(
+            F.lit(1),
+            (F.ceil((F.size("toks") - F.lit(chunk_size)) / F.lit(float(stride))) + 1),
+        )
+        .cast("bigint")
+        .alias("n_chunks"),
+    )
+    exploded = counted.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    chunk = F.slice("toks", F.col("chunk_idx").cast("int") * stride + 1, chunk_size)
+    sliced = exploded.select("doc_id", "chunk_idx", chunk.alias("chunk_toks"))
+    return sliced.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", "chunk_toks").alias("chunk_text"),
+        F.size("chunk_toks").cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
+# --- deterministic sampling & shuffle ------------------------------------
+
+# Overflow-safe modular hash shared verbatim with the DuckDB oracles:
+# reduce the id below 2^20 first so the multiply stays < 2^63 in both
+# engines (DuckDB errors on int64 overflow; Spark would wrap).
+HASH_MOD = 1000003  # prime
+HASH_MULT = 2654435761  # Knuth multiplicative constant
+
+
+def det_hash(id_col: Column) -> Column:
+    """Deterministic pseudo-random value in [0, HASH_MOD)."""
+    return (id_col % HASH_MOD) * HASH_MULT % HASH_MOD
+
+
+def sql_det_hash(expr: str) -> str:
+    return f"(({expr}) % {HASH_MOD}) * {HASH_MULT} % {HASH_MOD}"
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, stratum: Column, rates: dict[str, int]
+) -> DataFrame:
+    """Keep a deterministic per-stratum percentage of rows:
+    row kept iff det_hash(id) % 100 < rates[stratum]. Reproducible
+    across runs, retries, and cluster sizes — unlike df.sample(),
+    whose per-partition RNG changes under speculative re-execution
+    and repartitioning."""
+    gate = det_hash(F.col(id_col)) % 100
+    rate = F.lit(None)
+    for name, pct in rates.items():
+        rate = F.when(stratum == name, F.lit(pct)).otherwise(rate)
+    return df.withColumn("stratum", stratum).where(gate < rate)
+
+
+def train_order(df: DataFrame, id_col: str, num_partitions: int = 32) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering:
+    assigns each row a position 1..N in det_hash order without a
+    single-partition sort. Two passes: (1) range-repartition on the
+    shuffle key and count rows per partition; (2) broadcast the
+    cumulative offsets (one tiny row per partition) and add them to
+    within-partition row numbers. Output: (id, shuffle_key, pos)."""
+    keyed = df.select(
+        F.col(id_col), det_hash(F.col(id_col)).alias("shuffle_key")
+    ).repartitionByRange(num_partitions, "shuffle_key", id_col)
+    keyed = keyed.withColumn("pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    counts = {
+        r["pid"]: r["n"]
+        for r in keyed.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset = F.lit(0).cast("bigint")
+    for pid, off in offsets.items():
+        offset = F.when(F.col("pid") == pid, F.lit(off).cast("bigint")).otherwise(offset)
+    w = Window.partitionBy("pid").orderBy("shuffle_key", id_col)
+    return keyed.select(
+        id_col,
+        "shuffle_key",
+        (F.row_number().over(w) + offset).alias("pos"),
+    )
+
+
+# --- JSONL serialization -------------------------------------------------
+
+
+def json_escape(col: Column) -> Column:
+    """Minimal JSON string escaping (backslash first, then quote and
+    control characters) — chain shared verbatim with the DuckDB
+    oracle so serialized lines are byte-identical."""
+    c = col
+    for raw, esc in [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")]:
+        c = F.replace(c, F.lit(raw), F.lit(esc))
+    return c
+
+
+def to_jsonl(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Serialize (id, n_tokens, text) to one JSON object per row —
+    the training-shard export format. Hand-built with format_string
+    (not to_json) so the byte layout is engine-independent and
+    oracle-checkable; floats are deliberately excluded (their text
+    rendering is engine-specific)."""
+    ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.format_string(
+            '{"doc_id":%d,"n_tokens":%d,"text":"%s"}',
+            F.col(id_col),
+            ws,
+            json_escape(F.col(text_col)),
+        ).alias("json_line"),
+    )

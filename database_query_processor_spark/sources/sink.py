@@ -24,3 +24,11 @@ def write_result(df: DataFrame, path: str, single_file: bool = False) -> None:
         .option("nullValue", NULL_TOKEN)
         .csv(path)
     )
+
+
+def write_jsonl(df: DataFrame, path: str, line_col: str = "json_line") -> None:
+    """Training-shard export: one JSON object per line (the
+    `operators/corpus.to_jsonl` serialization), written as plain text
+    so the bytes are exactly the serialized lines — one file per
+    partition, written in parallel at scale."""
+    df.select(line_col).write.mode("overwrite").text(path)

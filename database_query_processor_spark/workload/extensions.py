@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from database_query_processor_spark.catalog import load_table
 from database_query_processor_spark.functions import text as TX
+from database_query_processor_spark.operators import corpus as CP
 from database_query_processor_spark.operators import dedup as DD
 from database_query_processor_spark.operators import multimodal as MM
 from database_query_processor_spark.operators import similarity as SIM
@@ -244,6 +245,122 @@ FROM inj
 """
 
 
+# --- corpus-level training-data prep (operators/corpus.py) ---
+
+GRAMS5_SQL = (
+    "list_distinct([array_to_string(list_slice(toks, i, i+4), ' ') "
+    "for i in range(1, len(toks)-3)])"
+)
+
+CLUSTERS_SQL = f"""
+WITH RECURSIVE t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, {GRAMS_SQL} AS grams FROM t),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams)) AS shared,
+         len(a.grams) AS na, len(b.grams) AS nb
+  FROM g a JOIN g b ON a.doc_id < b.doc_id),
+e AS (SELECT id_a AS src, id_b AS dst FROM pr WHERE shared / (na + nb - shared) >= 0.5
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pr WHERE shared / (na + nb - shared) >= 0.5),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id)
+SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+"""
+
+DECONTAM_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, {GRAMS5_SQL} AS grams FROM t),
+bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
+h AS (SELECT doc_id, count(*) AS n FROM tg JOIN bg USING (gram) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(h.n, 0) AS n_bench_grams,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d LEFT JOIN h USING (doc_id)
+"""
+
+CHUNKS_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+n AS (SELECT doc_id, toks,
+             CAST(greatest(1, ceil((len(toks) - {CP.CHUNK_SIZE}) / {float(CP.CHUNK_STRIDE)}) + 1) AS BIGINT) AS n_chunks
+      FROM t),
+c AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM n)
+SELECT doc_id, chunk_idx,
+       array_to_string(list_slice(toks, chunk_idx*{CP.CHUNK_STRIDE}+1,
+                                  chunk_idx*{CP.CHUNK_STRIDE}+{CP.CHUNK_SIZE}), ' ') AS chunk_text,
+       len(list_slice(toks, chunk_idx*{CP.CHUNK_STRIDE}+1,
+                      chunk_idx*{CP.CHUNK_STRIDE}+{CP.CHUNK_SIZE})) AS n_chunk_tokens
+FROM c
+"""
+
+STRATUM_SQL = ("CASE WHEN length(text) < 200 THEN 'short' "
+               "WHEN length(text) < 400 THEN 'medium' ELSE 'long' END")
+SAMPLE_RATES = {"short": 5, "medium": 20, "long": 60}
+
+SAMPLE_SQL = f"""
+SELECT doc_id, {STRATUM_SQL} AS stratum FROM documents
+WHERE {CP.sql_det_hash('doc_id')} % 100 <
+      CASE {STRATUM_SQL} WHEN 'short' THEN 5 WHEN 'medium' THEN 20 ELSE 60 END
+"""
+
+SHUFFLE_SQL = f"""
+SELECT doc_id, {CP.sql_det_hash('doc_id')} AS shuffle_key,
+       row_number() OVER (ORDER BY {CP.sql_det_hash('doc_id')}, doc_id) AS pos
+FROM documents
+"""
+
+_WS_COUNT_SQL = "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0))"
+JSONL_SQL = f"""
+SELECT doc_id,
+       '{{"doc_id":' || doc_id || ',"n_tokens":' || {_WS_COUNT_SQL} || ',"text":"' ||
+       replace(replace(replace(replace(replace(text,
+           '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')
+       || '"}}' AS json_line
+FROM documents
+"""
+
+
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs (MinHash-LSH + exact verify) resolved to
+    canonical clusters via distributed connected components; every
+    doc gets a cluster_id = min doc_id of its component."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(d, "doc_id", "text").select("id_a", "id_b")
+    labels = CP.connected_components(d.select("doc_id"), pairs)
+    return labels.select(F.col("node_id").alias("doc_id"), "cluster_id")
+
+
+def corpus_decontaminate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return CP.decontaminate(d, "doc_id", "text", F.col("doc_id") % 97 == 0, n=5)
+
+
+def corpus_chunks(spark, sf_dir):
+    return CP.chunk_documents(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def corpus_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    stratum = (
+        F.when(F.length("text") < 200, "short")
+        .when(F.length("text") < 400, "medium")
+        .otherwise("long")
+    )
+    return CP.stratified_sample(d, "doc_id", stratum, SAMPLE_RATES).select(
+        "doc_id", "stratum"
+    )
+
+
+def corpus_shuffle(spark, sf_dir):
+    return CP.train_order(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+def corpus_jsonl(spark, sf_dir):
+    return CP.to_jsonl(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def multimodal_decode(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return MM.decode_image_batch(MM.with_binary_payload(d, "doc_id", "text"))
@@ -326,6 +443,24 @@ SPECS = [
     QuerySpec("x17_text_scrub", text_scrub, SCRUB_SQL,
               "PII redaction (URL/email regex chain) with deterministic "
               "synthetic injection for parity"),
+    QuerySpec("x18_dedup_clusters", dedup_clusters, CLUSTERS_SQL,
+              "near-dup clusters: MinHash pairs resolved by distributed "
+              "connected components (min-label propagation; oracle = recursive CTE)"),
+    QuerySpec("x19_decontaminate", corpus_decontaminate, DECONTAM_SQL,
+              "benchmark decontamination: 5-gram overlap vs held-out slice "
+              "via broadcast join"),
+    QuerySpec("x20_doc_chunks", corpus_chunks, CHUNKS_SQL,
+              "document chunking: overlapping 64-token windows, stride 48 "
+              "(pretrain packing prep)"),
+    QuerySpec("x21_stratified_sample", corpus_sample, SAMPLE_SQL,
+              "deterministic stratified sampling by length stratum "
+              "(modular-hash gate, reproducible under retries)"),
+    QuerySpec("x22_export_jsonl", corpus_jsonl, JSONL_SQL,
+              "JSONL training-shard serialization (engine-independent bytes, "
+              "writer in sources/sink.py)"),
+    QuerySpec("x23_train_shuffle", corpus_shuffle, SHUFFLE_SQL,
+              "deterministic global shuffle order via two-pass distributed "
+              "total sort (no single-partition window)"),
     QuerySpec("x12_multimodal_decode", multimodal_decode,
               "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
               "64 + octet_length(encode(text)) % 512 AS fake_width, "

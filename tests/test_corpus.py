@@ -1,0 +1,123 @@
+"""Unit tests for corpus-level training-data prep operators
+(operators/corpus.py): connected components convergence, chunk
+boundary arithmetic, deterministic sampling/shuffle invariants, and
+the JSONL writer round-trip. The full-output oracle checks live in
+the parity sweep (these pin edge cases the corpus data may not hit)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from database_query_processor_spark.operators import corpus as CP
+from database_query_processor_spark.plans.inspect import explain_str
+
+
+def test_connected_components_chain(spark):
+    """A path graph 1-2-3-4-5 needs multiple propagation rounds; the
+    fixpoint must label every node with the component min (1), and the
+    isolated node 9 keeps its own label."""
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 9]], ["node_id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node_id"]: r["cluster_id"]
+        for r in CP.connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 9: 9}
+
+
+def test_connected_components_two_components(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["node_id"])
+    edges = spark.createDataFrame([(2, 1), (5, 6), (4, 6)], ["id_a", "id_b"])
+    got = {
+        r["node_id"]: r["cluster_id"]
+        for r in CP.connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 4, 6: 4}
+
+
+def test_chunk_boundaries(spark):
+    """Empty doc -> one empty chunk; exactly chunk_size tokens -> one
+    chunk; one token over -> two chunks with the stride overlap."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=""),
+            Row(doc_id=2, text=" ".join(f"w{i}" for i in range(CP.CHUNK_SIZE))),
+            Row(doc_id=3, text=" ".join(f"w{i}" for i in range(CP.CHUNK_SIZE + 1))),
+        ]
+    )
+    out = CP.chunk_documents(docs, "doc_id", "text").collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == ""
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == CP.CHUNK_SIZE
+    chunks3 = sorted(by_doc[3], key=lambda r: r["chunk_idx"])
+    assert len(chunks3) == 2
+    assert chunks3[0]["n_chunk_tokens"] == CP.CHUNK_SIZE
+    # second chunk starts at token index stride (0-based)
+    assert chunks3[1]["chunk_text"].split(" ")[0] == f"w{CP.CHUNK_STRIDE}"
+    assert chunks3[1]["n_chunk_tokens"] == CP.CHUNK_SIZE + 1 - CP.CHUNK_STRIDE
+
+
+def test_stratified_sample_deterministic(spark):
+    df = spark.range(1000).select(F.col("id").alias("doc_id"), F.lit("x").alias("t"))
+    stratum = F.when(F.col("doc_id") < 500, "a").otherwise("b")
+    pick = lambda: sorted(  # noqa: E731
+        r["doc_id"]
+        for r in CP.stratified_sample(df, "doc_id", stratum, {"a": 10, "b": 50}).collect()
+    )
+    first = pick()
+    assert first == pick(), "sampling must be reproducible run-to-run"
+    a = sum(1 for i in first if i < 500)
+    b = len(first) - a
+    assert 20 <= a <= 90 and 180 <= b <= 320  # ~10% of 500 and ~50% of 500
+
+
+def test_train_order_is_a_permutation(spark):
+    n = 500
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    rows = CP.train_order(df, "doc_id", num_partitions=8).collect()
+    assert sorted(r["pos"] for r in rows) == list(range(1, n + 1))
+    # positions follow (shuffle_key, doc_id) order globally
+    by_pos = sorted(rows, key=lambda r: r["pos"])
+    keys = [(r["shuffle_key"], r["doc_id"]) for r in by_pos]
+    assert keys == sorted(keys)
+
+
+def test_decontaminate_broadcasts_bench_side(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma delta epsilon zeta") for i in range(20)]
+    )
+    df = CP.decontaminate(docs, "doc_id", "text", F.col("doc_id") == 0, n=5)
+    assert "BroadcastHashJoin" in explain_str(df)
+    got = {r["doc_id"]: r["contaminated"] for r in df.collect()}
+    assert 0 not in got and all(got.values())  # all dups of the bench doc
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from database_query_processor_spark.sources.sink import write_jsonl
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text='say "hi"\tnow'),
+            Row(doc_id=2, text="back\\slash\nnewline"),
+        ]
+    )
+    lines = CP.to_jsonl(docs, "doc_id", "text")
+    # every serialized line must be valid JSON preserving the text
+    for r in lines.collect():
+        obj = json.loads(r["json_line"])
+        assert obj["doc_id"] == r["doc_id"]
+    path = str(tmp_path / "shard")
+    write_jsonl(lines, path)
+    back = spark.read.json(path)
+    assert back.count() == 2
+    assert {r["text"] for r in back.collect()} == {
+        'say "hi"\tnow',
+        "back\\slash\nnewline",
+    }
