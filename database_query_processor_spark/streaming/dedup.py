@@ -1,0 +1,50 @@
+"""Streaming deduplication — the streaming form of the corpus exact
+dedup (operators/dedup.py): drop duplicate events as they arrive,
+with watermark-bounded state.
+
+No reference analog (batch-only engine, SURVEY.md §2.7). At scale
+this is the standard ingestion-dedup topology: the dedup key includes
+the event-time column, so the state store holds only keys inside the
+watermark horizon — state is bounded by (arrival rate × watermark),
+not by stream length. Keys shuffle once (hash on the dedup key);
+output is append-mode, safe for any downstream sink.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming execution: file-source readStream over
+    events.parquet, 10-minute watermark, dropDuplicates on
+    (user_id, event_type, ts) — ts in the key makes watermark state
+    eviction apply — append-mode memory sink, driven to completion.
+    Returns the sink table: one row per distinct key."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dd = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["user_id", "event_type", "ts"])
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+        )
+    )
+    name = "dedup_" + uuid.uuid4().hex[:8]
+    q = dd.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

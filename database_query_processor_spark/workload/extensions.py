@@ -255,12 +255,13 @@ GRAMS5_SQL = (
 CLUSTERS_SQL = f"""
 WITH RECURSIVE t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 g AS (SELECT doc_id, {GRAMS_SQL} AS grams FROM t),
-pr AS (
+pr AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          len(list_intersect(a.grams, b.grams)) AS shared,
          len(a.grams) AS na, len(b.grams) AS nb
   FROM g a JOIN g b ON a.doc_id < b.doc_id),
-e AS (SELECT id_a AS src, id_b AS dst FROM pr WHERE shared / (na + nb - shared) >= 0.5
+e AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pr WHERE shared / (na + nb - shared) >= 0.5
       UNION ALL
       SELECT id_b AS src, id_a AS dst FROM pr WHERE shared / (na + nb - shared) >= 0.5),
 reach(id, lab) AS (

@@ -114,6 +114,17 @@ FROM events p JOIN events c
 """
 
 
+def stream_dedup(spark, sf_dir):
+    from database_query_processor_spark.streaming.dedup import run_stream_dedup
+
+    return run_stream_dedup(spark, sf_dir)
+
+
+DEDUP_STREAM_SQL = """
+SELECT DISTINCT user_id, event_type, ts FROM events
+"""
+
+
 def stream_stateful_profiles(spark, sf_dir):
     from database_query_processor_spark.streaming.stateful import run_user_profile_stream
 
@@ -159,4 +170,7 @@ SPECS = [
     QuerySpec("s05_stream_stream_join", stream_stream_join, STREAM_JOIN_SQL,
               "REAL stream-stream join: purchase←click attribution with "
               "event-time range constraint bounding both state buffers"),
+    QuerySpec("s06_stream_dedup", stream_dedup, DEDUP_STREAM_SQL,
+              "REAL streaming dedup: watermark-bounded dropDuplicates state "
+              "(ingestion dedup topology)"),
 ]

@@ -38,7 +38,12 @@ PANDAS_OK = {
 }
 # Streaming specs execute during build (memory-sink result table);
 # their returned plan is the sink read, not the streaming topology.
-STREAMING = {"s01_stream_tumbling", "s04_stream_stateful_profiles", "s05_stream_stream_join"}
+STREAMING = {
+    "s01_stream_tumbling",
+    "s04_stream_stateful_profiles",
+    "s05_stream_stream_join",
+    "s06_stream_dedup",
+}
 
 
 def _specs():
