@@ -132,6 +132,57 @@ def decontaminate(
     )
 
 
+# --- cleaning gate -------------------------------------------------------
+
+
+def clean_gate(df: DataFrame, id_col: str, text_col: str, min_quality: float = 0.3) -> DataFrame:
+    """Language-gate (en) + quality-gate in ONE scan with tokenization
+    computed ONCE: the token array is materialized behind a
+    non-deterministic always-true guard (`monotonically_increasing_id()
+    >= -1`) — an optimizer fence that stops CollapseProject and
+    predicate pushdown from re-inlining the tokenize expression into
+    every stopword score (6× re-evaluation measured ≈1.6× slower; see
+    the expression-inlining pitfall in operators/dedup.py).
+
+    Semantics are EXACTLY functions/text.lang_id == 'en' AND
+    quality_score >= min_quality (the DuckDB oracle mirrors both);
+    the only divergence is stopword_ratio's denominator guard
+    (greatest(n,1) vs n) which differs only on zero-token docs, where
+    the n_tokens factor already zeroes the quality score."""
+    from database_query_processor_spark.functions.text import (
+        CJK_RE,
+        STOPWORDS,
+        punct_ratio,
+        tokens,
+    )
+
+    toks_fenced = F.when(F.monotonically_increasing_id() >= -1, tokens(text_col))
+    t1 = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        toks_fenced.alias("toks"),
+        F.array_distinct(toks_fenced).alias("td"),
+    )
+    s = {
+        lang: F.size(F.array_intersect("td", F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+        for lang in STOPWORDS
+    }
+    lang_en = (
+        (~F.col(text_col).rlike(CJK_RE))
+        & ~((s["en"] == 0) & (s["de"] == 0) & (s["fr"] == 0) & (s["es"] == 0))
+        & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"])
+    )
+    n_toks = F.size("toks")
+    en_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    sw_occ = F.size(F.filter(F.col("toks"), lambda tk: F.array_contains(en_arr, tk)))
+    quality = (
+        F.least(F.lit(1.0), n_toks / F.lit(50.0))
+        * (F.lit(1.0) - punct_ratio(text_col))
+        * (F.lit(0.5) + F.lit(0.5) * sw_occ / F.greatest(n_toks, F.lit(1)))
+    )
+    return t1.where(lang_en & (quality >= min_quality)).select(id_col, text_col)
+
+
 # --- chunking ------------------------------------------------------------
 
 CHUNK_SIZE = 64

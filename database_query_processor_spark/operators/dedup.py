@@ -63,6 +63,12 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Public alias of `_spread` for other CPU-heavy map pipelines
+    (corpus prep, workload compositions)."""
+    return _spread(df)
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Shingling/hashing stages are CPU-bound maps, so their
     parallelism equals the number of input splits — a small parquet

@@ -245,6 +245,64 @@ FROM inj
 """
 
 
+# --- end-to-end cleaning pipeline (the composition flagship) ---
+
+
+def pipeline_clean_corpus(spark, sf_dir):
+    """The whole training-data prep story as ONE declarative plan:
+    language-gate (en) → quality-gate (≥0.3) → PII scrub → exact dedup
+    (keep min doc_id per fingerprint) → per-survivor stats. Catalyst
+    fuses the gates and scrub into the scan projection; the only
+    shuffle is the dedup groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    gated = CP.clean_gate(d, "doc_id", "text", min_quality=0.3).select(
+        "doc_id",
+        TX.pii_scrub(F.col("text")).alias("clean_text"),
+        TX.content_fingerprint("text").alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    kept = gated.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return kept.select(
+        "doc_id",
+        F.length("clean_text").alias("n_chars_clean"),
+        F.size(TX.tokens("clean_text")).alias("n_tokens_clean"),
+    )
+
+
+_QUALITY_EXPR = (
+    f"least(1.0, len(toks) / 50.0)"
+    f" * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text))"
+    f" * (0.5 + 0.5 * ({_EN_OCC} / greatest(len(toks), 1)))"
+)
+
+_LANG_EN_PRED = (
+    f"NOT regexp_matches(text, '{TX.CJK_RE}')"
+    f" AND NOT ({_stop_sql('en')} = 0 AND {_stop_sql('de')} = 0"
+    f"          AND {_stop_sql('fr')} = 0 AND {_stop_sql('es')} = 0)"
+    f" AND {_stop_sql('en')} >= {_stop_sql('de')}"
+    f" AND {_stop_sql('en')} >= {_stop_sql('fr')}"
+    f" AND {_stop_sql('en')} >= {_stop_sql('es')}"
+)
+
+PIPELINE_SQL = f"""
+WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+gated AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+                        '{TX.EMAIL_RE}', '<EMAIL>', 'g') AS clean_text,
+         md5({NORM_SQL}) AS fingerprint
+  FROM t
+  WHERE ({_LANG_EN_PRED}) AND ({_QUALITY_EXPR}) >= 0.3),
+kept AS (SELECT fingerprint, MIN(doc_id) AS doc_id FROM gated GROUP BY fingerprint)
+SELECT g.doc_id, length(g.clean_text) AS n_chars_clean,
+       len(list_filter(regexp_split_to_array(lower(g.clean_text), '[^a-z0-9]+'),
+                       x -> len(x) > 0)) AS n_tokens_clean
+FROM gated g JOIN kept k ON g.fingerprint = k.fingerprint AND g.doc_id = k.doc_id
+"""
+
+
 # --- corpus-level training-data prep (operators/corpus.py) ---
 
 GRAMS5_SQL = (
@@ -444,6 +502,9 @@ SPECS = [
     QuerySpec("x17_text_scrub", text_scrub, SCRUB_SQL,
               "PII redaction (URL/email regex chain) with deterministic "
               "synthetic injection for parity"),
+    QuerySpec("x24_pipeline_clean_corpus", pipeline_clean_corpus, PIPELINE_SQL,
+              "end-to-end cleaning pipeline in one plan: lang gate + quality "
+              "gate + PII scrub + exact dedup + stats (single shuffle)", bench=True),
     QuerySpec("x18_dedup_clusters", dedup_clusters, CLUSTERS_SQL,
               "near-dup clusters: MinHash pairs resolved by distributed "
               "connected components (min-label propagation; oracle = recursive CTE)"),
