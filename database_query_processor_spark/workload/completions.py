@@ -361,6 +361,66 @@ def pivot_(spark, sf_dir):
     )
 
 
+def approx_percentile_(spark, sf_dir):
+    """Approximate percentiles (GK sketch): mergeable partial sketches
+    shuffle O(1/ε) summaries, never the values — the scale path where
+    c21's exact percentile needs a full sort. Engine-specific values →
+    rows-only check; tests/test_sketches.py pins the error bound
+    against the exact result."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.9], 10000).alias("approx_pcts")
+    )
+
+
+def unpivot_(spark, sf_dir):
+    """UNPIVOT/melt: part's numeric attributes to (attr, val) rows —
+    scan-side Expand, no shuffle."""
+    p = _t(spark, sf_dir, "part")
+    return p.select("p_partkey", F.col("p_size").cast("double").alias("p_size"),
+                    F.col("p_retailprice").cast("double").alias("p_retailprice")).unpivot(
+        "p_partkey", ["p_size", "p_retailprice"], "attr", "val"
+    )
+
+
+def count_distinct_grouped(spark, sf_dir):
+    """Grouped exact COUNT(DISTINCT): exercises the Expand-based
+    distinct-aggregate rewrite (partial dedup before the final agg)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def filtered_agg(spark, sf_dir):
+    """Conditional aggregation (SQL FILTER clause): per-month order
+    counts split by priority in one pass — no self-joins."""
+    o = _t(spark, sf_dir, "orders")
+    month = F.date_trunc("month", "o_orderdate").cast("timestamp_ntz")
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+    return o.groupBy(month.alias("month")).agg(
+        F.count("*").alias("n_orders"),
+        F.count(urgent).alias("n_urgent"),
+        sum_money("o_totalprice", "sum_price"),
+    )
+
+
+UNPIVOT_SQL = """
+SELECT p_partkey, attr, val FROM (
+  SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val FROM part)
+"""
+
+FILTERED_AGG_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("c01_agg_global", agg_global,
               "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_partkey) AS n_parts, "
@@ -467,6 +527,17 @@ SPECS = [
               "quantile_cont(l_quantity, 0.95) AS p95_qty "
               "FROM lineitem GROUP BY l_returnflag",
               "exact percentiles per group"),
+    QuerySpec("c24_approx_percentile", approx_percentile_, None,
+              "approximate percentiles via mergeable GK sketch (engine-specific "
+              "values → rows-only; error bound pinned in tests/test_sketches.py)"),
+    QuerySpec("c25_unpivot", unpivot_, UNPIVOT_SQL,
+              "UNPIVOT/melt to long form (scan-side Expand, no shuffle)"),
+    QuerySpec("c26_count_distinct_grouped", count_distinct_grouped,
+              "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, "
+              "COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority",
+              "grouped exact COUNT(DISTINCT) (Expand-based distinct rewrite)"),
+    QuerySpec("c27_filtered_agg", filtered_agg, FILTERED_AGG_SQL,
+              "conditional aggregation (FILTER clause) in one pass"),
     QuerySpec("c19_pivot", pivot_,
               "SELECT l_returnflag, "
               "CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_open, "

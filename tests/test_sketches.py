@@ -44,3 +44,22 @@ def test_grouped_approx_matches_exact_ordering(spark):
     assert approx.keys() == exact.keys()
     for k in exact:
         assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """c24's GK-sketch percentiles: each approximate quantile must sit
+    within ±1% RANK distance of the requested quantile in the exact
+    sorted order (accuracy=10000 → ε=1/10000; 1% is a generous hard
+    bound covering partition merge loss)."""
+    li = load_table(spark, SF, "lineitem")
+    qs = [0.25, 0.5, 0.75, 0.9]
+    approx = li.agg(
+        F.percentile_approx("l_extendedprice", qs, 10000).alias("a")
+    ).first().a
+    vals = sorted(r.l_extendedprice for r in li.select("l_extendedprice").collect())
+    n = len(vals)
+    for q, a in zip(qs, approx):
+        import bisect
+
+        rank = bisect.bisect_left(vals, a) / n
+        assert abs(rank - q) <= 0.01, (q, a, rank)
