@@ -43,10 +43,11 @@ def all_specs() -> list[QuerySpec]:
         parity,
         sources_ops,
         streaming_ops,
+        tpch,
     )
 
     specs: list[QuerySpec] = []
-    for mod in (parity, completions, extensions, streaming_ops, dialect_queries, sources_ops):
+    for mod in (parity, completions, tpch, extensions, streaming_ops, dialect_queries, sources_ops):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
