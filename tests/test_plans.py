@@ -138,3 +138,42 @@ def test_audit_shape(spark):
                       "join_strategies", "uses_python"}
     assert a["uses_python"] is False
     assert a["pushed_filters"]
+
+
+def test_tpch_q6_pushdown_only_scan(spark):
+    """Q6 is the pushdown benchmark: date + discount + quantity
+    predicates must all reach the parquet scan, and the read schema
+    must carry only the 4 referenced columns."""
+    df = _specs()["c29_tpch_q6"].build(spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    schemas = read_schemas(df)
+    assert schemas and schemas[0].count(":") <= 5, schemas
+
+
+def test_tpch_exists_becomes_semi_join(spark):
+    """Q4's EXISTS must plan as a LeftSemi hash join (decorrelated),
+    never a per-row subquery or nested loop."""
+    plan = explain_str(_specs()["c28_tpch_q4"].build(spark, SF), "simple")
+    assert "LeftSemi" in plan, plan
+
+
+def test_tpch_not_exists_becomes_anti_join(spark):
+    """Q21's NOT EXISTS must plan as a LeftAnti join with the
+    non-equi lateness residual attached to the hash join."""
+    plan = explain_str(_specs()["c43_tpch_q21"].build(spark, SF), "simple")
+    assert "LeftAnti" in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", [s.name for s in all_specs() if "_tpch_" in s.name],
+)
+def test_tpch_no_cartesian_products(spark, name):
+    """No TPC-H shape may degenerate into a cartesian/nested-loop
+    product (the scalar 1-row broadcasts in Q11/Q15/Q22 are
+    BroadcastNestedLoopJoin over a single row — allowed; a
+    CartesianProduct exchange is not)."""
+    plan = explain_str(_specs()[name].build(spark, SF), "simple")
+    assert "CartesianProduct" not in plan, f"{name}: {plan[:400]}"
