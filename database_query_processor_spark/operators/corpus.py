@@ -324,3 +324,61 @@ def to_jsonl(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             json_escape(F.col(text_col)),
         ).alias("json_line"),
     )
+
+
+def vocab_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus vocabulary: (token, term_freq, doc_freq) — the tokenizer
+    vocabulary-building pass of a training pipeline. One explode + one
+    shuffle on token; term and document frequencies come out of the
+    same grouped aggregate (countDistinct rewrites to a two-phase
+    Expand, still a single logical pass). At 100 TB the token key is
+    Zipf-skewed — the partial (map-side) aggregate absorbs the head
+    before the shuffle, so the hot keys ship one row per partition,
+    not one per occurrence."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    return toks.groupBy("token").agg(
+        F.count("*").alias("term_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf.
+
+    idf is the rational variant N/df (not log(N/df)): ln() is not
+    bit-identical across engines' libm, while a single IEEE divide and
+    multiply are — scores hash-match the DuckDB oracle exactly, and
+    the per-document ranking is the same monotone order log would
+    give. Shape: tf groupBy (doc, token) → df groupBy token → join on
+    token → broadcast 1-row corpus size → per-doc window top-k."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_cnt"))
+    n_docs = df.agg(F.count("*").cast("double").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * (F.col("n_docs") / F.col("df_cnt")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "token", F.col("tf").alias("tf"), F.col("score").alias("score"))
+    )
+
+
+def bigram_counts(df: DataFrame, id_col: str, text_col: str, min_count: int = 2) -> DataFrame:
+    """Corpus bigram frequencies (the n-gram LM / collocation pass):
+    word_ngrams(2) explode → grouped count, thresholded. Same
+    skew-absorbing partial-aggregate property as vocab_counts."""
+    grams = df.select(F.explode(word_ngrams(tokens(text_col), 2)).alias("bigram"))
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

@@ -470,6 +470,54 @@ FROM b CROSS JOIN i
 """
 
 
+def vocab_topk(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        CP.vocab_counts(d, "doc_id", "text")
+        .orderBy(F.col("term_freq").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+VOCAB_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS token FROM documents)
+SELECT token, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
+FROM toks GROUP BY token
+ORDER BY term_freq DESC, token ASC LIMIT 100
+"""
+
+
+def tfidf_terms(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return CP.tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+TFIDF_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dfreq AS (SELECT token, COUNT(*) AS df_cnt FROM tf GROUP BY token),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, tf.tf * (n.n_docs / dfreq.df_cnt) AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf * (n.n_docs / dfreq.df_cnt) DESC, tf.token ASC) AS rn
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+SELECT doc_id, token, tf, score FROM scored WHERE rn <= 3
+"""
+
+
+def bigrams_(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return CP.bigram_counts(d, "doc_id", "text", min_count=2)
+
+
+BIGRAMS_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+g AS (SELECT unnest([array_to_string(list_slice(toks, i, i+1), ' ')
+                     for i in range(1, len(toks))]) AS bigram FROM t)
+SELECT bigram, COUNT(*) AS n FROM g GROUP BY bigram HAVING COUNT(*) >= 2
+"""
+
+
 SPECS = [
     QuerySpec("x01_dedup_exact", dedup_exact,
               f"SELECT md5({NORM_SQL}) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
@@ -536,4 +584,11 @@ SPECS = [
     QuerySpec("x16_multimodal_features", multimodal_features, FEATURES_SQL,
               "mapInPandas feature extraction: fixed-dim embedding per payload "
               "(batch-inference shape, deterministic fake model)"),
+    QuerySpec("x25_vocab_topk", vocab_topk, VOCAB_SQL,
+              "vocabulary building: corpus-wide term + document frequencies, top-100"),
+    QuerySpec("x26_tfidf_terms", tfidf_terms, TFIDF_SQL,
+              "tf-idf characteristic terms per document (rational idf for "
+              "cross-engine bit-stability), per-doc window top-3"),
+    QuerySpec("x27_bigram_counts", bigrams_, BIGRAMS_SQL,
+              "bigram collocation counts (n-gram LM pass), thresholded"),
 ]
