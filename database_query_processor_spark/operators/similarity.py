@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 NUM_HYPERPLANES = 6
@@ -193,6 +193,58 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str, threshold: flo
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def knn_join_exact(
+    queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str, k: int = 5
+) -> DataFrame:
+    """Batch k-NN join: for EVERY query vector, its exact top-k cosine
+    neighbors from the corpus — the retrieval / embedding-level
+    decontamination shape (query batch ≪ corpus). The query side
+    broadcasts (a query batch is small by construction), so the corpus
+    streams through map-side with NO shuffle of the big side; the only
+    shuffle is the per-query window top-k, keyed by query id over
+    k·|queries| candidate rows per partition — at 1000 executors the
+    window input is |corpus|·|queries|/executors pairs scored locally,
+    reduced to top-k per partition by the rank pushdown before the
+    exchange."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col), cosine(F.col(vec_col), F.col("qv")).alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col(id_col), "cos", "rn")
+    )
+
+
+def knn_join_lsh(
+    queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str, k: int = 5
+) -> DataFrame:
+    """Approximate k-NN join for query batches too big to broadcast:
+    hyperplane-bucket BOTH sides and equi-join on the bucket — the
+    cross product collapses to within-bucket pairs and the join
+    shuffles on a real key, so both sides may be arbitrarily large.
+    Recall < 1 by construction (neighbors in other buckets are
+    missed); same deterministic scoring as the exact form."""
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        hyperplane_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    cb = corpus.select(
+        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col)).alias("cbucket")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        cb.join(qb, (F.col("cbucket") == F.col("bucket")) & (F.col(id_col) != F.col("query_id")))
+        .select("query_id", F.col(id_col), cosine(F.col(vec_col), F.col("qv")).alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col(id_col), "cos", "rn")
     )
 
 

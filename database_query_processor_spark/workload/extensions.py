@@ -470,6 +470,47 @@ FROM b CROSS JOIN i
 """
 
 
+def sim_knn_join(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return SIM.knn_join_exact(queries, emb, "vec_id", "embedding", k=5)
+
+
+KNN_JOIN_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 20 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id, {SIM.sql_cosine('e.embedding', 'q.qv')} AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM scored)
+SELECT query_id, vec_id, cos, rn FROM ranked WHERE rn <= 5
+"""
+
+
+def sim_knn_join_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return SIM.knn_join_lsh(queries, emb, "vec_id", "embedding", k=5)
+
+
+KNN_JOIN_LSH_SQL = f"""
+WITH b AS (SELECT vec_id, embedding, {SIM.sql_hyperplane_bucket('embedding')} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+      FROM b WHERE vec_id % 20 = 0),
+scored AS (
+  SELECT q.query_id, b.vec_id, {SIM.sql_cosine('b.embedding', 'q.qv')} AS cos
+  FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM scored)
+SELECT query_id, vec_id, cos, rn FROM ranked WHERE rn <= 5
+"""
+
+
 def vocab_topk(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -591,4 +632,10 @@ SPECS = [
               "cross-engine bit-stability), per-doc window top-3"),
     QuerySpec("x27_bigram_counts", bigrams_, BIGRAMS_SQL,
               "bigram collocation counts (n-gram LM pass), thresholded"),
+    QuerySpec("x28_sim_knn_join", sim_knn_join, KNN_JOIN_SQL,
+              "batch k-NN join: exact top-5 cosine neighbors for every query "
+              "vector (broadcast query batch, corpus never shuffles)"),
+    QuerySpec("x29_sim_knn_join_lsh", sim_knn_join_lsh, KNN_JOIN_LSH_SQL,
+              "approximate k-NN join: both sides hyperplane-bucketed, "
+              "equi-join on bucket — the big-queries big-corpus scale path"),
 ]
