@@ -33,3 +33,17 @@ def ingest_text_table(
     df = read_text_table(spark, txt_path, spec)
     df.write.mode("overwrite").parquet(parquet_path)
     return spark.read.parquet(parquet_path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """Read newline-delimited JSON training shards (the format
+    `sources/sink.write_jsonl` + `operators/corpus.to_jsonl` export).
+
+    An explicit schema skips Spark's whole-file inference scan — at
+    100 TB schema inference is a full extra pass, so production reads
+    must pass one. JSON source splits by line, so parallelism follows
+    file count × block size exactly like text."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -406,6 +406,27 @@ def filtered_agg(spark, sf_dir):
     )
 
 
+def sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch pre-aggregation (DataSketches HLL): per-hour
+    user sketches union-merged to daily distinct estimates. THE
+    pattern for distinct-counting 100 TB incrementally — fine-grained
+    jobs persist ~KB sketches, the rollup merges sketches instead of
+    re-scanning history, and a day costs 24 sketch merges regardless
+    of row count. Sketch bytes are engine-specific → rows-only driver
+    check; tests/test_sketches.py pins the estimate error against
+    exact countDistinct AND merged≡direct equality."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk")
+    )
+    daily = hourly.groupBy(F.date_trunc("day", "hour").alias("day")).agg(
+        F.hll_union_agg("sk").alias("dsk")
+    )
+    return daily.select(
+        "day", F.hll_sketch_estimate("dsk").alias("approx_users")
+    ).orderBy("day")
+
+
 UNPIVOT_SQL = """
 SELECT p_partkey, attr, val FROM (
   SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
@@ -536,6 +557,10 @@ SPECS = [
               "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, "
               "COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority",
               "grouped exact COUNT(DISTINCT) (Expand-based distinct rewrite)"),
+    QuerySpec("c45_sketch_rollup", sketch_rollup, None,
+              "DataSketches HLL rollup: daily user sketches union-merged to "
+              "monthly distinct estimates (incremental 100 TB distinct-count "
+              "pattern; error bound pinned in tests/test_sketches.py)"),
     QuerySpec("c27_filtered_agg", filtered_agg, FILTERED_AGG_SQL,
               "conditional aggregation (FILTER clause) in one pass"),
     QuerySpec("c19_pivot", pivot_,

@@ -63,3 +63,42 @@ def test_approx_percentile_within_rank_error(spark):
 
         rank = bisect.bisect_left(vals, a) / n
         assert abs(rank - q) <= 0.01, (q, a, rank)
+
+
+def test_hll_sketch_rollup_error_bound(spark):
+    """Monthly estimates from union-merged daily HLL sketches must
+    track exact per-month COUNT(DISTINCT) within the lgConfigK=12
+    error envelope (~1.6% rsd; assert 5% = ~3 sigma); per-day granularity."""
+    from database_query_processor_spark.workload.completions import sketch_rollup
+
+    approx = {
+        r["day"]: r["approx_users"]
+        for r in sketch_rollup(spark, SF).collect()
+    }
+    e = load_table(spark, SF, "events")
+    exact = {
+        r["day"]: r["n"]
+        for r in e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for m, est in approx.items():
+        assert abs(est - exact[m]) / exact[m] < 0.05, (m, est, exact[m])
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """Union of daily sketches must estimate the same as one sketch
+    built over the whole month — mergeability is what makes the
+    incremental rollup valid."""
+    e = load_table(spark, SF, "events")
+    direct = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("est"))
+    )
+    from database_query_processor_spark.workload.completions import sketch_rollup
+
+    merged = sketch_rollup(spark, SF)
+    d = {r["day"]: r["est"] for r in direct.collect()}
+    m = {r["day"]: r["approx_users"] for r in merged.collect()}
+    assert d == m

@@ -122,3 +122,20 @@ def test_table_stats(spark, spec):
     text = st.to_stat_text()
     assert text.splitlines()[0] == "1000"
     assert len(text.splitlines()[1].split("\t")) == 4
+
+
+def test_jsonl_export_roundtrip(spark, tmp_path):
+    """write_jsonl → read_jsonl is lossless for (doc_id, text): the
+    training-shard export can be re-ingested as a first-class source."""
+    from database_query_processor_spark.catalog import load_table
+    from database_query_processor_spark.operators.corpus import to_jsonl
+    from database_query_processor_spark.sources.ingest import read_jsonl
+    from database_query_processor_spark.sources.sink import write_jsonl
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "shards")
+    write_jsonl(to_jsonl(docs, "doc_id", "text"), out)
+    back = read_jsonl(spark, out, "doc_id BIGINT, n_tokens BIGINT, text STRING")
+    orig = {(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()}
+    got = {(r["doc_id"], r["text"]) for r in back.select("doc_id", "text").collect()}
+    assert got == orig
