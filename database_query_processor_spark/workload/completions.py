@@ -427,6 +427,38 @@ def sketch_rollup(spark, sf_dir):
     ).orderBy("day")
 
 
+def kll_quantile_rollup(spark, sf_dir):
+    """Mergeable quantile sketches (DataSketches KLL): per-hour value
+    sketches folded into daily p50/p95 estimates. The quantile
+    counterpart of c45's HLL rollup — percentiles over 100 TB without
+    a global sort, and incrementally: history contributes KB sketches,
+    not rows. kll_sketch_merge_double is a binary merge, so the daily
+    fold is an explicit array aggregate over the collected hourly
+    sketches — mergeability on display. Engine-specific sketch values
+    → rows-only driver check; tests/test_sketches.py pins rank error
+    against the exact per-day percentiles."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.kll_sketch_agg_double("value", F.lit(200)).alias("sk")
+    )
+    daily = hourly.groupBy(F.date_trunc("day", "hour").alias("day")).agg(
+        F.collect_list("sk").alias("sks")
+    )
+    merged = daily.select(
+        "day",
+        F.aggregate(
+            F.slice("sks", 2, F.size("sks") - 1),
+            F.element_at("sks", 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("dsk"),
+    )
+    return merged.select(
+        "day",
+        F.kll_sketch_get_quantile_double("dsk", F.lit(0.5)).alias("median_value"),
+        F.kll_sketch_get_quantile_double("dsk", F.lit(0.95)).alias("p95_value"),
+    ).orderBy("day")
+
+
 UNPIVOT_SQL = """
 SELECT p_partkey, attr, val FROM (
   SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
@@ -561,6 +593,10 @@ SPECS = [
               "DataSketches HLL rollup: daily user sketches union-merged to "
               "monthly distinct estimates (incremental 100 TB distinct-count "
               "pattern; error bound pinned in tests/test_sketches.py)"),
+    QuerySpec("c46_kll_quantile_rollup", kll_quantile_rollup, None,
+              "DataSketches KLL rollup: hourly value sketches folded to daily "
+              "p50/p95 (mergeable-quantile 100 TB pattern; rank error pinned "
+              "in tests/test_sketches.py)"),
     QuerySpec("c27_filtered_agg", filtered_agg, FILTERED_AGG_SQL,
               "conditional aggregation (FILTER clause) in one pass"),
     QuerySpec("c19_pivot", pivot_,

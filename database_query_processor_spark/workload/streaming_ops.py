@@ -137,6 +137,17 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_foreach_batch_sink(spark, sf_dir):
+    from database_query_processor_spark.streaming.sinks import run_foreach_batch_sink
+
+    return run_foreach_batch_sink(spark, sf_dir)
+
+
+FOREACH_BATCH_SQL = """
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+"""
+
+
 SESSION_SQL = """
 WITH x AS (
   SELECT user_id, ts,
@@ -173,4 +184,9 @@ SPECS = [
     QuerySpec("s06_stream_dedup", stream_dedup, DEDUP_STREAM_SQL,
               "REAL streaming dedup: watermark-bounded dropDuplicates state "
               "(ingestion dedup topology)"),
+    QuerySpec("s07_stream_foreach_batch_sink", stream_foreach_batch_sink,
+              FOREACH_BATCH_SQL,
+              "REAL streaming foreachBatch sink: epoch-keyed idempotent "
+              "parquet layout (at-least-once delivery x idempotent write = "
+              "exactly-once contents), re-read union equals the batch agg"),
 ]

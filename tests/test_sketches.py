@@ -102,3 +102,27 @@ def test_hll_merge_equals_direct_sketch(spark):
     d = {r["day"]: r["est"] for r in direct.collect()}
     m = {r["day"]: r["approx_users"] for r in merged.collect()}
     assert d == m
+
+
+def test_kll_rollup_rank_error(spark):
+    """Daily p50/p95 from folded hourly KLL sketches must sit within
+    a small RANK error of exact: the value at the estimated rank may
+    differ, but its true rank must be within epsilon of the target
+    (k=200 -> eps ~1.3%; assert 3%)."""
+    from database_query_processor_spark.workload.completions import kll_quantile_rollup
+
+    approx = {r["day"]: (r["median_value"], r["p95_value"])
+              for r in kll_quantile_rollup(spark, SF).collect()}
+    e = load_table(spark, SF, "events")
+    rows = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sort_array(F.collect_list("value")).alias("vals"))
+        .collect()
+    )
+    for r in rows:
+        vals = r["vals"]
+        n = len(vals)
+        for target, est in zip((0.5, 0.95), approx[r["day"]]):
+            import bisect
+            rank = bisect.bisect_right(vals, est) / n
+            assert abs(rank - target) < 0.03, (r["day"], target, est, rank)

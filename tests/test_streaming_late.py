@@ -51,3 +51,23 @@ def test_late_event_dropped_after_watermark(spark, tmp_path):
     # W1 was emitted once (n=1) in batch 1; the late u3 event must NOT
     # have produced an n=2 update.
     assert counts == [1], counts
+
+
+def test_foreach_batch_sink_idempotent(spark, tmp_path):
+    """Re-delivering an epoch (same batch_id) must leave the sink
+    contents unchanged — overwrite into the epoch directory makes the
+    redelivery a no-op, which is the exactly-once contract."""
+    from database_query_processor_spark.streaming.sinks import run_foreach_batch_sink
+
+    out = str(tmp_path / "sink")
+    first = {
+        (r["event_type"], r["n"])
+        for r in run_foreach_batch_sink(spark, "/root/testdata/sf0.001", out).collect()
+    }
+    # Second full run against the SAME directory: every epoch is
+    # redelivered; contents must not duplicate.
+    second = {
+        (r["event_type"], r["n"])
+        for r in run_foreach_batch_sink(spark, "/root/testdata/sf0.001", out).collect()
+    }
+    assert first == second
