@@ -459,6 +459,54 @@ def kll_quantile_rollup(spark, sf_dir):
     ).orderBy("day")
 
 
+def window_range_frame(spark, sf_dir):
+    """RANGE-framed window over event time: 7-day trailing spend per
+    customer — the frame is defined by VALUE distance (timestamp
+    within [cur−6d, cur]), not row count, so equal-date peers share
+    one frame. Complements the rows-frame running sum (c12)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("trailing_7d"),
+    )
+
+
+RANGE_FRAME_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+FROM orders
+"""
+
+
+def theta_set_ops(spark, sf_dir):
+    """Theta-sketch set operations: |clickers ∩ purchasers| and
+    |clickers ∖ purchasers| over a 2-day window, estimated from two
+    mergeable sketches — audience overlap without materializing either
+    id set (HLL can union but NOT intersect; theta sketches keep the
+    sample needed for ∩ and ∖, the reason both families exist).
+    Engine-specific sketch internals → rows-only driver check;
+    tests/test_sketches.py pins both estimates against exact."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    sk = e.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    click = sk.filter(F.col("event_type") == "click").select(F.col("sk").alias("click_sk"))
+    buy = sk.filter(F.col("event_type") == "purchase").select(F.col("sk").alias("buy_sk"))
+    return click.join(F.broadcast(buy)).select(
+        F.theta_sketch_estimate(F.theta_intersection("click_sk", "buy_sk")).alias("both"),
+        F.theta_sketch_estimate(F.theta_difference("click_sk", "buy_sk")).alias("click_only"),
+    )
+
+
 UNPIVOT_SQL = """
 SELECT p_partkey, attr, val FROM (
   SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
@@ -597,6 +645,12 @@ SPECS = [
               "DataSketches KLL rollup: hourly value sketches folded to daily "
               "p50/p95 (mergeable-quantile 100 TB pattern; rank error pinned "
               "in tests/test_sketches.py)"),
+    QuerySpec("c47_window_range_frame", window_range_frame, RANGE_FRAME_SQL,
+              "RANGE-framed window: 7-day trailing spend per customer "
+              "(value-distance frame, not row-count)"),
+    QuerySpec("c48_theta_set_ops", theta_set_ops, None,
+              "theta-sketch set operations: audience intersection/difference "
+              "estimates (exactness pinned in tests/test_sketches.py)"),
     QuerySpec("c27_filtered_agg", filtered_agg, FILTERED_AGG_SQL,
               "conditional aggregation (FILTER clause) in one pass"),
     QuerySpec("c19_pivot", pivot_,

@@ -126,3 +126,19 @@ def test_kll_rollup_rank_error(spark):
             import bisect
             rank = bisect.bisect_right(vals, est) / n
             assert abs(rank - target) < 0.03, (r["day"], target, est, rank)
+
+
+def test_theta_set_ops_track_exact(spark):
+    """Theta intersection/difference estimates vs exact set sizes: at
+    150 distinct users the sketch (default lgK=12, 4096 slots) is in
+    exact mode — estimates must equal the true counts."""
+    from database_query_processor_spark.workload.completions import theta_set_ops
+
+    row = theta_set_ops(spark, SF).collect()[0]
+    e = load_table(spark, SF, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    click = {r["user_id"] for r in e.filter(F.col("event_type") == "click").select("user_id").distinct().collect()}
+    buy = {r["user_id"] for r in e.filter(F.col("event_type") == "purchase").select("user_id").distinct().collect()}
+    assert round(row["both"]) == len(click & buy), (row["both"], len(click & buy))
+    assert round(row["click_only"]) == len(click - buy), (row["click_only"], len(click - buy))
