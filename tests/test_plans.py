@@ -177,3 +177,34 @@ def test_tpch_no_cartesian_products(spark, name):
     CartesianProduct exchange is not)."""
     plan = explain_str(_specs()[name].build(spark, SF), "simple")
     assert "CartesianProduct" not in plan, f"{name}: {plan[:400]}"
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime row-level filtering: a selective filter on the build
+    side of a shuffle join must inject a bloom filter onto the probe
+    (fact) side — at 100 TB this prunes fact rows BEFORE the shuffle.
+    Thresholds lowered so the rewrite triggers at test scale; restored
+    after."""
+    from database_query_processor_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    old_bcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sf = "/root/testdata/sf0.01"
+        o = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 450000.0)
+        li = load_table(spark, sf, "lineitem")
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in opt or "might_contain" in opt, opt[:800]
+    finally:
+        conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
