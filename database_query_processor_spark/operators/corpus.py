@@ -295,6 +295,53 @@ def train_order(df: DataFrame, id_col: str, num_partitions: int = 32) -> DataFra
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    ntok_col: str,
+    budget: int = 1024,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Sequence packing: lay documents end-to-end in deterministic
+    det_hash order and cut fixed token-budget training sequences —
+    seq_id = floor(global_start_offset / budget), the concat-then-split
+    packing used to fill context windows without padding.
+
+    The global start offset is a distributed PREFIX SUM, same two-pass
+    shape as train_order: (1) range-repartition on the order key and
+    collect per-partition token totals (one tiny row each); (2)
+    broadcast the cumulative totals as partition offsets and add the
+    within-partition running sum. No single-partition global window —
+    the full-data movement is the one range shuffle, identical at 500
+    docs or 500 billion."""
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ntok_col).alias("n_tokens"),
+        det_hash(F.col(id_col)).alias("ord_key"),
+    ).repartitionByRange(num_partitions, "ord_key", "doc_id")
+    keyed = keyed.withColumn("pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    totals = {
+        r["pid"]: r["t"]
+        for r in keyed.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offset = F.lit(0).cast("bigint")
+    for pid, off in offsets.items():
+        offset = F.when(F.col("pid") == pid, F.lit(off).cast("bigint")).otherwise(offset)
+    w = Window.partitionBy("pid").orderBy("ord_key", "doc_id")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens") + offset).alias("start_offset")
+    return keyed.select(
+        "doc_id",
+        "n_tokens",
+        start,
+    ).withColumn("seq_id", F.floor(F.col("start_offset") / budget).cast("bigint"))
+
+
 # --- JSONL serialization -------------------------------------------------
 
 

@@ -511,6 +511,25 @@ SELECT query_id, vec_id, cos, rn FROM ranked WHERE rn <= 5
 """
 
 
+def corpus_pack(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    with_toks = d.select("doc_id", TX.ws_token_count("text").alias("n_tokens"))
+    return CP.pack_sequences(with_toks, "doc_id", "n_tokens", budget=1024)
+
+
+PACK_SQL = f"""
+WITH t AS (SELECT doc_id, {_WS_COUNT_SQL} AS n_tokens,
+                  {CP.sql_det_hash('doc_id')} AS ord_key FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY ord_key, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+      FROM t)
+SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(FLOOR(start_offset / 1024) AS BIGINT) AS seq_id
+FROM c
+"""
+
+
 def vocab_topk(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -638,4 +657,8 @@ SPECS = [
     QuerySpec("x29_sim_knn_join_lsh", sim_knn_join_lsh, KNN_JOIN_LSH_SQL,
               "approximate k-NN join: both sides hyperplane-bucketed, "
               "equi-join on bucket — the big-queries big-corpus scale path"),
+    QuerySpec("x30_sequence_pack", corpus_pack, PACK_SQL,
+              "sequence packing: concat-then-split documents into fixed "
+              "1024-token training sequences via a two-pass distributed "
+              "prefix sum (no single-partition window)"),
 ]
