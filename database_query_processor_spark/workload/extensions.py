@@ -530,6 +530,42 @@ FROM c
 """
 
 
+def corpus_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic sampling: keep probability
+    proportional to the quality score (P(keep) = quality), gated by
+    the same modular hash as x21 — reproducible under retries,
+    speculative re-execution, and repartitioning, unlike rand(). The
+    gate compares an integer hash against quality·1000; x09 proves the
+    quality doubles are bit-identical cross-engine, so the kept set is
+    exactly reproducible."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n_toks = F.size(toks)
+    en = F.array(*[F.lit(w) for w in TX.STOPWORDS["en"]])
+    sw_ratio = F.size(F.filter(toks, lambda t: F.array_contains(en, t))) / F.greatest(
+        n_toks, F.lit(1)
+    )
+    q = (
+        F.least(F.lit(1.0), n_toks / F.lit(50.0))
+        * (F.lit(1.0) - TX.punct_ratio("text"))
+        * (F.lit(0.5) + F.lit(0.5) * sw_ratio)
+    )
+    gate = CP.det_hash(F.col("doc_id")) % 1000
+    return d.select("doc_id", q.alias("quality")).where(gate < q * 1000)
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+q AS (SELECT doc_id,
+  least(1.0, len(toks) / 50.0)
+  * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text))
+  * (0.5 + 0.5 * ({_EN_OCC} / greatest(len(toks), 1))) AS quality
+      FROM t)
+SELECT doc_id, quality FROM q
+WHERE ({CP.sql_det_hash('doc_id')}) % 1000 < quality * 1000
+"""
+
+
 def vocab_topk(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -657,6 +693,9 @@ SPECS = [
     QuerySpec("x29_sim_knn_join_lsh", sim_knn_join_lsh, KNN_JOIN_LSH_SQL,
               "approximate k-NN join: both sides hyperplane-bucketed, "
               "equi-join on bucket — the big-queries big-corpus scale path"),
+    QuerySpec("x31_weighted_sample", corpus_weighted_sample, WEIGHTED_SAMPLE_SQL,
+              "quality-weighted deterministic sampling: P(keep)=quality via "
+              "modular-hash gate (reproducible data mixing)"),
     QuerySpec("x30_sequence_pack", corpus_pack, PACK_SQL,
               "sequence packing: concat-then-split documents into fixed "
               "1024-token training sequences via a two-pass distributed "
