@@ -646,7 +646,131 @@ GROUP BY cntrycode ORDER BY cntrycode
 """
 
 
+def tpch_q2(spark, sf_dir):
+    """Q2 minimum-cost-supplier shape (no partsupp: unit cost derived
+    as min extprice/qty per (part, supplier) from lineitem): the
+    correlated-MIN subquery decorrelates to a grouped MIN joined back
+    on the correlation key; region-gated supplier set reused by both
+    the outer block and the MIN. Unit cost is a single IEEE divide on
+    doubles — bit-stable cross-engine where decimal division scale
+    rules are not."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE").select("p_partkey")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double")
+        ).alias("unit_cost")
+    )
+    eligible = (
+        cost.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+    )
+    min_cost = eligible.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        eligible.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", F.col("l_partkey").alias("p_partkey"), "unit_cost"
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("n_name").asc(), F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+TPCH_Q2_ORACLE = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+FROM part, supplier, cost, nation, region
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND p_type = 'LARGE'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+  AND unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2, supplier s2, nation n2, region r2
+                   WHERE c2.l_partkey = p_partkey AND c2.l_suppkey = s2.s_suppkey
+                     AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+                     AND r2.r_name = 'ASIA')
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC LIMIT 100
+"""
+
+
+def tpch_q8(spark, sf_dir):
+    """Q8 national market share: 8-table join (nation twice: customer
+    region gate + supplier nationality), yearly share ratio from two
+    conditional decimal sums divided only after casting — bit-stable."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = _revenue()
+    zero = F.lit(0).cast("decimal(25,4)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"), "left_semi")
+        .join(n2, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(zero)).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+TPCH_Q8_ORACLE = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    AND p_type = 'ECONOMY')
+GROUP BY o_year ORDER BY o_year
+"""
+
+
 SPECS = [
+    QuerySpec("c49_tpch_q2", tpch_q2, TPCH_Q2_ORACLE,
+              "TPC-H Q2 shape: correlated-MIN subquery decorrelated, region-gated"),
+    QuerySpec("c50_tpch_q8", tpch_q8, TPCH_Q8_ORACLE,
+              "TPC-H Q8: market-share ratio, nation joined under two roles"),
     QuerySpec("c28_tpch_q4", tpch_q4, TPCH_Q4_ORACLE,
               "TPC-H Q4 shape: EXISTS decorrelated to a mixed-condition semi join"),
     QuerySpec("c29_tpch_q6", tpch_q6, TPCH_Q6_ORACLE,
