@@ -429,3 +429,56 @@ def bigram_counts(df: DataFrame, id_col: str, text_col: str, min_count: int = 2)
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style per-document repetition signals (Rae et al. 2021,
+    appendix A1.1): duplicate-token fraction, top-bigram coverage, and
+    duplicate-bigram fraction — the filters that drop boilerplate and
+    auto-generated text before training.
+
+    Every count is an exact integer and every emitted fraction is one
+    IEEE int/int divide, so the doubles hash-match the DuckDB oracle
+    bit-for-bit. Shape: tokenize once scan-side; bigram explode →
+    groupBy(doc_id, bigram) with map-side partial counts → per-doc
+    rollup → join back to the per-doc token stats. Both shuffles are
+    keyed by doc_id (no corpus-global state), so the operator is
+    embarrassingly parallel at 100 TB; the heavy token/bigram arrays
+    are dropped before any exchange.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        word_ngrams(F.col("toks"), 2).alias("bgs"),
+    )
+    counts = (
+        base.select("doc_id", F.explode("bgs").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max("cnt").alias("max_bg"),
+        F.sum("cnt").alias("n_bg"),
+        F.count("*").alias("n_distinct_bg"),
+    )
+    stats = base.select("doc_id", "n_tokens", "n_distinct")
+    n_bg = F.coalesce(F.col("n_bg"), F.lit(0))
+    return stats.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (
+            (F.col("n_tokens") - F.col("n_distinct"))
+            / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).alias("dup_token_frac"),
+        (
+            (F.lit(2) * F.coalesce(F.col("max_bg"), F.lit(0)))
+            / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).alias("top_bigram_frac"),
+        (
+            (n_bg - F.coalesce(F.col("n_distinct_bg"), F.lit(0)))
+            / F.greatest(n_bg, F.lit(1))
+        ).alias("dup_bigram_frac"),
+    )

@@ -614,6 +614,31 @@ SELECT bigram, COUNT(*) AS n FROM g GROUP BY bigram HAVING COUNT(*) >= 2
 """
 
 
+def text_repetition(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return CP.repetition_stats(d, "doc_id", "text")
+
+
+REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+b AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+        CASE WHEN len(toks) >= 2
+             THEN [array_to_string(list_slice(toks, i, i+1), ' ') for i in range(1, len(toks))]
+             ELSE [] END AS bgs
+      FROM t),
+c AS (SELECT doc_id, g, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(bgs) AS g FROM b) GROUP BY doc_id, g),
+m AS (SELECT doc_id, MAX(cnt) AS max_bg, SUM(cnt) AS n_bg, COUNT(*) AS n_distinct_bg
+      FROM c GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+  (b.n_tokens - b.n_distinct) / greatest(b.n_tokens, 1) AS dup_token_frac,
+  (2 * coalesce(m.max_bg, 0)) / greatest(b.n_tokens, 1) AS top_bigram_frac,
+  (coalesce(m.n_bg, 0) - coalesce(m.n_distinct_bg, 0))
+    / greatest(coalesce(m.n_bg, 0), 1) AS dup_bigram_frac
+FROM b LEFT JOIN m USING (doc_id)
+"""
+
+
 SPECS = [
     QuerySpec("x01_dedup_exact", dedup_exact,
               f"SELECT md5({NORM_SQL}) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
@@ -700,4 +725,8 @@ SPECS = [
               "sequence packing: concat-then-split documents into fixed "
               "1024-token training sequences via a two-pass distributed "
               "prefix sum (no single-partition window)"),
+    QuerySpec("x32_text_repetition", text_repetition, REPETITION_SQL,
+              "Gopher-style repetition filters: dup-token fraction, "
+              "top-bigram coverage, dup-bigram fraction (boilerplate "
+              "detection; exact int counts, bit-stable fractions)"),
 ]

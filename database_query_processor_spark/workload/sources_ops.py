@@ -10,6 +10,9 @@ tests/test_sources.py instead.
 
 from __future__ import annotations
 
+import tempfile
+
+from database_query_processor_spark.catalog import load_table
 from database_query_processor_spark.sources import generate_table, parse_det
 from database_query_processor_spark.workload import QuerySpec
 
@@ -30,8 +33,43 @@ def randomdb_generate(spark, sf_dir):
     return generate_table(spark, parse_det(_ACCOUNT_DET), 10_000, seed=42)
 
 
+_ROUNDTRIP_ORACLE = "SELECT doc_id, text FROM documents"
+
+
+def orc_roundtrip(spark, sf_dir):
+    """documents → ORC sink → ORC scan. ORC is the second columnar
+    format Spark ships natively (splittable, predicate-pushdown-
+    capable, zstd); the read-back must reproduce the parquet source
+    exactly, which the DuckDB oracle over the original table checks."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="dqps_orc_")
+    d.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select("doc_id", "text")
+
+
+def csv_roundtrip(spark, sf_dir):
+    """documents → quoted-CSV sink → schema'd CSV scan (the reference's
+    text-table surface, src/ConvertTxtToTbl.java:18-73, minus the
+    sidecar .md: schema is passed explicitly — at 100 TB an inference
+    pass over text would be a full extra scan)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="dqps_csv_")
+    d.write.mode("overwrite").option("header", True).csv(path)
+    return (
+        spark.read.schema(d.schema)
+        .option("header", True)
+        .csv(path)
+        .select("doc_id", "text")
+    )
+
+
 SPECS = [
     QuerySpec("src01_randomdb_generate", randomdb_generate, None,
               "distributed .det-spec datagen (RandomDB equivalent): "
               "deterministic hash cells, affine-permutation PKs"),
+    QuerySpec("src02_orc_roundtrip", orc_roundtrip, _ROUNDTRIP_ORACLE,
+              "ORC sink + source roundtrip (native columnar format #2)"),
+    QuerySpec("src03_csv_roundtrip", csv_roundtrip, _ROUNDTRIP_ORACLE,
+              "CSV sink + schema'd CSV source roundtrip "
+              "(ConvertTxtToTbl-surface equivalent)"),
 ]
