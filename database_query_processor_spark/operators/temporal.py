@@ -75,3 +75,47 @@ def range_join(
     as the hash/sort-merge join key and evaluates the range conjunct
     as a join filter — pair space bounded per key."""
     return left.join(right, key_cond & range_cond, "inner")
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based batch sessionization: a user's events belong to one
+    session until an inter-event gap exceeds `gap_minutes`; then a new
+    session starts. Output: one row per (key, session_idx) with
+    session_start / session_end / n_events.
+
+    Shape: lag window flags session boundaries, a running sum over the
+    same (key, ts) window order numbers the sessions, then a
+    groupBy(key, session_idx) rollup. Both windows and the final
+    aggregate hash-partition on the key, so Catalyst plans ONE
+    exchange and reuses it — at 100 TB this is a single shuffle of
+    (key, ts) pairs, no self-join and no pair blow-up. Assignment is
+    deterministic under timestamp ties: a tie has gap zero, so the
+    only flagged row in any tie group is the partition's first row,
+    and every tie-ordering yields the same cumulative session index.
+    """
+    w = W.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    prev = F.lag(F.col(ts_col)).over(w)
+    # interval arithmetic, not epoch casts: exact at any sub-second
+    # precision and bit-identical to the DuckDB oracle's comparison
+    late = F.col(ts_col) > prev + F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+    is_new = F.when(prev.isNull() | late, 1).otherwise(0)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    numbered = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        is_new.alias("_is_new"),
+    ).select(
+        key_col,
+        ts_col,
+        F.sum("_is_new").over(run).alias("session_idx"),
+    )
+    return numbered.groupBy(key_col, "session_idx").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    )

@@ -487,6 +487,39 @@ FROM orders
 """
 
 
+def window_rank_family(spark, sf_dir):
+    """The full ranking-function family in one window: rank /
+    dense_rank / percent_rank / cume_dist / ntile quartiles per
+    customer by order value. The o_orderkey tiebreak makes the order
+    total, so every rank — and the two int/int-divide fractions — is
+    deterministic and hash-matches the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+RANK_FAMILY_SQL = """
+SELECT o_custkey, o_orderkey,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist,
+       ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
 def theta_set_ops(spark, sf_dir):
     """Theta-sketch set operations: |clickers ∩ purchasers| and
     |clickers ∖ purchasers| over a 2-day window, estimated from two
@@ -648,6 +681,9 @@ SPECS = [
     QuerySpec("c47_window_range_frame", window_range_frame, RANGE_FRAME_SQL,
               "RANGE-framed window: 7-day trailing spend per customer "
               "(value-distance frame, not row-count)"),
+    QuerySpec("c51_window_rank_family", window_rank_family, RANK_FAMILY_SQL,
+              "rank / dense_rank / percent_rank / cume_dist / ntile in one "
+              "window (total order via tiebreak => deterministic)"),
     QuerySpec("c48_theta_set_ops", theta_set_ops, None,
               "theta-sketch set operations: audience intersection/difference "
               "estimates (exactness pinned in tests/test_sketches.py)"),

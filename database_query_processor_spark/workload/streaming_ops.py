@@ -164,7 +164,34 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def sessionize_batch(spark, sf_dir):
+    """Ordinal gap-based sessionization of the event log (30m gap):
+    lag-flag → running-sum session numbering → per-session rollup,
+    all on one user_id exchange."""
+    return TMP.sessionize(_events(spark, sf_dir), "user_id", "ts", gap_minutes=30)
+
+
+SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+s AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM o)
+SELECT user_id, session_idx, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 SPECS = [
+    QuerySpec("t03_sessionize", sessionize_batch, SESSIONIZE_SQL,
+              "ordinal gap-based sessionization: lag boundary flag + running-sum "
+              "numbering + rollup on a single reused exchange"),
     QuerySpec("t01_asof_join", asof_join, ASOF_SQL,
               "as-of join via union-merge window (one shuffle, no pair blowup)", bench=True),
     QuerySpec("t02_range_join", range_join, RANGE_SQL,
