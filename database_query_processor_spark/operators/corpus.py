@@ -439,12 +439,17 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Every count is an exact integer and every emitted fraction is one
     IEEE int/int divide, so the doubles hash-match the DuckDB oracle
-    bit-for-bit. Shape: tokenize once scan-side; bigram explode →
+    bit-for-bit. Shape: ONE scan (tokenize once); the per-doc token
+    stats ride through both aggregations as first()-carried constants
+    instead of a join-back — a join-back side would scale with the
+    corpus and stop being broadcastable at 100 TB. Bigram explode →
     groupBy(doc_id, bigram) with map-side partial counts → per-doc
-    rollup → join back to the per-doc token stats. Both shuffles are
-    keyed by doc_id (no corpus-global state), so the operator is
-    embarrassingly parallel at 100 TB; the heavy token/bigram arrays
-    are dropped before any exchange.
+    rollup: two shuffles, both keyed by doc_id (no corpus-global
+    state), embarrassingly parallel; the heavy token/bigram arrays are
+    dropped before any exchange. explode_outer (not explode, whose
+    Catalyst `size > 0` pruning filter pushes below the projection and
+    re-inlines the tokenize expression at the scan) keeps empty docs
+    as a cnt=0 group, so no outer join is needed for them either.
     """
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
@@ -455,18 +460,24 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         word_ngrams(F.col("toks"), 2).alias("bgs"),
     )
     counts = (
-        base.select("doc_id", F.explode("bgs").alias("bigram"))
+        base.select(
+            "doc_id", "n_tokens", "n_distinct", F.explode_outer("bgs").alias("bigram")
+        )
         .groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.count("bigram").alias("cnt"),  # 0 for the empty-doc null group
+            F.first("n_tokens").alias("n_tokens"),
+            F.first("n_distinct").alias("n_distinct"),
+        )
     )
     per_doc = counts.groupBy("doc_id").agg(
         F.max("cnt").alias("max_bg"),
         F.sum("cnt").alias("n_bg"),
-        F.count("*").alias("n_distinct_bg"),
+        F.count(F.col("bigram")).alias("n_distinct_bg"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("n_distinct").alias("n_distinct"),
     )
-    stats = base.select("doc_id", "n_tokens", "n_distinct")
-    n_bg = F.coalesce(F.col("n_bg"), F.lit(0))
-    return stats.join(per_doc, "doc_id", "left").select(
+    return per_doc.select(
         "doc_id",
         "n_tokens",
         (
@@ -474,11 +485,10 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             / F.greatest(F.col("n_tokens"), F.lit(1))
         ).alias("dup_token_frac"),
         (
-            (F.lit(2) * F.coalesce(F.col("max_bg"), F.lit(0)))
-            / F.greatest(F.col("n_tokens"), F.lit(1))
+            (F.lit(2) * F.col("max_bg")) / F.greatest(F.col("n_tokens"), F.lit(1))
         ).alias("top_bigram_frac"),
         (
-            (n_bg - F.coalesce(F.col("n_distinct_bg"), F.lit(0)))
-            / F.greatest(n_bg, F.lit(1))
+            (F.col("n_bg") - F.col("n_distinct_bg"))
+            / F.greatest(F.col("n_bg"), F.lit(1))
         ).alias("dup_bigram_frac"),
     )

@@ -208,3 +208,30 @@ def test_runtime_bloom_filter_injection(spark):
         conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
         conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
         conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+
+def test_sessionize_single_exchange(spark):
+    """t03: the lag window, the running-sum window, and the session
+    rollup all hash-partition on user_id — Catalyst must plan exactly
+    ONE shuffle (SCALE.md's asserted shape), or 100 TB of events move
+    twice."""
+    df = _specs()["t03_sessionize"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert count_exchanges(df) == 1, plan
+    assert plan.count("Window") == 2, plan
+
+
+def test_repetition_stats_single_scan_no_join(spark):
+    """x32: per-doc token stats ride through the aggregation chain —
+    one FileScan (tokenize computed once: explode_outer avoids the
+    Generate-pruning filter that re-inlines it at the scan), two
+    doc-keyed shuffles, no join-back, and a map-side partial count
+    below the first exchange."""
+    df = _specs()["x32_text_repetition"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("split(lower(text") == 1, plan
+    assert count_exchanges(df) == 2, plan
+    assert "Join" not in plan, plan
+    first_ex = plan.rfind("Exchange")
+    assert "partial_count" in plan[first_ex:], plan
