@@ -520,6 +520,34 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
 """
 
 
+def json_extract(spark, sf_dir):
+    """Semi-structured processing: parse the events JSON props column
+    with a TYPED from_json (JVM-side Jackson, no schema inference, no
+    Python) and aggregate on the extracted field. The typed schema is
+    what keeps this a single codegen'd scan at 100 TB — schema-on-read
+    without an inference pass."""
+    e = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_EXTRACT_SQL = """
+WITH j AS (SELECT event_type, CAST(props->>'k' AS INTEGER) AS k FROM events)
+SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM j WHERE k > 50 GROUP BY event_type
+"""
+
+
 def theta_set_ops(spark, sf_dir):
     """Theta-sketch set operations: |clickers ∩ purchasers| and
     |clickers ∖ purchasers| over a 2-day window, estimated from two
@@ -684,6 +712,9 @@ SPECS = [
     QuerySpec("c51_window_rank_family", window_rank_family, RANK_FAMILY_SQL,
               "rank / dense_rank / percent_rank / cume_dist / ntile in one "
               "window (total order via tiebreak => deterministic)"),
+    QuerySpec("c52_json_extract", json_extract, JSON_EXTRACT_SQL,
+              "semi-structured: typed from_json over the events props "
+              "column + filter/agg on the extracted field"),
     QuerySpec("c48_theta_set_ops", theta_set_ops, None,
               "theta-sketch set operations: audience intersection/difference "
               "estimates (exactness pinned in tests/test_sketches.py)"),

@@ -728,5 +728,6 @@ SPECS = [
     QuerySpec("x32_text_repetition", text_repetition, REPETITION_SQL,
               "Gopher-style repetition filters: dup-token fraction, "
               "top-bigram coverage, dup-bigram fraction (boilerplate "
-              "detection; exact int counts, bit-stable fractions)"),
+              "detection; exact int counts, bit-stable fractions)",
+              bench=True),
 ]

@@ -191,7 +191,7 @@ FROM s GROUP BY user_id, session_idx
 SPECS = [
     QuerySpec("t03_sessionize", sessionize_batch, SESSIONIZE_SQL,
               "ordinal gap-based sessionization: lag boundary flag + running-sum "
-              "numbering + rollup on a single reused exchange"),
+              "numbering + rollup on a single reused exchange", bench=True),
     QuerySpec("t01_asof_join", asof_join, ASOF_SQL,
               "as-of join via union-merge window (one shuffle, no pair blowup)", bench=True),
     QuerySpec("t02_range_join", range_join, RANGE_SQL,
