@@ -8,6 +8,7 @@ no timestamp type (SURVEY.md §2.7).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from database_query_processor_spark.catalog import load_table
 from database_query_processor_spark.operators import temporal as TMP
@@ -164,6 +165,38 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def compact_changelog(spark, sf_dir):
+    """Changelog compaction — the incremental-ingest primitive: treat
+    events as an upsert stream keyed by (user_id, event_type) and keep
+    only each key's latest record (ts, then event_id as the total-order
+    tiebreak). One hash shuffle on the key; the per-key window streams
+    within the sorted partition, so state never exceeds a partition.
+    At 100 TB this is the nightly 'merge new crawl into corpus' step —
+    the same plan shape compacts any keyed changelog."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.select("user_id", "event_type", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type",
+                F.col("ts").alias("latest_ts"),
+                F.col("event_id").alias("latest_event_id"),
+                F.col("value").alias("latest_value"))
+    )
+
+
+COMPACT_SQL = """
+SELECT user_id, event_type, ts AS latest_ts, event_id AS latest_event_id,
+       value AS latest_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+WHERE rn = 1
+"""
+
+
 def sessionize_batch(spark, sf_dir):
     """Ordinal gap-based sessionization of the event log (30m gap):
     lag-flag → running-sum session numbering → per-session rollup,
@@ -189,6 +222,9 @@ FROM s GROUP BY user_id, session_idx
 
 
 SPECS = [
+    QuerySpec("t04_compact_changelog", compact_changelog, COMPACT_SQL,
+              "changelog compaction: latest record per key (incremental "
+              "upsert-ingest primitive; one shuffle, streaming window)"),
     QuerySpec("t03_sessionize", sessionize_batch, SESSIONIZE_SQL,
               "ordinal gap-based sessionization: lag boundary flag + running-sum "
               "numbering + rollup on a single reused exchange", bench=True),
