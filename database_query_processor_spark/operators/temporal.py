@@ -77,6 +77,59 @@ def range_join(
     return left.join(right, key_cond & range_cond, "inner")
 
 
+def rollup_gapfill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col,
+    bucket: str = "1 HOUR",
+) -> DataFrame:
+    """Hypertable-style downsample: bucket rows to `bucket`-sized
+    time slots per key, then densify — every key gets a continuous
+    spine of buckets from its first to its last observation, with
+    empty buckets gap-filled and the value carried forward (LOCF).
+
+    Output: key, ws (bucket start), n (rows in bucket, 0 if filled),
+    filled (bool), v_locf (bucket value, last non-empty carried
+    forward). `val_col` must be an order-independent aggregate
+    expression (pass an exact-decimal sum — see operators/aggregates).
+
+    Shape & scale: the rollup is one hash shuffle on (key, bucket)
+    with map-side partial aggregation — the shuffle carries one row
+    per (partition × key × bucket), not the input. The spine is
+    generated distributively (`sequence` + `explode` on the per-key
+    span — one row per key in, one row per bucket out, no driver
+    loop), and the spine⋈rollup join is an equi-join on the same
+    (key, bucket) pair. The LOCF window partitions by key; for
+    low-cardinality keys over years of buckets, segment the window by
+    (key, coarse epoch) and stitch segment boundaries with a second
+    tiny pass over one row per segment — the rollup itself already
+    bounded the window input to buckets, not raw rows, so the
+    per-key partition is days×24 rows even when the raw key held
+    billions of events.
+    """
+    unit = bucket.split()[-1].rstrip("S").lower()
+    agg = df.groupBy(
+        F.col(key_col), F.date_trunc(unit, F.col(ts_col)).alias("ws")
+    ).agg(val_col.alias("v"), F.count("*").alias("n"))
+    span = agg.groupBy(key_col).agg(F.min("ws").alias("_a"), F.max("ws").alias("_b"))
+    spine = span.select(
+        key_col,
+        F.explode(F.sequence(F.col("_a"), F.col("_b"), F.expr(f"INTERVAL {bucket}"))).alias("ws"),
+    )
+    w = W.partitionBy(key_col).orderBy(F.col("ws").asc())
+    return (
+        spine.join(agg, [key_col, "ws"], "left")
+        .select(
+            key_col,
+            "ws",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.col("n").isNull().alias("filled"),
+            F.last("v", ignorenulls=True).over(w).alias("v_locf"),
+        )
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,

@@ -583,7 +583,72 @@ FROM orders GROUP BY 1
 """
 
 
+def null_safe_join(spark, sf_dir):
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match NULL keys instead of vanishing. Built by nulling out one
+    segment on both sides — a plain equi-join would drop every
+    BUILDING customer; the null-safe join routes them to the '(null)'
+    bucket. Catalyst plans EqualNullSafe as a hash-join key (null-safe
+    keys hash like any other), so this stays a broadcast hash join,
+    not a nested loop."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    left = c.select(k.alias("k"), "c_custkey")
+    right = (
+        c.select(k.alias("rk")).distinct()
+        .select("rk", F.coalesce("rk", F.lit("(null)")).alias("segment_label"))
+    )
+    return (
+        left.join(right, left["k"].eqNullSafe(right["rk"]))
+        .groupBy("segment_label")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+NULL_SAFE_JOIN_SQL = """
+WITH l AS (SELECT nullif(c_mktsegment, 'BUILDING') AS k, c_custkey FROM customer),
+r AS (SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS rk,
+             COALESCE(nullif(c_mktsegment, 'BUILDING'), '(null)') AS segment_label
+      FROM customer)
+SELECT r.segment_label, COUNT(*) AS n_customers
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.rk
+GROUP BY r.segment_label
+"""
+
+
+def token_positions(spark, sf_dir):
+    """Positional explode (LATERAL VIEW posexplode): token → first
+    occurrence position per document. The explode is a generator in
+    the scan stage (no shuffle); the only exchange is the final
+    (doc_id, token) aggregate."""
+    from database_query_processor_spark.functions import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.posexplode(TX.tokens("text")).alias("pos", "token"))
+    return t.groupBy("doc_id", "token").agg(
+        (F.min("pos") + 1).cast("long").alias("first_pos")
+    )
+
+
+TOKEN_POSITIONS_SQL = """
+WITH t AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> len(x) > 0) AS toks
+  FROM documents),
+x AS (SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+      FROM t)
+SELECT doc_id, token, CAST(MIN(pos) AS BIGINT) AS first_pos
+FROM x GROUP BY doc_id, token
+"""
+
+
 SPECS = [
+    QuerySpec("c53_null_safe_join", null_safe_join, NULL_SAFE_JOIN_SQL,
+              "null-safe equi-join (<=> / IS NOT DISTINCT FROM) — NULL keys "
+              "match, planned as a hash join not a nested loop"),
+    QuerySpec("c54_posexplode_positions", token_positions, TOKEN_POSITIONS_SQL,
+              "LATERAL VIEW posexplode: per-doc token first-occurrence "
+              "positions (generator in scan stage, one aggregate exchange)"),
     QuerySpec("c01_agg_global", agg_global,
               "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_partkey) AS n_parts, "
               "MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, "

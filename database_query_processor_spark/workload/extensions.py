@@ -639,7 +639,142 @@ FROM b LEFT JOIN m USING (doc_id)
 """
 
 
+def boilerplate_ngrams(spark, sf_dir):
+    """Inter-document boilerplate detection (Dolma-style paragraph
+    dedup, 4-gram granularity): a 4-gram occurring in >= 2 distinct
+    documents is boilerplate; score each doc by the fraction of its
+    gram instances that are boilerplate.
+
+    Shape & scale: one explode (generator in the scan stage, no
+    shuffle), a (gram -> distinct-doc-count) aggregate with map-side
+    partial counting, a shuffle join back on the gram, and a final
+    per-doc aggregate. At 100 TB the gram-frequency side shrinks to
+    frequent grams only — filter `ndocs >= 2` BEFORE the join-back
+    and make it a broadcast (or bloom-filter the probe side) so the
+    join carries boilerplate grams only; here the full join keeps the
+    fraction denominators exact in one pass.
+    """
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.explode(TX.word_ngrams(TX.tokens("text"), 4)).alias("gram")
+    )
+    freq = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("ndocs"))
+    per = g.join(freq, "gram").groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).cast("long").alias("n_bp"),
+    )
+    return per.select(
+        "doc_id", "n_grams", "n_bp",
+        (F.col("n_bp") / F.col("n_grams")).alias("bp_frac"),
+    )
+
+
+BOILERPLATE_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, unnest([array_to_string(list_slice(toks, i, i+3), ' ')
+                             for i in range(1, len(toks)-2)]) AS gram FROM t),
+f AS (SELECT gram, COUNT(DISTINCT doc_id) AS ndocs FROM g GROUP BY gram),
+p AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bp
+      FROM g JOIN f USING (gram) GROUP BY g.doc_id)
+SELECT doc_id, n_grams, n_bp, n_bp / n_grams AS bp_frac FROM p
+"""
+
+
+def domain_mix(spark, sf_dir):
+    """Domain-mix rebalancing — cap every source at the smallest
+    source's token budget via deterministic subsampling
+    (P(keep) = min_tokens / source_tokens, gated by the shared
+    modular hash, so the kept set is reproducible across retries and
+    cluster sizes). The per-source stats frame is tiny (one row per
+    domain) — broadcast back onto the corpus; the only full-data
+    shuffles are the two per-source aggregates, both map-side
+    combinable."""
+    d = _t(spark, sf_dir, "documents")
+    doc = d.select("doc_id", "source", F.size(TX.tokens("text")).alias("n_toks"))
+    per_src = doc.groupBy("source").agg(
+        F.sum("n_toks").cast("long").alias("src_tokens")
+    )
+    m = per_src.agg(F.min("src_tokens").alias("min_tokens"))
+    rates = per_src.crossJoin(F.broadcast(m)).select(
+        "source", "src_tokens",
+        (F.col("min_tokens").cast("double") / F.col("src_tokens")).alias("keep_rate"),
+    )
+    kept = doc.join(F.broadcast(rates), "source").where(
+        CP.det_hash(F.col("doc_id")) % 1000 < F.col("keep_rate") * 1000
+    )
+    return kept.groupBy("source", "src_tokens", "keep_rate").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_toks").cast("long").alias("tokens_kept"),
+    )
+
+
+DOMAIN_MIX_SQL = f"""
+WITH t AS (SELECT doc_id, source, len({TOKS_SQL}) AS n_toks FROM documents),
+s AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS src_tokens FROM t GROUP BY source),
+m AS (SELECT MIN(src_tokens) AS min_tokens FROM s),
+r AS (SELECT source, src_tokens,
+             CAST(min_tokens AS DOUBLE) / src_tokens AS keep_rate FROM s, m),
+k AS (SELECT t.doc_id, t.source, t.n_toks, r.src_tokens, r.keep_rate
+      FROM t JOIN r USING (source)
+      WHERE ({CP.sql_det_hash('t.doc_id')}) % 1000 < r.keep_rate * 1000)
+SELECT source, src_tokens, keep_rate, COUNT(*) AS n_docs_kept,
+       CAST(SUM(n_toks) AS BIGINT) AS tokens_kept
+FROM k GROUP BY source, src_tokens, keep_rate
+"""
+
+
+def embedding_quantize(spark, sf_dir):
+    """Int8 symmetric scalar quantization of the embedding column
+    (the standard 4x ANN-index compression): per-vector scale =
+    max |x|, q_i = floor(x_i/scale*127 + 0.5), reporting the max
+    reconstruction error. Pure per-row array math — a single scan
+    stage, no shuffle, no Python; floor(+0.5) instead of round()
+    because round's tie-breaking differs between engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    t = e.select("vec_id", xd.alias("xd"))
+    t = t.select(
+        "vec_id", "xd",
+        F.greatest(
+            F.array_max(F.transform("xd", lambda x: F.abs(x))), F.lit(1e-12)
+        ).alias("scale"),
+    )
+    q = F.transform("xd", lambda x: F.floor(x / F.col("scale") * 127 + F.lit(0.5)))
+    err = F.array_max(
+        F.zip_with("xd", q.alias("q"), lambda x, qq: F.abs(x - qq * F.col("scale") / 127))
+    )
+    return t.select(
+        "vec_id", "scale",
+        F.size("xd").cast("long").alias("n_dims"),
+        err.alias("max_abs_err"),
+    )
+
+
+QUANTIZE_SQL = """
+WITH b AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+           FROM embeddings),
+s AS (SELECT vec_id, xd,
+             greatest(list_max(list_transform(xd, x -> abs(x))), 1e-12) AS scale
+      FROM b)
+SELECT vec_id, scale, CAST(len(xd) AS BIGINT) AS n_dims,
+       list_max(list_transform(xd,
+         x -> abs(x - floor(x / scale * 127 + 0.5) * scale / 127))) AS max_abs_err
+FROM s
+"""
+
+
 SPECS = [
+    QuerySpec("x33_boilerplate_ngrams", boilerplate_ngrams, BOILERPLATE_SQL,
+              "inter-document boilerplate: cross-doc repeated 4-grams, "
+              "per-doc boilerplate fraction (explode + gram-freq agg + "
+              "join-back)", bench=True),
+    QuerySpec("x34_domain_mix", domain_mix, DOMAIN_MIX_SQL,
+              "domain-mix rebalance: cap every source at the smallest "
+              "source's token budget via deterministic hash-gated sampling"),
+    QuerySpec("x35_embedding_quantize", embedding_quantize, QUANTIZE_SQL,
+              "int8 symmetric embedding quantization with per-vector scale "
+              "and max reconstruction error (single scan, no shuffle)"),
     QuerySpec("x01_dedup_exact", dedup_exact,
               f"SELECT md5({NORM_SQL}) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
               "FROM documents GROUP BY 1",

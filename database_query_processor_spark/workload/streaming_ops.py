@@ -221,7 +221,41 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def rollup_gapfill(spark, sf_dir):
+    """Hourly hypertable rollup of the event log per event_type, with
+    gap-filled buckets and last-observation-carried-forward values.
+    Sum is exact-decimal for cross-engine bit-stability."""
+    from database_query_processor_spark.operators.aggregates import dec
+
+    return TMP.rollup_gapfill_locf(
+        _events(spark, sf_dir),
+        key_col="event_type",
+        ts_col="ts",
+        val_col=F.sum(dec("value")).cast("double"),
+        bucket="1 HOUR",
+    )
+
+
+GAPFILL_SQL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS ws,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, MIN(ws) AS a, MAX(ws) AS b FROM agg GROUP BY 1),
+spine AS (SELECT event_type, unnest(generate_series(a, b, INTERVAL 1 HOUR)) AS ws
+          FROM span)
+SELECT s.event_type, s.ws, COALESCE(agg.n, 0) AS n, agg.n IS NULL AS filled,
+       last_value(agg.v IGNORE NULLS)
+         OVER (PARTITION BY s.event_type ORDER BY s.ws) AS v_locf
+FROM spine s LEFT JOIN agg ON s.event_type = agg.event_type AND s.ws = agg.ws
+"""
+
+
 SPECS = [
+    QuerySpec("t05_rollup_gapfill", rollup_gapfill, GAPFILL_SQL,
+              "hypertable rollup: hourly downsample + distributed spine "
+              "densification (sequence/explode) + LOCF gap-fill window",
+              bench=True),
     QuerySpec("t04_compact_changelog", compact_changelog, COMPACT_SQL,
               "changelog compaction: latest record per key (incremental "
               "upsert-ingest primitive; one shuffle, streaming window)"),
