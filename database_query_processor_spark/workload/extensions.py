@@ -646,22 +646,36 @@ def boilerplate_ngrams(spark, sf_dir):
     gram instances that are boilerplate.
 
     Shape & scale: one explode (generator in the scan stage, no
-    shuffle), a (gram -> distinct-doc-count) aggregate with map-side
-    partial counting, a shuffle join back on the gram, and a final
-    per-doc aggregate. At 100 TB the gram-frequency side shrinks to
-    frequent grams only — filter `ndocs >= 2` BEFORE the join-back
-    and make it a broadcast (or bloom-filter the probe side) so the
-    join carries boilerplate grams only; here the full join keeps the
-    fraction denominators exact in one pass.
+    shuffle), a (doc, gram) pre-aggregate, a document-frequency COUNT
+    window on the gram partition, and a final per-doc aggregate —
+    three exchanges, the explode subtree computed exactly once, no
+    join. At 100 TB a viral gram makes a fat window partition (the
+    window buffers per-partition); if that bites, swap the window for
+    a gram-keyed aggregate + broadcast join of the `ndocs >= 2`
+    survivors — one more exchange, bounded memory.
     """
     d = _t(spark, sf_dir, "documents")
-    g = d.select(
-        "doc_id", F.explode(TX.word_ngrams(TX.tokens("text"), 4)).alias("gram")
+    # Optimizer fences (see clean_gate): without them CollapseProject
+    # re-inlines the tokenize regex into every slice of the gram
+    # builder — measured 14x slower at sf0.1 (3.2s vs 0.46s explode).
+    toks_f = F.when(F.monotonically_increasing_id() >= -1, TX.tokens("text"))
+    grams_f = F.when(F.monotonically_increasing_id() >= -1, TX.word_ngrams(F.col("toks"), 4))
+    g = (
+        d.select("doc_id", toks_f.alias("toks"))
+        .select("doc_id", grams_f.alias("grams"))
+        .select("doc_id", F.explode("grams").alias("gram"))
     )
-    freq = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("ndocs"))
-    per = g.join(freq, "gram").groupBy("doc_id").agg(
-        F.count("*").alias("n_grams"),
-        F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).cast("long").alias("n_bp"),
+    # Pre-aggregate to one row per (doc, gram), then get each gram's
+    # document frequency as a COUNT window over the gram partition —
+    # no countDistinct expansion, no join-back, and the (doc, gram)
+    # subtree is computed exactly once: three exchanges total.
+    from pyspark.sql.window import Window
+
+    gd = g.groupBy("doc_id", "gram").agg(F.count("*").alias("k"))
+    marked = gd.withColumn("ndocs", F.count("*").over(Window.partitionBy("gram")))
+    per = marked.groupBy("doc_id").agg(
+        F.sum("k").alias("n_grams"),
+        F.sum(F.when(F.col("ndocs") >= 2, F.col("k")).otherwise(0)).cast("long").alias("n_bp"),
     )
     return per.select(
         "doc_id", "n_grams", "n_bp",

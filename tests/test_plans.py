@@ -235,3 +235,28 @@ def test_repetition_stats_single_scan_no_join(spark):
     assert "Join" not in plan, plan
     first_ex = plan.rfind("Exchange")
     assert "partial_count" in plan[first_ex:], plan
+
+
+def test_rollup_gapfill_plan(spark):
+    """t05: hypertable rollup = ONE full-data shuffle (the bucket
+    rollup, partial-agg'd map-side); the spine and LOCF window operate
+    on bucket-level rows only, and the spine⋈rollup join broadcasts —
+    at 100 TB the raw events move exactly once."""
+    df = _specs()["t05_rollup_gapfill"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert count_exchanges(df) <= 2, plan
+    assert "BroadcastHashJoin" in join_strategies(df), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_boilerplate_ngrams_plan(spark):
+    """x33: cross-doc boilerplate = explode as a scan-stage generator
+    computed exactly ONCE (fenced tokenize), (doc, gram) pre-agg,
+    document-frequency window on the gram partition, per-doc agg —
+    three exchanges, no join, no pair space."""
+    df = _specs()["x33_boilerplate_ngrams"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert count_exchanges(df) <= 3, plan
+    assert plan.count("Generate explode") == 1, plan
+    assert "Join" not in plan, plan
