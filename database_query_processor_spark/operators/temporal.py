@@ -130,6 +130,101 @@ def rollup_gapfill_locf(
     )
 
 
+def gapfill_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col,
+    bucket: str = "1 HOUR",
+) -> DataFrame:
+    """Linear-interpolation gap fill: like rollup_gapfill_locf, but a
+    filled bucket gets the value linearly interpolated between its
+    nearest observed neighbors (LOCF at the trailing edge, NOCB at the
+    leading edge). Output: key, ws, filled, v_interp.
+
+    Both neighbor lookups are windows over the SAME (key, ws-ordered)
+    partition — forward `last(ignorenulls)` and backward
+    `first(ignorenulls)` — so Catalyst plans one sort + one exchange
+    for the pair; everything runs on bucket-level rows (see
+    rollup_gapfill_locf for why that's scale-safe). The interpolation
+    ratio uses integer second offsets (`timestampdiff`), so the
+    arithmetic is bit-identical across engines.
+    """
+    unit = bucket.split()[-1].rstrip("S").lower()
+    agg = df.groupBy(
+        F.col(key_col), F.date_trunc(unit, F.col(ts_col)).alias("ws")
+    ).agg(val_col.alias("v"))
+    span = agg.groupBy(key_col).agg(F.min("ws").alias("_a"), F.max("ws").alias("_b"))
+    spine = span.select(
+        key_col,
+        F.explode(F.sequence(F.col("_a"), F.col("_b"), F.expr(f"INTERVAL {bucket}"))).alias("ws"),
+    )
+    j = spine.join(agg, [key_col, "ws"], "left")
+    w_prev = W.partitionBy(key_col).orderBy(F.col("ws").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_next = W.partitionBy(key_col).orderBy(F.col("ws").asc()).rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    obs_ts = F.when(F.col("v").isNotNull(), F.col("ws"))
+    x = j.select(
+        key_col,
+        "ws",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_ts, ignorenulls=True).over(w_prev).alias("pt"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_ts, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    frac = F.expr("timestampdiff(SECOND, pt, ws)").cast("double") / F.expr(
+        "timestampdiff(SECOND, pt, nt)"
+    )
+    v_interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return x.select(
+        key_col, "ws", F.col("v").isNull().alias("filled"), v_interp.alias("v_interp")
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    id_col: str,
+    bucket: str = "1 HOUR",
+) -> DataFrame:
+    """OHLC downsampling bars (open/high/low/close per key × bucket) —
+    the classic time-series rollup. Open/close are the value at the
+    first/last row of the bucket under the total order (ts, id) — the
+    id tiebreak makes ties deterministic.
+
+    Shape: ONE hash shuffle with full map-side partial aggregation —
+    open/close ride a lexicographic MIN/MAX over (ts, id, value)
+    structs, so every partial combines locally and the shuffle carries
+    one struct pair per (partition × key × bucket). This beats the
+    row_number-window formulation, which must sort whole partitions
+    and cannot partial-aggregate before the exchange.
+    """
+    unit = bucket.split()[-1].rstrip("S").lower()
+    s = F.struct(
+        F.col(ts_col).alias("t"), F.col(id_col).alias("e"), F.col(val_col).alias("v")
+    )
+    return df.groupBy(
+        F.col(key_col), F.date_trunc(unit, F.col(ts_col)).alias("ws")
+    ).agg(
+        F.min(s).getField("v").alias("open"),
+        F.max(F.col(val_col)).alias("high"),
+        F.min(F.col(val_col)).alias("low"),
+        F.max(s).getField("v").alias("close"),
+        F.count("*").alias("n"),
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,

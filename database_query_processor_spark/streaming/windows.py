@@ -56,11 +56,9 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def run_tumbling_stream(spark: SparkSession, sf_dir: str, size: str = "1 hour") -> DataFrame:
-    """REAL streaming execution of tumbling_counts: file-source
-    readStream over events.parquet, 10-minute watermark, complete-mode
-    memory sink, driven synchronously to completion. Returns the sink
-    table (same schema/values as the batch form)."""
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over events.parquet (the same topology
+    that would read Kafka at scale)."""
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source wants a directory: glob-filter to events
     stream = (
@@ -73,6 +71,28 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str, size: str = "1 hour") 
     # wall-clock value is unchanged.
     if dict(stream.dtypes)["ts"] == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_memory_sink(agg: DataFrame, prefix: str) -> DataFrame:
+    """Drive a streaming aggregation to completion through a
+    complete-mode memory sink and return the sink table."""
+    name = prefix + "_" + uuid.uuid4().hex[:8]
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = agg.sparkSession
+    return spark.table(name)
+
+
+def run_tumbling_stream(spark: SparkSession, sf_dir: str, size: str = "1 hour") -> DataFrame:
+    """REAL streaming execution of tumbling_counts: file-source
+    readStream over events.parquet, 10-minute watermark, complete-mode
+    memory sink, driven synchronously to completion. Returns the sink
+    table (same schema/values as the batch form)."""
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", size).alias("w"), "event_type")
@@ -82,10 +102,41 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str, size: str = "1 hour") 
             "event_type", "n", "min_value", "max_value",
         )
     )
-    name = "tumbling_" + uuid.uuid4().hex[:8]
-    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_to_memory_sink(agg, "tumbling")
+
+
+def run_sliding_stream(
+    spark: SparkSession, sf_dir: str, size: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """REAL streaming execution of sliding_counts: each event lands in
+    size/slide overlapping windows; state per (window, event_type) is
+    bounded by the watermark at scale."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("ws"), "event_type", "n")
+    )
+    return _run_to_memory_sink(agg, "sliding")
+
+
+def run_session_stream(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """REAL streaming execution of session_windows: dynamic-gap
+    session_window state per user, merged as events arrive — the
+    watermark closes sessions whose gap has passed at scale."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory_sink(agg, "session")

@@ -642,7 +642,93 @@ FROM x GROUP BY doc_id, token
 """
 
 
+def lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery — top-2 customers by balance per
+    nation. Catalyst decorrelates the per-nation ORDER BY ... LIMIT
+    into a WindowGroupLimit (rank pushed below the shuffle, partial
+    top-k per partition before the exchange) + one hash join — NOT a
+    per-row re-execution of the subquery: at 100 TB the inner table
+    is scanned once."""
+    from database_query_processor_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("nation", "customer"))
+    return spark.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name ASC LIMIT 2) t
+    """)
+
+
+LATERAL_TOPK_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n CROSS JOIN LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name ASC LIMIT 2) t
+"""
+
+
+def setops_all(spark, sf_dir):
+    """Multiset set operations (INTERSECT ALL / EXCEPT ALL): customers'
+    order-month multisets for two years — ALL semantics keep duplicate
+    multiplicity (a customer ordering twice in both years appears
+    twice in the intersection), which the DISTINCT forms (c08/c09)
+    collapse. Spark plans both as aggregate+generate over counted
+    duplicates, not a join explosion."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select(
+        "o_custkey", F.month("o_orderdate").alias("m")
+    )
+    b = o.filter(F.year("o_orderdate") == 1996).select(
+        "o_custkey", F.month("o_orderdate").alias("m")
+    )
+    return (
+        a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
+        .unionByName(a.exceptAll(b).withColumn("op", F.lit("except_all")))
+    )
+
+
+SETOPS_ALL_SQL = """
+WITH a AS (SELECT o_custkey, CAST(month(o_orderdate) AS INT) AS m FROM orders
+           WHERE year(o_orderdate) = 1995),
+b AS (SELECT o_custkey, CAST(month(o_orderdate) AS INT) AS m FROM orders
+      WHERE year(o_orderdate) = 1996)
+SELECT *, 'intersect_all' AS op FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+UNION ALL
+SELECT *, 'except_all' AS op FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+"""
+
+
+def listagg_ordered(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG / string_agg): nations per
+    region, comma-joined in name order. Spark: collect_list →
+    array_sort → array_join — collect_list's arrival order is
+    nondeterministic under parallelism, so the explicit array_sort is
+    what makes the result stable (and cross-engine-identical)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+LISTAGG_SQL = """
+SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey
+"""
+
+
 SPECS = [
+    QuerySpec("c57_listagg_ordered", listagg_ordered, LISTAGG_SQL,
+              "LISTAGG / ordered string_agg (explicit sort makes the "
+              "parallel collect deterministic)"),
+    QuerySpec("c56_setops_all", setops_all, SETOPS_ALL_SQL,
+              "multiset INTERSECT ALL / EXCEPT ALL (duplicate-preserving "
+              "set ops via counted-duplicate aggregation, no join blowup)"),
+    QuerySpec("c55_lateral_topk", lateral_topk, LATERAL_TOPK_SQL,
+              "correlated LATERAL subquery (top-k per outer row), "
+              "decorrelated by Catalyst into a WindowGroupLimit + join"),
     QuerySpec("c53_null_safe_join", null_safe_join, NULL_SAFE_JOIN_SQL,
               "null-safe equi-join (<=> / IS NOT DISTINCT FROM) — NULL keys "
               "match, planned as a hash join not a nested loop"),

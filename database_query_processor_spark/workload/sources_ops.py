@@ -63,7 +63,37 @@ def csv_roundtrip(spark, sf_dir):
     )
 
 
+def partitioned_pruned_read(spark, sf_dir):
+    """documents → hive-partitioned parquet layout (partitionBy lang)
+    → read back with a partition-column filter. The filter prunes at
+    the FILE level — the 'en' query never opens the other partitions'
+    files (PartitionFilters in the scan, asserted by the plan gate) —
+    which at 100 TB is the difference between scanning a fifth of the
+    corpus and all of it. Partition count stays bounded: partition by
+    low-cardinality columns (lang, source, date), never by a key."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="dqps_part_")
+    d.write.mode("overwrite").partitionBy("lang").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("lang") == "en")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars"))
+    )
+
+
+_PRUNED_ORACLE = """
+SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+FROM documents WHERE lang = 'en' GROUP BY lang, source
+"""
+
+
 SPECS = [
+    QuerySpec("src04_partitioned_pruned_read", partitioned_pruned_read, _PRUNED_ORACLE,
+              "hive-partitioned parquet write + partition-pruned read-back "
+              "(file-level pruning via PartitionFilters)"),
     QuerySpec("src01_randomdb_generate", randomdb_generate, None,
               "distributed .det-spec datagen (RandomDB equivalent): "
               "deterministic hash cells, affine-permutation PKs"),

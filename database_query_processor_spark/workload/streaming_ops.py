@@ -1,8 +1,8 @@
 """Temporal + streaming workload: as-of join, range join, and
-event-time windowed aggregation (tumbling via REAL Structured
-Streaming execution, sliding + session via the identical batch window
-expressions). No reference analog — the reference is batch-only with
-no timestamp type (SURVEY.md §2.7).
+event-time windowed aggregation (tumbling, sliding, and session
+windows ALL via real Structured Streaming execution — readStream →
+watermark → window agg → memory sink). No reference analog — the
+reference is batch-only with no timestamp type (SURVEY.md §2.7).
 """
 
 from __future__ import annotations
@@ -83,7 +83,7 @@ FROM events GROUP BY 1, 2
 
 
 def sliding_windows(spark, sf_dir):
-    return SW.sliding_counts(_events(spark, sf_dir))
+    return SW.run_sliding_stream(spark, sf_dir)
 
 
 SLIDING_SQL = """
@@ -97,7 +97,7 @@ GROUP BY ws, event_type
 
 
 def session_windows(spark, sf_dir):
-    return SW.session_windows(_events(spark, sf_dir))
+    return SW.run_session_stream(spark, sf_dir)
 
 
 def stream_stream_join(spark, sf_dir):
@@ -251,7 +251,109 @@ FROM spine s LEFT JOIN agg ON s.event_type = agg.event_type AND s.ws = agg.ws
 """
 
 
+def gapfill_interpolate_q(spark, sf_dir):
+    """Hourly rollup with linear interpolation across empty buckets
+    (avg value per bucket via the exact-decimal contract)."""
+    from database_query_processor_spark.operators.aggregates import avg_money
+
+    return TMP.gapfill_interpolate(
+        _events(spark, sf_dir),
+        key_col="event_type",
+        ts_col="ts",
+        val_col=avg_money("value", "v"),
+        bucket="1 HOUR",
+    )
+
+
+INTERPOLATE_SQL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS ws,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(value) AS v
+  FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, MIN(ws) AS a, MAX(ws) AS b FROM agg GROUP BY 1),
+spine AS (SELECT event_type, unnest(generate_series(a, b, INTERVAL 1 HOUR)) AS ws
+          FROM span),
+x AS (
+  SELECT s.event_type, s.ws, agg.v,
+         last_value(agg.v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN agg.v IS NOT NULL THEN s.ws END IGNORE NULLS)
+           OVER wp AS pt,
+         first_value(agg.v IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN agg.v IS NOT NULL THEN s.ws END IGNORE NULLS)
+           OVER wn AS nt
+  FROM spine s LEFT JOIN agg ON s.event_type = agg.event_type AND s.ws = agg.ws
+  WINDOW wp AS (PARTITION BY s.event_type ORDER BY s.ws
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY s.event_type ORDER BY s.ws
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_type, ws, v IS NULL AS filled,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv) * (CAST(date_diff('second', pt, ws) AS DOUBLE)
+                                   / date_diff('second', pt, nt))
+       END AS v_interp
+FROM x
+"""
+
+
+def ohlc_bars_q(spark, sf_dir):
+    """Hourly OHLC bars per event_type over the event log."""
+    return TMP.ohlc_bars(
+        _events(spark, sf_dir),
+        key_col="event_type", ts_col="ts", val_col="value",
+        id_col="event_id", bucket="1 HOUR",
+    )
+
+
+OHLC_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS ws,
+       (MIN({'t': ts, 'e': event_id, 'v': value})).v AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       (MAX({'t': ts, 'e': event_id, 'v': value})).v AS close,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def scd2_intervals(spark, sf_dir):
+    """SCD2 temporal-table build: turn the (user, event_type) keyed
+    changelog into validity intervals [valid_from, valid_to) with an
+    is_current flag — the warehouse dimension-history primitive (t04
+    keeps only the latest; this keeps the full history queryable by
+    as-of time). One hash shuffle on the key; lead() streams within
+    the sorted partition."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id", "event_type", "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+SCD2_SQL = """
+SELECT user_id, event_type, value, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+"""
+
+
 SPECS = [
+    QuerySpec("t08_scd2_intervals", scd2_intervals, SCD2_SQL,
+              "SCD2 temporal-table build: changelog to validity intervals "
+              "(full keyed history, one shuffle, streaming lead window)"),
+    QuerySpec("t07_ohlc_bars", ohlc_bars_q, OHLC_SQL,
+              "OHLC time-series bars: open/close via lexicographic struct "
+              "MIN/MAX — one shuffle, full map-side partial aggregation"),
+    QuerySpec("t06_gapfill_interpolate", gapfill_interpolate_q, INTERPOLATE_SQL,
+              "linear-interpolation gap fill: nearest observed neighbors via "
+              "paired forward/backward windows on one exchange"),
     QuerySpec("t05_rollup_gapfill", rollup_gapfill, GAPFILL_SQL,
               "hypertable rollup: hourly downsample + distributed spine "
               "densification (sequence/explode) + LOCF gap-fill window",
@@ -269,9 +371,11 @@ SPECS = [
     QuerySpec("s01_stream_tumbling", stream_tumbling, TUMBLING_SQL,
               "REAL Structured Streaming tumbling-window agg (watermark + memory sink)"),
     QuerySpec("s02_sliding_windows", sliding_windows, SLIDING_SQL,
-              "sliding event-time windows (1h size / 30m slide)"),
+              "REAL streaming sliding event-time windows (1h size / 30m "
+              "slide, watermark-bounded state)"),
     QuerySpec("s03_session_windows", session_windows, SESSION_SQL,
-              "per-user session windows, 30m inactivity gap"),
+              "REAL streaming per-user session windows, 30m inactivity gap "
+              "(dynamic session_window state merged as events arrive)"),
     QuerySpec("s04_stream_stateful_profiles", stream_stateful_profiles, STATEFUL_SQL,
               "custom stateful op: applyInPandasWithState per-user profile, "
               "REAL streaming execution to a memory sink"),

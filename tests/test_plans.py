@@ -260,3 +260,35 @@ def test_boilerplate_ngrams_plan(spark):
     assert count_exchanges(df) <= 3, plan
     assert plan.count("Generate explode") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_lateral_topk_decorrelated(spark):
+    """c55: the correlated LATERAL subquery must decorrelate into a
+    WindowGroupLimit (partial top-k below the exchange) + one join —
+    never a per-outer-row re-execution or a cartesian."""
+    df = _specs()["c55_lateral_topk"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_ohlc_single_shuffle_partial_agg(spark):
+    """t07: OHLC bars must be ONE exchange with a map-side partial
+    aggregate below it (struct MIN/MAX combine locally; Spark plans
+    SortAggregate because struct buffers aren't hash-aggregable) —
+    not a window sort over whole partitions."""
+    df = _specs()["t07_ohlc_bars"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert count_exchanges(df) == 1, plan
+    ex = plan.find("Exchange")
+    assert "partial_min" in plan[ex:], plan
+    assert "Window" not in plan, plan
+
+
+def test_partitioned_read_prunes(spark):
+    """src04: the lang filter must prune at the partition (file)
+    level — PartitionFilters non-empty, and the data filter must NOT
+    appear as a post-scan row filter on lang."""
+    df = _specs()["src04_partitioned_pruned_read"].build(spark, SF)
+    plan = explain_str(df, "formatted")
+    assert "PartitionFilters: [isnotnull(lang" in plan or "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters:")[1][:120], plan[:2000]
