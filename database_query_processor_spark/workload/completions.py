@@ -719,7 +719,37 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+def histogram_fixed_width(spark, sf_dir):
+    """Equi-width histogram of order totals: 20 buckets spanning
+    [min, max], bucket edges computed in-query (1-row min/max agg,
+    broadcast). The per-row bucket id is pure arithmetic — a single
+    scan + one tiny aggregate + one final count shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    b = F.least(
+        F.lit(19),
+        F.floor((F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20)),
+    ).cast("long")
+    return (
+        o.crossJoin(F.broadcast(m))
+        .select(b.alias("bucket"), "lo", "hi")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+HISTOGRAM_SQL = """
+WITH m AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+SELECT CAST(least(19, floor((o_totalprice - lo) / ((hi - lo) / 20))) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM orders, m GROUP BY 1
+"""
+
+
 SPECS = [
+    QuerySpec("c58_histogram_fixed_width", histogram_fixed_width, HISTOGRAM_SQL,
+              "equi-width histogram with in-query bucket edges "
+              "(broadcast 1-row stats, single scan + count)"),
     QuerySpec("c57_listagg_ordered", listagg_ordered, LISTAGG_SQL,
               "LISTAGG / ordered string_agg (explicit sort makes the "
               "parallel collect deterministic)"),

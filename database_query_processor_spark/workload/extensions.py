@@ -778,7 +778,69 @@ FROM s
 """
 
 
+def embedding_centroid_outliers(spark, sf_dir):
+    """Per-label embedding centroids + the 3 farthest outliers per
+    label (lowest cosine to centroid) — the corpus-diversity /
+    mislabel-detection pass of an embedding pipeline.
+
+    Shape & scale: centroid = element-wise mean via posexplode →
+    (label, dim) exact-decimal sums (map-side partial agg; shuffle
+    carries labels × dims rows, not vectors) → collect the dim-sorted
+    array per label. The centroid frame is tiny (one row per label) —
+    broadcast back onto the corpus; outliers come from a per-label
+    row_number window. Cosines reuse the bit-stable sequential dot
+    (operators/similarity.dot_d)."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    d = e.select("label", F.posexplode("embedding").alias("dim0", "x"))
+    # Fixed-point via floor, not decimal casts: decimal rounding
+    # tie-breaks differ across engines (HALF_UP vs HALF_EVEN —
+    # measured on this corpus); floor(x·1e10) has no ties, and the
+    # int64 sums are exact (headroom to ~9·10^8 vectors per group).
+    xi = F.floor(F.col("x").cast("double") * F.lit(1e10))
+    s = d.groupBy("label", (F.col("dim0") + 1).alias("dim")).agg(
+        (F.sum(xi).cast("double") / F.count("*") / F.lit(1e10)).alias("cx")
+    )
+    c = s.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cx"))), lambda t: t["cx"]
+        ).alias("centroid")
+    )
+    j = e.join(F.broadcast(c), "label").select(
+        "label", "vec_id",
+        SIM.cosine(F.col("embedding"), F.col("centroid")).alias("cos"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cos").asc(), F.col("vec_id").asc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_id", "cos")
+    )
+
+
+CENTROID_SQL = f"""
+WITH d AS (SELECT label, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) AS dim FROM embeddings),
+s AS (SELECT label, dim,
+             CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1e10) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 1e10 AS cx
+      FROM d GROUP BY label, dim),
+c AS (SELECT label, list(cx ORDER BY dim) AS centroid FROM s GROUP BY label),
+j AS (SELECT e.label, e.vec_id,
+             {SIM.sql_cosine('e.embedding', 'c.centroid')} AS cos
+      FROM embeddings e JOIN c USING (label)),
+r AS (SELECT *, row_number() OVER (PARTITION BY label
+        ORDER BY cos ASC, vec_id ASC) AS rn FROM j)
+SELECT label, vec_id, cos FROM r WHERE rn <= 3
+"""
+
+
 SPECS = [
+    QuerySpec("x36_embedding_centroid_outliers", embedding_centroid_outliers,
+              CENTROID_SQL,
+              "per-label embedding centroid (exact-decimal element-wise "
+              "mean) + top-3 cosine outliers per label"),
     QuerySpec("x33_boilerplate_ngrams", boilerplate_ngrams, BOILERPLATE_SQL,
               "inter-document boilerplate: cross-doc repeated 4-grams, "
               "per-doc boilerplate fraction (explode + gram-freq agg + "

@@ -90,7 +90,41 @@ FROM documents WHERE lang = 'en' GROUP BY lang, source
 """
 
 
+def schema_evolution_merge(spark, sf_dir):
+    """Schema evolution: two ingest batches with different schemas
+    (batch 2 adds the lang column) land in one dataset; a mergeSchema
+    read unions the schemas, back-filling nulls — the additive-column
+    evolution every long-lived 100 TB dataset goes through. The batch
+    discriminator rides the partition directory, so batch-scoped reads
+    prune at the file level."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="dqps_evo_")
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/batch=1")
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "n_chars", "lang").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    return merged.groupBy(
+        F.coalesce("lang", F.lit("(pre-evolution)")).alias("lang")
+    ).agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars"))
+
+
+_EVOLUTION_ORACLE = """
+SELECT CASE WHEN doc_id % 2 = 0 THEN '(pre-evolution)' ELSE lang END AS lang,
+       COUNT(*) AS n_docs, SUM(n_chars) AS chars
+FROM documents GROUP BY 1
+"""
+
+
 SPECS = [
+    QuerySpec("src05_schema_evolution_merge", schema_evolution_merge,
+              _EVOLUTION_ORACLE,
+              "additive schema evolution: two-batch parquet dataset, "
+              "mergeSchema read with null back-fill"),
     QuerySpec("src04_partitioned_pruned_read", partitioned_pruned_read, _PRUNED_ORACLE,
               "hive-partitioned parquet write + partition-pruned read-back "
               "(file-level pruning via PartitionFilters)"),
