@@ -225,6 +225,57 @@ def ohlc_bars(
     )
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Time-weighted average over irregularly-sampled observations
+    (the TimescaleDB `time_weight('LOCF', ...)` primitive): each
+    observation's value is held until the next observation of the same
+    key, so its weight is that duration in seconds; the average is
+    Σ v·Δt / Σ Δt per key. The key's last observation has no duration
+    and contributes nothing (classic LOCF-over-the-observed-span).
+
+    Output: key, twa (double), total_us (bigint, weighted span in
+    microseconds), n_obs (count of weighted observations).
+
+    Shape & scale: ONE hash exchange on the key — the lead() window
+    and the final groupBy share the same partitioning, so Catalyst
+    reuses the exchange. Determinism: the window orders by (ts, id),
+    so timestamp ties get Δt = 0 and contribute nothing regardless of
+    tie order; Δt is exact MICROSECONDS (whole-`SECOND` diffs truncate
+    differently across engines on sub-second timestamps); the weighted
+    sum is kept as an exact SCALE-0 integer (value in cents × Δt in
+    µs, summed as DECIMAL(38,0)) so the final double conversion is a
+    single correctly-rounded int→double in both engines — a scaled
+    decimal would round twice (int→double, then /10^scale) in DuckDB
+    and drift by 1 ulp. One divide at the end; bit-identical to the
+    DuckDB oracle."""
+    from database_query_processor_spark.operators.aggregates import dec
+
+    w = W.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    stepped = df.select(
+        F.col(key_col),
+        (dec(val_col) * 100).cast("bigint").alias("_v_cents"),
+        F.col(ts_col).alias("_ts"),
+        F.lead(F.col(ts_col)).over(w).alias("_nxt"),
+    ).select(
+        key_col,
+        "_v_cents",
+        F.expr("timestampdiff(MICROSECOND, _ts, _nxt)").alias("_dt"),
+    )
+    weighted = stepped.where(F.col("_dt").isNotNull())
+    num = F.sum(F.col("_v_cents").cast("decimal(38,0)") * F.col("_dt"))
+    return weighted.groupBy(key_col).agg(
+        (num.cast("double") / (F.lit(100.0) * F.sum("_dt"))).alias("twa"),
+        F.sum("_dt").alias("total_us"),
+        F.count("*").alias("n_obs"),
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,

@@ -344,7 +344,147 @@ FROM events WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
 """
 
 
+def time_weighted_avg_q(spark, sf_dir):
+    """Daily-ops style time-weighted average of `value` per event_type
+    over the event log: each reading holds until the next one of the
+    same type (LOCF weighting)."""
+    return TMP.time_weighted_avg(
+        _events(spark, sf_dir),
+        key_col="event_type", ts_col="ts", val_col="value", id_col="event_id",
+    )
+
+
+TWA_SQL = """
+WITH s AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v_cents,
+         date_diff('microsecond', ts,
+                   lead(ts) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id)) AS dt
+  FROM events)
+SELECT event_type,
+       CAST(SUM(CAST(v_cents AS DECIMAL(38,0)) * dt) AS DOUBLE)
+         / (100.0 * SUM(dt)) AS twa,
+       SUM(dt) AS total_us, COUNT(*) AS n_obs
+FROM s WHERE dt IS NOT NULL GROUP BY event_type
+"""
+
+
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel signup → click → purchase per user: the first
+    click at/after the first signup, then the first purchase at/after
+    that click. One row: stage reach counts + conversion ratios.
+
+    Shape: three chained windows over the SAME user_id partitioning
+    (each stage's anchor timestamp feeds the next stage's conditional
+    MIN), then a per-user dedup and a single-row global rollup —
+    Catalyst plans ONE exchange on user_id for all three windows.
+    Ratios are single int/int IEEE divides (bit-stable)."""
+    e = _events(spark, sf_dir)
+    uw = Window.partitionBy("user_id")
+    s1 = e.select(
+        "user_id", "event_type", "ts",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(uw).alias("s_ts"),
+    )
+    s2 = s1.withColumn(
+        "c_ts",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") >= F.col("s_ts")), F.col("ts"))
+        ).over(uw),
+    )
+    s3 = s2.withColumn(
+        "p_ts",
+        F.min(
+            F.when((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("c_ts")), F.col("ts"))
+        ).over(uw),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.first("s_ts").alias("s_ts"), F.first("c_ts").alias("c_ts"), F.first("p_ts").alias("p_ts")
+    )
+    return per_user.agg(
+        F.count("s_ts").alias("n_signup"),
+        F.count("c_ts").alias("n_click_after_signup"),
+        F.count("p_ts").alias("n_purchase_after_click"),
+        (F.count("c_ts").cast("double") / F.count("s_ts")).alias("conv_click"),
+        (F.count("p_ts").cast("double") / F.count("c_ts")).alias("conv_purchase"),
+    )
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS s_ts
+  FROM events),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= s_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS c_ts
+  FROM s1),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= c_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS p_ts
+  FROM s2),
+u AS (SELECT user_id, ANY_VALUE(s_ts) AS s_ts, ANY_VALUE(c_ts) AS c_ts,
+             ANY_VALUE(p_ts) AS p_ts
+      FROM s3 GROUP BY user_id)
+SELECT COUNT(s_ts) AS n_signup,
+       COUNT(c_ts) AS n_click_after_signup,
+       COUNT(p_ts) AS n_purchase_after_click,
+       CAST(COUNT(c_ts) AS DOUBLE) / COUNT(s_ts) AS conv_click,
+       CAST(COUNT(p_ts) AS DOUBLE) / COUNT(c_ts) AS conv_purchase
+FROM u
+"""
+
+
+def retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix: cohort = ISO week of the user's
+    first event; each (cohort_week, week_offset) cell counts the
+    distinct users of that cohort active that many weeks later.
+
+    Shape: a min() window on the user_id exchange pins each user's
+    cohort, then one hash aggregate on the (cohort, offset) cell.
+    Offsets are exact integer day-diffs / 7 (both engines truncate
+    `week` to Monday, so the division is always whole)."""
+    e = _events(spark, sf_dir)
+    uw = Window.partitionBy("user_id")
+    x = e.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("aw"),
+        F.date_trunc("week", F.min("ts").over(uw)).alias("cw"),
+    )
+    return (
+        x.select(
+            "user_id",
+            F.col("cw").alias("cohort_week"),
+            (F.datediff(F.to_date("aw"), F.to_date("cw")) / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH x AS (
+  SELECT user_id, date_trunc('week', ts) AS aw,
+         date_trunc('week', MIN(ts) OVER (PARTITION BY user_id)) AS cw
+  FROM events)
+SELECT CAST(cw AS TIMESTAMP) AS cohort_week,
+       CAST(date_diff('day', CAST(cw AS DATE), CAST(aw AS DATE)) / 7 AS INT) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM x GROUP BY 1, 2
+"""
+
+
 SPECS = [
+    QuerySpec("t09_time_weighted_avg", time_weighted_avg_q, TWA_SQL,
+              "time-weighted average over irregular samples (LOCF "
+              "duration weighting, one reused exchange, exact-decimal sum)"),
+    QuerySpec("t10_funnel_conversion", funnel_conversion, FUNNEL_SQL,
+              "ordered funnel signup→click→purchase: three chained "
+              "conditional-MIN windows on ONE user exchange + global rollup"),
+    QuerySpec("t11_retention_cohorts", retention_cohorts, RETENTION_SQL,
+              "weekly cohort retention matrix: first-touch cohort window "
+              "+ distinct-user cell aggregate"),
     QuerySpec("t08_scd2_intervals", scd2_intervals, SCD2_SQL,
               "SCD2 temporal-table build: changelog to validity intervals "
               "(full keyed history, one shuffle, streaming lead window)"),
