@@ -836,7 +836,177 @@ SELECT label, vec_id, cos FROM r WHERE rn <= 3
 """
 
 
+PASSAGE = 32  # tokens per passage for sub-document dedup
+
+
+def passage_dedup(spark, sf_dir):
+    """Sub-document (passage-level) exact dedup — the CCNet/Dolma
+    paragraph-dedup step adapted to the corpus' flat text: split each
+    document into fixed 32-token passages, keep only the globally
+    FIRST occurrence of each distinct passage (order: doc_id, then
+    passage index), and reassemble the surviving text per document.
+
+    Shape & scale: tokenize ONCE per doc, explode precomputed passage
+    indices (scan-side flatMap, no shuffle); the first-occurrence
+    window partitions by the passage's md5 — the exchange ships a
+    16-byte key + ids, never the passage text twice; reassembly is one
+    groupBy(doc_id) with an ordered collect bounded by the doc's own
+    passage count. Two shuffles total, both narrow."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", TX.tokens("text").alias("toks"))
+    counted = toked.select(
+        "doc_id", "toks",
+        F.greatest(F.ceil(F.size("toks") / F.lit(float(PASSAGE))).cast("bigint"), F.lit(1).cast("bigint")).alias("np"),
+    )
+    p = counted.select(
+        "doc_id", "np",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("np") - 1)).alias("pidx"),
+        F.col("toks"),
+    ).select(
+        "doc_id", "np", "pidx",
+        F.concat_ws(" ", F.slice("toks", F.col("pidx").cast("int") * PASSAGE + 1, PASSAGE)).alias("ptext"),
+    )
+    w = Window.partitionBy(F.md5("ptext")).orderBy("doc_id", "pidx")
+    kept = (
+        p.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pidx", "ptext"))),
+                    lambda s: s.getField("ptext"),
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    base = counted.select("doc_id", F.col("np").alias("n_passages"))
+    return base.join(kept, "doc_id", "left").select(
+        "doc_id", "n_passages",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+PASSAGE_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+n AS (SELECT doc_id, toks,
+             GREATEST(CAST(ceil(len(toks) / {PASSAGE}.0) AS BIGINT), 1) AS np
+      FROM t),
+p AS (SELECT doc_id, np, i AS pidx,
+             array_to_string(list_slice(toks, i * {PASSAGE} + 1, i * {PASSAGE} + {PASSAGE}), ' ') AS ptext
+      FROM n, UNNEST(generate_series(0, np - 1)) AS u(i)),
+r AS (SELECT *, row_number() OVER (PARTITION BY md5(ptext)
+                                   ORDER BY doc_id, pidx) AS rn FROM p),
+k AS (SELECT doc_id, pidx, ptext FROM r WHERE rn = 1),
+agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+               array_to_string(list(ptext ORDER BY pidx), ' ') AS clean_text
+        FROM k GROUP BY doc_id)
+SELECT n.doc_id, n.np AS n_passages,
+       COALESCE(agg.n_kept, 0) AS n_kept,
+       COALESCE(agg.clean_text, '') AS clean_text
+FROM n LEFT JOIN agg USING (doc_id)
+"""
+
+
+def snapshot_delta_dedup(spark, sf_dir):
+    """Incremental crawl merge: treat even doc_ids as the existing
+    corpus snapshot and odd doc_ids as the incoming crawl; a new
+    document survives iff its content hash is unseen WITHIN the crawl
+    (first occurrence by doc_id wins) AND absent from the snapshot
+    (left-anti join on the hash). This is the nightly dedup-against-
+    history step of a continuously-crawled corpus.
+
+    Shape & scale: both the within-crawl first-occurrence window and
+    the anti join hash-partition on the SAME 16-byte md5 key, so the
+    crawl side shuffles once and the snapshot ships only its distinct
+    hashes. No text moves after the initial hash projection."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.md5("text").alias("h")
+    )
+    old_hashes = d.where(F.col("doc_id") % 2 == 0).select("h").distinct()
+    crawl = d.where(F.col("doc_id") % 2 == 1)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    first = crawl.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return first.join(old_hashes, "h", "left_anti").select(
+        "doc_id", "source", "lang", F.col("h").alias("content_hash")
+    )
+
+
+SNAPSHOT_DEDUP_SQL = """
+WITH d AS (SELECT doc_id, source, lang, md5(text) AS h FROM documents),
+old AS (SELECT DISTINCT h FROM d WHERE doc_id % 2 = 0),
+crawl AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+          FROM d WHERE doc_id % 2 = 1)
+SELECT doc_id, source, lang, h AS content_hash
+FROM crawl WHERE rn = 1 AND h NOT IN (SELECT h FROM old)
+"""
+
+
+def lang_temperature_resample(spark, sf_dir):
+    """Multilingual temperature resampling (the XLM/mT5 alpha=0.5
+    recipe): languages are re-weighted toward the uniform by sampling
+    with probability ∝ share^0.5, realized as per-language keep rates
+    keep_rate(l) = sqrt(min_lang_tokens / lang_tokens) — the smallest
+    language keeps everything, bigger ones are downsampled by the
+    square-root of their size ratio. The gate is the shared
+    deterministic modular hash, so the kept set is identical across
+    retries and cluster sizes. sqrt and one divide are both IEEE
+    correctly-rounded, so rates are bit-stable across engines.
+
+    Shape: one token-count aggregate (map-side combinable), a tiny
+    per-language rate frame broadcast back, one filtered rollup."""
+    d = _t(spark, sf_dir, "documents")
+    doc = d.select("doc_id", "lang", F.size(TX.tokens("text")).alias("n_toks"))
+    per_lang = doc.groupBy("lang").agg(F.sum("n_toks").cast("long").alias("lang_tokens"))
+    m = per_lang.agg(F.min("lang_tokens").alias("min_tokens"))
+    rates = per_lang.crossJoin(F.broadcast(m)).select(
+        "lang", "lang_tokens",
+        F.sqrt(F.col("min_tokens").cast("double") / F.col("lang_tokens")).alias("keep_rate"),
+    )
+    kept = doc.join(F.broadcast(rates), "lang").where(
+        CP.det_hash(F.col("doc_id")) % 100000 < F.col("keep_rate") * 100000
+    )
+    return kept.groupBy("lang", "lang_tokens", "keep_rate").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_toks").cast("long").alias("tokens_kept"),
+    )
+
+
+TEMPERATURE_SQL = f"""
+WITH t AS (SELECT doc_id, lang, len({TOKS_SQL}) AS n_toks FROM documents),
+s AS (SELECT lang, CAST(SUM(n_toks) AS BIGINT) AS lang_tokens FROM t GROUP BY lang),
+m AS (SELECT MIN(lang_tokens) AS min_tokens FROM s),
+r AS (SELECT lang, lang_tokens,
+             sqrt(CAST(min_tokens AS DOUBLE) / lang_tokens) AS keep_rate FROM s, m),
+k AS (SELECT t.doc_id, t.lang, t.n_toks, r.lang_tokens, r.keep_rate
+      FROM t JOIN r USING (lang)
+      WHERE ({CP.sql_det_hash('t.doc_id')}) % 100000 < r.keep_rate * 100000)
+SELECT lang, lang_tokens, keep_rate, COUNT(*) AS n_docs_kept,
+       CAST(SUM(n_toks) AS BIGINT) AS tokens_kept
+FROM k GROUP BY lang, lang_tokens, keep_rate
+"""
+
+
 SPECS = [
+    QuerySpec("x37_passage_dedup", passage_dedup, PASSAGE_DEDUP_SQL,
+              "sub-document passage-level exact dedup: 32-token passages, "
+              "global first-occurrence wins, documents reassembled "
+              "(md5-keyed narrow shuffles)"),
+    QuerySpec("x38_snapshot_delta_dedup", snapshot_delta_dedup, SNAPSHOT_DEDUP_SQL,
+              "incremental crawl merge: within-crawl first-occurrence + "
+              "anti-join against the snapshot's hash set on one shared "
+              "hash partitioning"),
+    QuerySpec("x39_lang_temperature_resample", lang_temperature_resample,
+              TEMPERATURE_SQL,
+              "multilingual temperature resampling (alpha=0.5): sqrt-ratio "
+              "keep rates, deterministic hash gate, broadcast rate frame"),
     QuerySpec("x36_embedding_centroid_outliers", embedding_centroid_outliers,
               CENTROID_SQL,
               "per-label embedding centroid (exact-decimal element-wise "
