@@ -40,6 +40,48 @@ def purchase_click_attribution(purchases: DataFrame, clicks: DataFrame) -> DataF
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
 
 
+def run_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the dimension-enrichment topology: the
+    unbounded event stream is joined to a bounded customer dimension
+    (user_id = c_custkey) and rolled up per (market segment,
+    event_type). The static side needs NO watermark and holds NO
+    state: Spark re-plans it per micro-batch and broadcasts it under
+    the join threshold — at 100 TB of stream, the dimension join costs
+    one broadcast per batch, never a shuffle of the stream.
+
+    Driven as a REAL streaming query over the finite events parquet
+    (update-mode memory sink, aggregated output)."""
+    import uuid as _uuid
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey, "inner"
+    )
+    # exact-decimal sum (streaming forbids exact COUNT DISTINCT;
+    # the decimal contract keeps the sum oracle-stable)
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+    name = "enrich_" + _uuid.uuid4().hex[:8]
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def run_purchase_click_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the attribution join as a REAL stream-stream join over
     the finite events parquet (append-mode memory sink)."""

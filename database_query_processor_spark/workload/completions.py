@@ -746,7 +746,106 @@ FROM orders, m GROUP BY 1
 """
 
 
+def higher_order_funcs(spark, sf_dir):
+    """Higher-order array functions over per-order line-item arrays:
+    transform (net value per item), filter (bulk items, qty >= 25),
+    aggregate (fold the filtered values into a sum), exists (any
+    high-tax item), element_at (first item by line number). The
+    reference has no collection types at all (SURVEY.md §1.1); this is
+    the Spark-native array/lambda surface.
+
+    All lambda arithmetic is exact integer (cents and percent units
+    extracted via the decimal contract), so every folded value is
+    bit-stable. One shuffle (the collect_list groupBy); the lambdas
+    evaluate inside codegen on the collected arrays — no Python, no
+    re-shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").alias("ln"),
+            (dec("l_extendedprice") * 100).cast("bigint").alias("pc"),
+            (dec("l_discount") * 100).cast("bigint").alias("dp"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            (dec("l_tax") * 100).cast("bigint").alias("tp"),
+        ).alias("s"),
+    )
+    arr = rows.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("s")).alias("items")
+    )
+    big = F.filter("items", lambda s: s.getField("qty") >= 25)
+    net = F.transform(big, lambda s: s.getField("pc") * (100 - s.getField("dp")))
+    return arr.select(
+        "l_orderkey",
+        F.size("items").alias("n_items"),
+        F.size(big).alias("n_big"),
+        F.aggregate(net, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("sum_net_units"),
+        F.exists("items", lambda s: s.getField("tp") > 5).alias("has_high_tax"),
+        F.element_at(F.transform("items", lambda s: s.getField("pc")), 1).alias("first_pc"),
+    )
+
+
+HIGHER_ORDER_SQL = """
+WITH r AS (
+  SELECT l_orderkey,
+         struct_pack(ln := l_linenumber,
+                     pc := CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT),
+                     dp := CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT),
+                     qty := CAST(l_quantity AS BIGINT),
+                     tp := CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT)) AS s
+  FROM lineitem),
+a AS (SELECT l_orderkey,
+             -- full-struct tiebreak: (orderkey, linenumber) is NOT
+             -- unique in the synthetic data, and Spark's sort_array
+             -- orders by every struct field lexicographically
+             list(s ORDER BY s.ln, s.pc, s.dp, s.qty, s.tp) AS items
+      FROM r GROUP BY l_orderkey)
+SELECT l_orderkey,
+       len(items) AS n_items,
+       len(list_filter(items, s -> s.qty >= 25)) AS n_big,
+       CAST(COALESCE(list_sum(list_transform(list_filter(items, s -> s.qty >= 25),
+                                             s -> s.pc * (100 - s.dp))), 0) AS BIGINT)
+         AS sum_net_units,
+       len(list_filter(items, s -> s.tp > 5)) > 0 AS has_high_tax,
+       list_transform(items, s -> s.pc)[1] AS first_pc
+FROM a
+"""
+
+
+def regexp_extract_all_q(spark, sf_dir):
+    """regexp_extract_all over the document corpus: every match of a
+    word pattern per document, with counts and the distinct sorted
+    match list. Pure scan-side string work — no shuffle at all; both
+    engines' regex engines agree on left-to-right non-overlapping
+    match semantics for this pattern."""
+    d = _t(spark, sf_dir, "documents")
+    matches = F.regexp_extract_all(F.col("text"), F.lit(r"\bta[a-z]+"), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(matches).alias("n_hits"),
+        F.concat_ws(" ", F.array_sort(F.array_distinct(matches))).alias("distinct_hits"),
+    )
+
+
+REGEXP_ALL_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\bta[a-z]+')) AS n_hits,
+       -- DuckDB's array_to_string yields NULL (not '') on an empty
+       -- list; Spark's concat_ws yields '' — normalize
+       COALESCE(array_to_string(list_sort(list_distinct(regexp_extract_all(text, '\bta[a-z]+'))), ' '), '')
+         AS distinct_hits
+FROM documents
+"""
+
+
 SPECS = [
+    QuerySpec("c59_higher_order_funcs", higher_order_funcs, HIGHER_ORDER_SQL,
+              "higher-order array functions (transform/filter/aggregate/"
+              "exists/element_at) over per-order item arrays, exact "
+              "integer lambda math"),
+    QuerySpec("c60_regexp_extract_all", regexp_extract_all_q, REGEXP_ALL_SQL,
+              "regexp_extract_all: all pattern matches per document, "
+              "count + distinct sorted list (scan-only, no shuffle)"),
     QuerySpec("c58_histogram_fixed_width", histogram_fixed_width, HISTOGRAM_SQL,
               "equi-width histogram with in-query bucket edges "
               "(broadcast 1-row stats, single scan + count)"),

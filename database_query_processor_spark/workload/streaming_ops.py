@@ -475,7 +475,27 @@ FROM x GROUP BY 1, 2
 """
 
 
+def stream_static_enrichment(spark, sf_dir):
+    from database_query_processor_spark.streaming.joins import (
+        run_stream_static_enrichment,
+    )
+
+    return run_stream_static_enrichment(spark, sf_dir)
+
+
+STREAM_STATIC_SQL = """
+SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
+    QuerySpec("s08_stream_static_join", stream_static_enrichment, STREAM_STATIC_SQL,
+              "REAL streaming stream-static dimension enrichment: "
+              "per-micro-batch broadcast join to a bounded customer dim "
+              "(no stream shuffle, no state) + streaming rollup"),
     QuerySpec("t09_time_weighted_avg", time_weighted_avg_q, TWA_SQL,
               "time-weighted average over irregular samples (LOCF "
               "duration weighting, one reused exchange, exact-decimal sum)"),
