@@ -292,3 +292,33 @@ def test_partitioned_read_prunes(spark):
     df = _specs()["src04_partitioned_pruned_read"].build(spark, SF)
     plan = explain_str(df, "formatted")
     assert "PartitionFilters: [isnotnull(lang" in plan or "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters:")[1][:120], plan[:2000]
+
+
+def test_funnel_single_exchange(spark):
+    """t10: all three chained conditional-MIN windows partition on
+    user_id, and so does the per-user dedup — Catalyst must reuse ONE
+    hash exchange for the whole funnel (the final single-row rollup
+    adds its own tiny single-partition exchange)."""
+    df = _specs()["t10_funnel_conversion"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert plan.count("hashpartitioning(user_id") <= 1, plan
+    assert plan.count("Window") == 3, plan
+
+
+def test_passage_dedup_window_group_limit(spark):
+    """x37: the global first-occurrence filter must plan as a
+    WindowGroupLimit (partial + final) so each map task prunes to one
+    row per passage hash BEFORE the exchange — without it, every
+    duplicate passage ships."""
+    df = _specs()["x37_passage_dedup"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("FileScan") <= 2, plan
+
+
+def test_twa_single_exchange(spark):
+    """t09: the lead() window and the per-key aggregate share the
+    event_type hash partitioning — one full-data exchange."""
+    df = _specs()["t09_time_weighted_avg"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert plan.count("hashpartitioning(event_type") <= 1, plan
