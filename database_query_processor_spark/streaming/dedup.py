@@ -17,6 +17,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import normalize_event_ts
+
 
 def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming execution: file-source readStream over
@@ -30,8 +32,7 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     dd = (
         stream.withWatermark("ts", "10 minutes")
         .dropDuplicates(["user_id", "event_type", "ts"])

@@ -16,6 +16,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import normalize_event_ts
+
 
 def purchase_click_attribution(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
     """Each purchase joined to the same user's clicks in the hour
@@ -59,8 +61,7 @@ def run_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey"), F.col("c_mktsegment")
     )
@@ -93,8 +94,7 @@ def run_purchase_click_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
-        if dict(s.dtypes)["ts"] == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        s = normalize_event_ts(s)
         return s
 
     purchases = _stream().filter(F.col("event_type") == "purchase")

@@ -27,6 +27,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import normalize_event_ts
+
 STATE_SCHEMA = "n BIGINT, first_us BIGINT, last_us BIGINT"
 OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, first_us BIGINT, last_us BIGINT"
 
@@ -76,8 +78,7 @@ def run_user_profile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     name = "user_profiles_" + uuid.uuid4().hex[:8]
     q = (
         user_profiles(stream)

@@ -20,6 +20,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import normalize_event_ts
+
 def tumbling_counts(events: DataFrame, size: str = "1 hour") -> DataFrame:
     """Tumbling event-time windows: count + min/max value per
     (window, event_type). min/max are order-independent, so the
@@ -69,8 +71,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nanos → micros; keep TimestampType inside the stream (watermarks
     # reject NTZ), cast to NTZ at the edge — session tz is UTC so the
     # wall-clock value is unchanged.
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     return stream
 
 
