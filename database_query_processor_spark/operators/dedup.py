@@ -15,11 +15,13 @@ Scale design (the whole point):
     touches candidate pairs only.
   * SimHash: 64-bit signature per doc; pigeonhole banding (4×16 bits)
     finds all pairs within hamming distance ≤3 without O(n²).
-  * Exact n-gram Jaccard uses an inverted-index join on shingles —
-    output-sensitive, skew-prone on stop-shingles; at scale, drop
-    top-frequency shingles (df cap) exactly like a search engine
-    drops stopwords. Kept exact here since the testdata vocabulary is
-    tiny and the oracle must match.
+  * n-gram Jaccard uses a df-capped inverted-index join on shingles:
+    stop-shingles (document frequency > NGRAM_DF_CAP) never generate
+    candidates — exactly like a search engine drops stopwords — so
+    the candidate space is bounded by |shingles|·cap² regardless of
+    corpus skew; candidate pairs are verified with exact Jaccard over
+    full shingle sets. The cap is deterministic and mirrored in the
+    DuckDB oracle.
 
 All hashing is xxhash64 (Spark built-in, deterministic across runs and
 partitionings) masked to 32 bits for overflow-safe permutation
@@ -164,30 +166,63 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     )
 
 
+NGRAM_DF_CAP = 100  # stop-shingle cutoff: shingles in more docs than this never generate candidates
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = NGRAM_DF_CAP,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs via inverted-index join:
-    explode distinct shingles, self-join on shingle, count shared,
-    jaccard = |∩| / (|A|+|B|−|∩|). Output-sensitive — never builds
-    the full pair matrix."""
-    grams = doc_shingles(df, id_col, text_col, n).select(
-        "doc_id", F.explode("grams").alias("gram")
+    """n-gram Jaccard near-dup pairs via a df-capped inverted-index
+    join: candidates come only from shingles whose document frequency
+    is ≤ df_cap; candidate pairs are then verified with EXACT Jaccard
+    over the full shingle sets (array_intersect), so every emitted
+    jaccard value is exact.
+
+    The cap is the skew guard: without it, one boilerplate shingle
+    shared by 1M docs makes a 10¹²-pair bucket in the self-join. With
+    it the per-shingle bucket is ≤ df_cap, so the candidate space is
+    bounded by |shingles|·df_cap² regardless of corpus skew. Recall
+    trade-off: a pair similar ONLY through stop-shingles is missed —
+    the same trade a search engine makes dropping stopwords. The cap
+    is deterministic, so the DuckDB oracle mirrors it exactly.
+    ``df_cap=None`` disables the guard (oracle/recall testing only)."""
+    from pyspark import StorageLevel
+
+    grams = doc_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    exploded = grams.select("doc_id", F.explode("grams").alias("gram"))
+    if df_cap is not None:
+        rare = (
+            exploded.groupBy("gram")
+            .agg(F.count("*").alias("gram_df"))
+            .filter(F.col("gram_df") <= df_cap)
+            .select("gram")
+        )
+        indexed = exploded.join(rare, "gram")
+    else:
+        indexed = exploded
+    a = indexed.select(F.col("doc_id").alias("id_a"), "gram")
+    b = indexed.select(F.col("doc_id").alias("id_b"), "gram")
+    cands = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    a = grams.alias("a")
-    b = grams.alias("b")
-    shared = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("shared", F.size(F.array_intersect("grams_a", "grams_b")))
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.size("grams_a") + F.size("grams_b") - F.col("shared")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

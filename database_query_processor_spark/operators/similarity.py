@@ -182,17 +182,69 @@ def ann_ivf_topk(
     )
 
 
-def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.5) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine ≥ threshold. Exact pair
-    join here (test scale); the 100 TB path blocks by hyperplane_bucket
-    first — near-identical vectors share all sign bits w.h.p., so the
-    join key becomes (bucket) and the pair space collapses."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+DUP_BANDS = 3
+_BITS_PER_BAND = NUM_HYPERPLANES // DUP_BANDS
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.5,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold.
+
+    Default path is LSH-banded blocking: the 6 hyperplane sign bits are
+    split into 3 bands of 2 bits; two vectors are candidates iff they
+    agree on at least one band, and candidates get an exact cosine
+    verify. The join key is (band, band_value) — an equi-join that
+    shuffles on a real key, so the pair space is Σ_bucket |bucket|²
+    instead of n²: this is the 100 TB path. Banding is deterministic
+    (fixed seeded hyperplanes, double math), so the DuckDB oracle
+    reproduces the candidate set exactly. Recall < 1 by construction
+    (a near-dup pair disagreeing on every band is missed).
+
+    ``exact=True`` keeps the all-pairs O(n²) form — the recall oracle
+    for tests, never the production path."""
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+            .filter(F.col("cos") >= threshold)
+        )
+    mask = (1 << _BITS_PER_BAND) - 1
+    bands = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright(hyperplane_bucket(F.col(vec_col)), _BITS_PER_BAND * j)
+                        .bitwiseAND(mask)
+                        .alias("bval"),
+                    )
+                    for j in range(DUP_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col), F.col(vec_col), F.col("bk.band"), F.col("bk.bval"))
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "band", "bval"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "band", "bval"
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
+        .distinct()
     )
 
 

@@ -15,8 +15,15 @@ def normalize_event_ts(stream: DataFrame, col: str = "ts") -> DataFrame:
     are unchanged.
     """
     dtype = dict(stream.dtypes).get(col)
+    if dtype is None:
+        raise ValueError(f"normalize_event_ts: column {col!r} not in {stream.columns}")
     if dtype == "bigint":
         return stream.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     if dtype == "timestamp_ntz":
         return stream.withColumn(col, F.col(col).cast("timestamp"))
-    return stream
+    if dtype == "timestamp":
+        return stream
+    raise ValueError(
+        f"normalize_event_ts: column {col!r} has unhandled dtype {dtype!r}; "
+        "expected bigint nanos, timestamp_ntz, or timestamp"
+    )

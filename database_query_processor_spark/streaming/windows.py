@@ -68,9 +68,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # nanos → micros; keep TimestampType inside the stream (watermarks
-    # reject NTZ), cast to NTZ at the edge — session tz is UTC so the
-    # wall-clock value is unchanged.
+    # dtype handling and tz reasoning live in normalize_event_ts
     stream = normalize_event_ts(stream)
     return stream
 

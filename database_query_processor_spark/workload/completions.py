@@ -209,12 +209,18 @@ def percentile_(spark, sf_dir):
 
 def approx_distinct(spark, sf_dir):
     """approx_count_distinct (HLL++) — the 100 TB-friendly distinct
-    count. No cross-engine oracle (sketch values are engine-specific);
-    pytest checks relative error vs exact instead."""
+    count — made oracle-checkable: the query emits the EXACT distinct
+    count plus `within_tol` = sketch estimate within 5% (~5 sigma at
+    rsd=0.01) of it, and the DuckDB oracle computes the exact count
+    with literal TRUE. A hash match therefore certifies the sketch's
+    error bound, not just row shape."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
     )
+    tol = F.abs(F.col("approx") - F.col("exact_parts")) <= 0.05 * F.col("exact_parts") + 0.5
+    return agg.select("l_returnflag", "exact_parts", tol.alias("within_tol"))
 
 
 def union_all(spark, sf_dir):
@@ -318,11 +324,18 @@ def outer_join(spark, sf_dir):
 
 
 def scalar_subquery(spark, sf_dir):
-    """Scalar subquery: orders above 2× the deterministic average price."""
+    """Scalar subquery: orders above 2× the deterministic average
+    price. The single-row aggregate joins back via broadcast crossJoin
+    — the plan stays lazy (no job at build time) and single-pass, with
+    the threshold evaluated executor-side like Catalyst's own scalar
+    subquery rewrite."""
     o = _t(spark, sf_dir, "orders")
     avg_row = o.agg((F.sum(dec("o_totalprice", 18, 2)).cast("double") / F.count("*")).alias("a"))
-    threshold = 2.0 * avg_row.collect()[0]["a"]
-    return o.filter(F.col("o_totalprice") > threshold).select("o_orderkey", "o_totalprice")
+    return (
+        o.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("o_totalprice") > 2.0 * F.col("a"))
+        .select("o_orderkey", "o_totalprice")
+    )
 
 
 def scalar_functions(spark, sf_dir):
@@ -364,13 +377,39 @@ def pivot_(spark, sf_dir):
 def approx_percentile_(spark, sf_dir):
     """Approximate percentiles (GK sketch): mergeable partial sketches
     shuffle O(1/ε) summaries, never the values — the scale path where
-    c21's exact percentile needs a full sort. Engine-specific values →
-    rows-only check; tests/test_sketches.py pins the error bound
-    against the exact result."""
+    c21's exact percentile needs a full sort. Oracle-checkable form:
+    each sketch quantile must land inside the exact rank window
+    [percentile(q−0.01), percentile(q+0.01)] (accuracy=10000 → ε=1e-4;
+    ±1% rank is the generous hard bound also pinned in
+    tests/test_sketches.py). The emitted booleans + exact row count
+    hash-match a TRUE-literal DuckDB oracle."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.select(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.9], 10000).alias("approx_pcts")
+    qs = [0.25, 0.5, 0.75, 0.9]
+    approx = F.percentile_approx("l_extendedprice", qs, 10000)
+    lo = F.expr(
+        "percentile(l_extendedprice, array({}))".format(
+            ", ".join(f"{q - 0.01}D" for q in qs)
+        )
     )
+    hi = F.expr(
+        "percentile(l_extendedprice, array({}))".format(
+            ", ".join(f"{q + 0.01}D" for q in qs)
+        )
+    )
+    agg = li.agg(
+        F.count("*").alias("n_rows"),
+        approx.alias("a"),
+        lo.alias("lo"),
+        hi.alias("hi"),
+    )
+    oks = [
+        (
+            (F.element_at("a", i + 1) >= F.element_at("lo", i + 1))
+            & (F.element_at("a", i + 1) <= F.element_at("hi", i + 1))
+        ).alias(f"q{int(q * 100)}_ok")
+        for i, q in enumerate(qs)
+    ]
+    return agg.select("n_rows", *oks)
 
 
 def unpivot_(spark, sf_dir):
@@ -406,38 +445,50 @@ def filtered_agg(spark, sf_dir):
     )
 
 
-def sketch_rollup(spark, sf_dir):
-    """Mergeable-sketch pre-aggregation (DataSketches HLL): per-hour
-    user sketches union-merged to daily distinct estimates. THE
-    pattern for distinct-counting 100 TB incrementally — fine-grained
-    jobs persist ~KB sketches, the rollup merges sketches instead of
-    re-scanning history, and a day costs 24 sketch merges regardless
-    of row count. Sketch bytes are engine-specific → rows-only driver
-    check; tests/test_sketches.py pins the estimate error against
-    exact countDistinct AND merged≡direct equality."""
-    e = _t(spark, sf_dir, "events")
+def hll_daily_estimates(e):
+    """(day, approx_users): per-hour HLL sketches union-merged to
+    daily estimates — the raw rollup, shared by the c45 query and the
+    mergeability tests."""
     hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
         F.hll_sketch_agg("user_id", 12).alias("sk")
     )
     daily = hourly.groupBy(F.date_trunc("day", "hour").alias("day")).agg(
         F.hll_union_agg("sk").alias("dsk")
     )
-    return daily.select(
-        "day", F.hll_sketch_estimate("dsk").alias("approx_users")
-    ).orderBy("day")
+    return daily.select("day", F.hll_sketch_estimate("dsk").alias("approx_users"))
 
 
-def kll_quantile_rollup(spark, sf_dir):
-    """Mergeable quantile sketches (DataSketches KLL): per-hour value
-    sketches folded into daily p50/p95 estimates. The quantile
-    counterpart of c45's HLL rollup — percentiles over 100 TB without
-    a global sort, and incrementally: history contributes KB sketches,
-    not rows. kll_sketch_merge_double is a binary merge, so the daily
-    fold is an explicit array aggregate over the collected hourly
-    sketches — mergeability on display. Engine-specific sketch values
-    → rows-only driver check; tests/test_sketches.py pins rank error
-    against the exact per-day percentiles."""
+def sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch pre-aggregation (DataSketches HLL): per-hour
+    user sketches union-merged to daily distinct estimates. THE
+    pattern for distinct-counting 100 TB incrementally — fine-grained
+    jobs persist ~KB sketches, the rollup merges sketches instead of
+    re-scanning history, and a day costs 24 sketch merges regardless
+    of row count. Oracle-checkable form: emit the exact per-day
+    distinct count plus `within_tol` = merged estimate within 5%
+    (lgConfigK=12 → ~1.6% rsd, 5% ≈ 3 sigma); DuckDB computes the
+    exact count with literal TRUE, so the hash match certifies the
+    rollup's error bound. Mergeability (merged ≡ direct sketch) is
+    pinned separately in tests/test_sketches.py."""
     e = _t(spark, sf_dir, "events")
+    est = hll_daily_estimates(e)
+    exact = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    tol = F.abs(F.col("approx_users") - F.col("n_users")) <= 0.05 * F.col("n_users") + 0.5
+    return (
+        est.join(exact, "day")
+        .select("day", "n_users", tol.alias("within_tol"))
+        .orderBy("day")
+    )
+
+
+def kll_daily_quantiles(e):
+    """(day, median_value, p95_value): hourly KLL sketches folded to
+    daily quantile estimates — the raw rollup, shared by the c46 query
+    and the rank-error tests. kll_sketch_merge_double is a binary
+    merge, so the daily fold is an explicit array aggregate over the
+    collected hourly sketches — mergeability on display."""
     hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
         F.kll_sketch_agg_double("value", F.lit(200)).alias("sk")
     )
@@ -456,7 +507,35 @@ def kll_quantile_rollup(spark, sf_dir):
         "day",
         F.kll_sketch_get_quantile_double("dsk", F.lit(0.5)).alias("median_value"),
         F.kll_sketch_get_quantile_double("dsk", F.lit(0.95)).alias("p95_value"),
-    ).orderBy("day")
+    )
+
+
+def kll_quantile_rollup(spark, sf_dir):
+    """Mergeable quantile sketches (DataSketches KLL): per-hour value
+    sketches folded into daily p50/p95 estimates. The quantile
+    counterpart of c45's HLL rollup — percentiles over 100 TB without
+    a global sort, and incrementally: history contributes KB sketches,
+    not rows. Oracle-checkable form: each estimate must land inside
+    the exact per-day rank window [percentile(q−0.03),
+    percentile(q+0.03)] (k=200 → ε≈1.3% rank error; 3% hard bound,
+    same as tests/test_sketches.py); emitted booleans + exact row
+    count hash-match a TRUE-literal DuckDB oracle."""
+    e = _t(spark, sf_dir, "events")
+    est = kll_daily_quantiles(e)
+    exact = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.expr("percentile(value, 0.47D)").alias("p50_lo"),
+        F.expr("percentile(value, 0.53D)").alias("p50_hi"),
+        F.expr("percentile(value, 0.92D)").alias("p95_lo"),
+        F.expr("percentile(value, 0.98D)").alias("p95_hi"),
+    )
+    p50_ok = (F.col("median_value") >= F.col("p50_lo")) & (F.col("median_value") <= F.col("p50_hi"))
+    p95_ok = (F.col("p95_value") >= F.col("p95_lo")) & (F.col("p95_value") <= F.col("p95_hi"))
+    return (
+        est.join(exact, "day")
+        .select("day", "n_events", p50_ok.alias("p50_ok"), p95_ok.alias("p95_ok"))
+        .orderBy("day")
+    )
 
 
 def window_range_frame(spark, sf_dir):
@@ -541,11 +620,34 @@ def json_extract(spark, sf_dir):
     )
 
 
+THETA_SET_OPS_SQL = """
+WITH e AS (SELECT DISTINCT event_type, user_id FROM events
+           WHERE ts < TIMESTAMP '2024-01-03'),
+c AS (SELECT user_id FROM e WHERE event_type = 'click'),
+b AS (SELECT user_id FROM e WHERE event_type = 'purchase')
+SELECT (SELECT COUNT(*) FROM c JOIN b USING (user_id)) AS n_both,
+       (SELECT COUNT(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_click_only,
+       TRUE AS both_ok, TRUE AS click_only_ok
+"""
+
 JSON_EXTRACT_SQL = """
 WITH j AS (SELECT event_type, CAST(props->>'k' AS INTEGER) AS k FROM events)
 SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
 FROM j WHERE k > 50 GROUP BY event_type
 """
+
+
+def theta_estimates(e):
+    """(both, click_only) theta-sketch estimates over a pre-filtered
+    events frame — the raw sketch math, shared by the c48 query and
+    the exactness tests."""
+    sk = e.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    click = sk.filter(F.col("event_type") == "click").select(F.col("sk").alias("click_sk"))
+    buy = sk.filter(F.col("event_type") == "purchase").select(F.col("sk").alias("buy_sk"))
+    return click.join(F.broadcast(buy)).select(
+        F.theta_sketch_estimate(F.theta_intersection("click_sk", "buy_sk")).alias("both"),
+        F.theta_sketch_estimate(F.theta_difference("click_sk", "buy_sk")).alias("click_only"),
+    )
 
 
 def theta_set_ops(spark, sf_dir):
@@ -554,17 +656,34 @@ def theta_set_ops(spark, sf_dir):
     mergeable sketches — audience overlap without materializing either
     id set (HLL can union but NOT intersect; theta sketches keep the
     sample needed for ∩ and ∖, the reason both families exist).
-    Engine-specific sketch internals → rows-only driver check;
-    tests/test_sketches.py pins both estimates against exact."""
+    Oracle-checkable form: emit the exact intersection/difference
+    sizes plus booleans that each estimate is within 5% of exact
+    (below the 4096-entry nominal the sketch is exact, so these hold
+    with zero slack at test scale); DuckDB computes the exact set
+    sizes with literal TRUEs."""
     e = _t(spark, sf_dir, "events").filter(
         F.col("ts") < F.lit("2024-01-03").cast("timestamp")
     )
-    sk = e.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
-    click = sk.filter(F.col("event_type") == "click").select(F.col("sk").alias("click_sk"))
-    buy = sk.filter(F.col("event_type") == "purchase").select(F.col("sk").alias("buy_sk"))
-    return click.join(F.broadcast(buy)).select(
-        F.theta_sketch_estimate(F.theta_intersection("click_sk", "buy_sk")).alias("both"),
-        F.theta_sketch_estimate(F.theta_difference("click_sk", "buy_sk")).alias("click_only"),
+    est = theta_estimates(e)
+    click_ids = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buy_ids = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    n_both = click_ids.join(buy_ids, "user_id").agg(F.count("*").alias("n_both"))
+    n_click_only = click_ids.join(buy_ids, "user_id", "left_anti").agg(
+        F.count("*").alias("n_click_only")
+    )
+    both_ok = F.abs(F.col("both") - F.col("n_both")) <= 0.05 * F.col("n_both") + 0.5
+    click_only_ok = (
+        F.abs(F.col("click_only") - F.col("n_click_only")) <= 0.05 * F.col("n_click_only") + 0.5
+    )
+    return (
+        est.crossJoin(F.broadcast(n_both))
+        .crossJoin(F.broadcast(n_click_only))
+        .select(
+            "n_both",
+            "n_click_only",
+            both_ok.alias("both_ok"),
+            click_only_ok.alias("click_only_ok"),
+        )
     )
 
 
@@ -889,8 +1008,11 @@ SPECS = [
               "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty "
               "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
               "CUBE grouping sets"),
-    QuerySpec("c06_approx_count_distinct", approx_distinct, None,
-              "HLL++ approximate distinct (scale path; engine-specific sketch → rows-only)"),
+    QuerySpec("c06_approx_count_distinct", approx_distinct,
+              "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, "
+              "TRUE AS within_tol FROM lineitem GROUP BY l_returnflag",
+              "HLL++ approximate distinct, self-validating: hash match certifies "
+              "the sketch is within 5% of the exact count"),
     QuerySpec("c07_union_all", union_all,
               "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 250000.0 "
               "UNION ALL SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 1000.0",
@@ -969,23 +1091,29 @@ SPECS = [
               "quantile_cont(l_quantity, 0.95) AS p95_qty "
               "FROM lineitem GROUP BY l_returnflag",
               "exact percentiles per group"),
-    QuerySpec("c24_approx_percentile", approx_percentile_, None,
-              "approximate percentiles via mergeable GK sketch (engine-specific "
-              "values → rows-only; error bound pinned in tests/test_sketches.py)"),
+    QuerySpec("c24_approx_percentile", approx_percentile_,
+              "SELECT COUNT(*) AS n_rows, TRUE AS q25_ok, TRUE AS q50_ok, "
+              "TRUE AS q75_ok, TRUE AS q90_ok FROM lineitem",
+              "approximate percentiles via mergeable GK sketch, self-validating: "
+              "hash match certifies each quantile is within ±1% rank of exact"),
     QuerySpec("c25_unpivot", unpivot_, UNPIVOT_SQL,
               "UNPIVOT/melt to long form (scan-side Expand, no shuffle)"),
     QuerySpec("c26_count_distinct_grouped", count_distinct_grouped,
               "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, "
               "COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority",
               "grouped exact COUNT(DISTINCT) (Expand-based distinct rewrite)"),
-    QuerySpec("c45_sketch_rollup", sketch_rollup, None,
-              "DataSketches HLL rollup: daily user sketches union-merged to "
-              "monthly distinct estimates (incremental 100 TB distinct-count "
-              "pattern; error bound pinned in tests/test_sketches.py)"),
-    QuerySpec("c46_kll_quantile_rollup", kll_quantile_rollup, None,
+    QuerySpec("c45_sketch_rollup", sketch_rollup,
+              "SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS n_users, "
+              "TRUE AS within_tol FROM events GROUP BY 1 ORDER BY 1",
+              "DataSketches HLL rollup: hourly user sketches union-merged to "
+              "daily distinct estimates (incremental 100 TB distinct-count "
+              "pattern), self-validating vs exact within 5%"),
+    QuerySpec("c46_kll_quantile_rollup", kll_quantile_rollup,
+              "SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events, "
+              "TRUE AS p50_ok, TRUE AS p95_ok FROM events GROUP BY 1 ORDER BY 1",
               "DataSketches KLL rollup: hourly value sketches folded to daily "
-              "p50/p95 (mergeable-quantile 100 TB pattern; rank error pinned "
-              "in tests/test_sketches.py)"),
+              "p50/p95 (mergeable-quantile 100 TB pattern), self-validating "
+              "within ±3% rank of exact"),
     QuerySpec("c47_window_range_frame", window_range_frame, RANGE_FRAME_SQL,
               "RANGE-framed window: 7-day trailing spend per customer "
               "(value-distance frame, not row-count)"),
@@ -995,9 +1123,9 @@ SPECS = [
     QuerySpec("c52_json_extract", json_extract, JSON_EXTRACT_SQL,
               "semi-structured: typed from_json over the events props "
               "column + filter/agg on the extracted field"),
-    QuerySpec("c48_theta_set_ops", theta_set_ops, None,
+    QuerySpec("c48_theta_set_ops", theta_set_ops, THETA_SET_OPS_SQL,
               "theta-sketch set operations: audience intersection/difference "
-              "estimates (exactness pinned in tests/test_sketches.py)"),
+              "estimates, self-validating vs exact set sizes"),
     QuerySpec("c27_filtered_agg", filtered_agg, FILTERED_AGG_SQL,
               "conditional aggregation (FILTER clause) in one pass"),
     QuerySpec("c19_pivot", pivot_,

@@ -50,11 +50,37 @@ SELECT id_a, id_b, shared / (na + nb - shared) AS jaccard
 FROM pairs WHERE shared / (na + nb - shared) >= 0.5
 """
 
+# Mirrors the df-capped inverted index in ngram_jaccard_pairs: shingles
+# with document frequency > NGRAM_DF_CAP generate no candidates; found
+# pairs are verified with exact Jaccard over the full shingle sets.
+JACCARD_CAPPED_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, {GRAMS_SQL} AS grams FROM t),
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) <= {DD.NGRAM_DF_CAP}),
+idx AS (SELECT doc_id, gram FROM ex JOIN rare USING (gram)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM idx a JOIN idx b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+v AS (SELECT id_a, id_b,
+             len(list_intersect(ga.grams, gb.grams)) AS shared,
+             len(ga.grams) AS na, len(gb.grams) AS nb
+      FROM cand JOIN g ga ON cand.id_a = ga.doc_id
+                JOIN g gb ON cand.id_b = gb.doc_id)
+SELECT id_a, id_b, shared / (na + nb - shared) AS jaccard
+FROM v WHERE shared / (na + nb - shared) >= 0.5
+"""
+
+# Mirrors the banded-LSH blocking in embedding_dup_pairs: same bucket
+# bits, same 3 bands of 2 bits, same exact-cosine verify — the oracle
+# reproduces the candidate set bit-for-bit (banding is deterministic).
 COSINE_PAIRS_SQL = f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+WITH b AS (SELECT vec_id, embedding, {SIM.sql_hyperplane_bucket('embedding')} AS bucket
+           FROM embeddings),
+bands AS (SELECT vec_id, embedding, band, (bucket >> (2 * band)) & 3 AS bval
+          FROM b, (SELECT unnest([0, 1, 2]) AS band) t)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
        {SIM.sql_cosine('a.embedding', 'b.embedding')} AS cos
-FROM e a JOIN e b ON a.vec_id < b.vec_id
+FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
 WHERE {SIM.sql_cosine('a.embedding', 'b.embedding')} >= 0.5
 """
 
@@ -1030,8 +1056,8 @@ SPECS = [
               "LSH recall ≈1 at observed dup similarity)", bench=True),
     QuerySpec("x03_dedup_simhash", dedup_simhash, None,
               "SimHash-64 near-dups, hamming ≤3 via pigeonhole banding (xxhash64 → rows-only)"),
-    QuerySpec("x04_dedup_ngram_jaccard", dedup_ngram_jaccard, JACCARD_PAIRS_SQL,
-              "exact word-3-gram Jaccard pairs via inverted-index join"),
+    QuerySpec("x04_dedup_ngram_jaccard", dedup_ngram_jaccard, JACCARD_CAPPED_SQL,
+              "word-3-gram Jaccard pairs via df-capped inverted-index join + exact verify"),
     QuerySpec("x05_dedup_embedding", dedup_embedding, COSINE_PAIRS_SQL,
               "embedding cosine near-dup pairs (bit-exact double math)"),
     QuerySpec("x06_sim_cosine_topk", sim_cosine_topk, COSINE_TOPK_SQL,

@@ -262,6 +262,17 @@ def test_boilerplate_ngrams_plan(spark):
     assert "Join" not in plan, plan
 
 
+def test_embedding_dedup_is_blocked_equi_join(spark):
+    """x05: near-dup pair generation must join on the (band, bval) LSH
+    blocking key — a real equi-join — never an inequality-only pair
+    join (CartesianProduct / BroadcastNestedLoopJoin), which is O(n²)
+    and dies at scale."""
+    df = _specs()["x05_dedup_embedding"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "Join" in plan, plan
+
+
 def test_lateral_topk_decorrelated(spark):
     """c55: the correlated LATERAL subquery must decorrelate into a
     WindowGroupLimit (partial top-k below the exchange) + one join —

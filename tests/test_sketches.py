@@ -66,14 +66,14 @@ def test_approx_percentile_within_rank_error(spark):
 
 
 def test_hll_sketch_rollup_error_bound(spark):
-    """Monthly estimates from union-merged daily HLL sketches must
-    track exact per-month COUNT(DISTINCT) within the lgConfigK=12
-    error envelope (~1.6% rsd; assert 5% = ~3 sigma); per-day granularity."""
-    from database_query_processor_spark.workload.completions import sketch_rollup
+    """Daily estimates from union-merged hourly HLL sketches must
+    track exact per-day COUNT(DISTINCT) within the lgConfigK=12
+    error envelope (~1.6% rsd; assert 5% = ~3 sigma)."""
+    from database_query_processor_spark.workload.completions import hll_daily_estimates
 
     approx = {
         r["day"]: r["approx_users"]
-        for r in sketch_rollup(spark, SF).collect()
+        for r in hll_daily_estimates(load_table(spark, SF, "events")).collect()
     }
     e = load_table(spark, SF, "events")
     exact = {
@@ -96,9 +96,9 @@ def test_hll_merge_equals_direct_sketch(spark):
         e.groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("est"))
     )
-    from database_query_processor_spark.workload.completions import sketch_rollup
+    from database_query_processor_spark.workload.completions import hll_daily_estimates
 
-    merged = sketch_rollup(spark, SF)
+    merged = hll_daily_estimates(e)
     d = {r["day"]: r["est"] for r in direct.collect()}
     m = {r["day"]: r["approx_users"] for r in merged.collect()}
     assert d == m
@@ -109,11 +109,11 @@ def test_kll_rollup_rank_error(spark):
     a small RANK error of exact: the value at the estimated rank may
     differ, but its true rank must be within epsilon of the target
     (k=200 -> eps ~1.3%; assert 3%)."""
-    from database_query_processor_spark.workload.completions import kll_quantile_rollup
+    from database_query_processor_spark.workload.completions import kll_daily_quantiles
 
-    approx = {r["day"]: (r["median_value"], r["p95_value"])
-              for r in kll_quantile_rollup(spark, SF).collect()}
     e = load_table(spark, SF, "events")
+    approx = {r["day"]: (r["median_value"], r["p95_value"])
+              for r in kll_daily_quantiles(e).collect()}
     rows = (
         e.groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(F.sort_array(F.collect_list("value")).alias("vals"))
@@ -132,12 +132,12 @@ def test_theta_set_ops_track_exact(spark):
     """Theta intersection/difference estimates vs exact set sizes: at
     150 distinct users the sketch (default lgK=12, 4096 slots) is in
     exact mode — estimates must equal the true counts."""
-    from database_query_processor_spark.workload.completions import theta_set_ops
+    from database_query_processor_spark.workload.completions import theta_estimates
 
-    row = theta_set_ops(spark, SF).collect()[0]
     e = load_table(spark, SF, "events").filter(
         F.col("ts") < F.lit("2024-01-03").cast("timestamp")
     )
+    row = theta_estimates(e).collect()[0]
     click = {r["user_id"] for r in e.filter(F.col("event_type") == "click").select("user_id").distinct().collect()}
     buy = {r["user_id"] for r in e.filter(F.col("event_type") == "purchase").select("user_id").distinct().collect()}
     assert round(row["both"]) == len(click & buy), (row["both"], len(click & buy))

@@ -49,3 +49,36 @@ def test_salt_fans_out_hot_key(spark):
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8))
     n_salts = left.withColumn("s", salt).filter("k = 0").select("s").distinct().count()
     assert n_salts == 8
+
+
+def _boilerplate_corpus(spark, n_docs=400):
+    """Every doc shares one boilerplate sentence (a stop-shingle hot
+    key: df = n_docs) plus unique filler; docs 0 and 1 are verbatim
+    duplicates of each other."""
+    boiler = "subscribe to our newsletter for updates today"
+    rows = []
+    for i in range(n_docs):
+        uniq = f"doc {i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"
+        rows.append((i, f"{boiler} {uniq}" if i > 1 else f"{boiler} shared dup body text here"))
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_ngram_df_cap_bounds_stop_shingle_bucket(spark):
+    """x04 skew guard: with a planted stop-shingle in all 400 docs, the
+    capped inverted index must drop it — candidate space stays
+    output-sensitive instead of 400²/2 pairs — while a genuine
+    duplicate pair (unique shingles, df=2 ≤ cap) is still found with
+    its exact Jaccard."""
+    from database_query_processor_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _boilerplate_corpus(spark)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", df_cap=10).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found, pairs
+    # jaccard for the dup pair is exact over FULL shingle sets (the
+    # boilerplate shingles count in the verify even though capped out
+    # of candidate generation)
+    dup = next(r for r in pairs if (r.id_a, r.id_b) == (0, 1))
+    assert dup.jaccard == 1.0
+    # no pair should arise from boilerplate-only similarity
+    assert all((a, b) == (0, 1) for a, b in found), found
