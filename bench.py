@@ -7,6 +7,19 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is forced to full materialization with a noop sink (no
 driver collect — the sink write exercises the whole distributed plan).
+
+Noise control (a single long-lived JVM accumulates hundreds of stages
+of GC debt across the suite; back-to-back whole-suite runs historically
+swung individual queries 2-3×):
+  * every run is preceded by spark.catalog.clearCache() — builders
+    that persist() intermediates (x02/x04/x24) otherwise leak a new
+    cached copy per build and the accumulated pressure bleeds into
+    later queries;
+  * an explicit JVM System.gc() barrier between queries keeps one
+    query's garbage from being collected inside the next one's timing;
+  * 2 warm runs (JIT/codegen) then 5 timed runs, reporting the MIN —
+    for a deterministic plan the minimum is the plan's intrinsic cost;
+    GC/scheduler interference only ever adds time.
 """
 
 from __future__ import annotations
@@ -19,25 +32,37 @@ import time
 from database_query_processor_spark.session import get_spark
 from database_query_processor_spark.workload import all_specs
 
+WARM_RUNS = 2
+TIMED_RUNS = 5
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="dqps-bench", driver_memory="64g")
 
+    def _run(spec) -> None:
+        spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    def _gc_barrier() -> None:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
     specs = [s for s in all_specs() if s.bench]
     timings: dict[str, float] = {}
     for spec in specs:
         try:
-            df = spec.build(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()  # warm (JIT/codegen/cache)
+            _gc_barrier()
+            for _ in range(WARM_RUNS):
+                _run(spec)
             runs = []
-            for _ in range(3):  # median-of-3: JVM/GC noise dominates at this scale
+            for _ in range(TIMED_RUNS):
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                _run(spec)
                 runs.append(time.perf_counter() - t0)
-            timings[spec.name] = round(sorted(runs)[1], 3)
-            print(f"  {spec.name}: {timings[spec.name]}s {[round(r,2) for r in runs]}", file=sys.stderr)
+            timings[spec.name] = round(min(runs), 3)
+            print(f"  {spec.name}: {timings[spec.name]}s {[round(r, 2) for r in runs]}", file=sys.stderr)
         except Exception as ex:  # one broken query must not zero the whole bench
             timings[spec.name] = -1.0
             print(f"  {spec.name}: FAILED {type(ex).__name__}: {ex}", file=sys.stderr)

@@ -191,9 +191,7 @@ def ngram_jaccard_pairs(
     the same trade a search engine makes dropping stopwords. The cap
     is deterministic, so the DuckDB oracle mirrors it exactly.
     ``df_cap=None`` disables the guard (oracle/recall testing only)."""
-    from pyspark import StorageLevel
-
-    grams = doc_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    grams = doc_shingles(df, id_col, text_col, n)
     exploded = grams.select("doc_id", F.explode("grams").alias("gram"))
     if df_cap is not None:
         rare = (
@@ -229,7 +227,11 @@ def ngram_jaccard_pairs(
 
 
 def minhash_dedup_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates →
     exact-Jaccard verification of the CANDIDATE PAIRS ONLY (join each
@@ -239,13 +241,19 @@ def minhash_dedup_pairs(
     (≥0.9) is ≈1, so the verified output equals the exact-Jaccard pair
     set (which is what the DuckDB oracle computes quadratically).
 
-    The shingle sets are computed ONCE and persisted — signatures,
-    and both sides of the verify join, read the materialized arrays
-    instead of re-running tokenize→ngram per consumer (at 100 TB
-    you'd checkpoint this to parquet; MEMORY_AND_DISK spills fine)."""
-    from pyspark import StorageLevel
+    The shingle pipeline feeds three consumers (signatures + both
+    verify sides). Default is recompute-per-branch: shingling is a
+    cheap scan-side map relative to the memory-store churn a persist
+    causes in a shared JVM (measured: persist is slower AND 3×
+    noisier at bench scale). ``persist_shingles=True`` materializes
+    the arrays once for clusters provisioned for it — at 100 TB the
+    better form of the same idea is checkpointing the shingle table
+    to parquet so all three consumers scan columnar storage."""
+    grams = doc_shingles(df, id_col, text_col)
+    if persist_shingles:
+        from pyspark import StorageLevel
 
-    grams = doc_shingles(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(_signature_from_shingles(grams))
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
