@@ -10,6 +10,7 @@ tests/test_sources.py instead.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from database_query_processor_spark.catalog import load_table
@@ -34,6 +35,36 @@ def randomdb_generate(spark, sf_dir):
 
 
 _ROUNDTRIP_ORACLE = "SELECT doc_id, text FROM documents"
+
+_JAVASER_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures",
+)
+
+_JAVASER_ORACLE = f"""
+SELECT cartid, cid, status, remarks
+FROM read_csv('{os.path.join(_JAVASER_FIXTURE, "CART.txt")}', delim='\t',
+              header=false, columns={{'cartid': 'INTEGER', 'cid': 'INTEGER',
+              'status': 'VARCHAR', 'remarks': 'VARCHAR', 'trail': 'VARCHAR'}})
+"""
+
+
+def javaser_read(spark, sf_dir):
+    """Load a table in the reference's NATIVE on-disk format — the
+    Java-serialized `<T>.md` schema + `<T>.tbl` tuple stream its
+    RandomDB/ConvertTxtToTbl write (src/ConvertTxtToTbl.java:30,69;
+    src/qp/operators/Scan.java:49) — decoded executor-side by the
+    pure-Python protocol reader in sources/javaser.py. The committed
+    fixture was produced by the reference's own javac'd tools; the
+    oracle reads the reference's parallel `.txt` dump of the same
+    rows (sf_dir unused: the fixture IS the dataset)."""
+    from database_query_processor_spark.sources.javaser import read_tbl_dataset
+
+    return read_tbl_dataset(
+        spark,
+        os.path.join(_JAVASER_FIXTURE, "CART.md"),
+        os.path.join(_JAVASER_FIXTURE, "CART.tbl"),
+    )
 
 
 def orc_roundtrip(spark, sf_dir):
@@ -136,4 +167,8 @@ SPECS = [
     QuerySpec("src03_csv_roundtrip", csv_roundtrip, _ROUNDTRIP_ORACLE,
               "CSV sink + schema'd CSV source roundtrip "
               "(ConvertTxtToTbl-surface equivalent)"),
+    QuerySpec("src06_javaser_native_read", javaser_read, _JAVASER_ORACLE,
+              "reference-native table load: Java-serialized .md/.tbl "
+              "decoded executor-side (binaryFile + mapInPandas), "
+              "oracle = the reference's own .txt dump"),
 ]

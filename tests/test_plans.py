@@ -35,6 +35,9 @@ PANDAS_OK = {
     "x14_multimodal_resize",
     "x15_multimodal_frames",
     "x16_multimodal_features",
+    # non-splittable foreign format: whole-file decode is necessarily
+    # Python (pure-Python Java-deserialization), Arrow-batched per file
+    "src06_javaser_native_read",
 }
 # Streaming specs execute during build (memory-sink result table);
 # their returned plan is the sink read, not the streaming topology.
