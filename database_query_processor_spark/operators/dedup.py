@@ -166,7 +166,7 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     )
 
 
-NGRAM_DF_CAP = 100  # stop-shingle cutoff: shingles in more docs than this never generate candidates
+NGRAM_DF_CAP = 100  # stop-shingle cutoff: shingles in more docs than this are excluded from the Jaccard universe
 
 
 def ngram_jaccard_pairs(
@@ -177,22 +177,25 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     df_cap: int | None = NGRAM_DF_CAP,
 ) -> DataFrame:
-    """n-gram Jaccard near-dup pairs via a df-capped inverted-index
-    join: candidates come only from shingles whose document frequency
-    is ≤ df_cap; candidate pairs are then verified with EXACT Jaccard
-    over the full shingle sets (array_intersect), so every emitted
-    jaccard value is exact.
+    """Stopword-filtered n-gram Jaccard near-dup pairs: Jaccard is
+    computed over the df-CAPPED shingle universe — shingles with
+    document frequency > df_cap count toward neither the intersection
+    nor the set sizes, exactly as a search engine scores similarity
+    after dropping stopwords. Within that universe the similarity is
+    EXACT and the whole pipeline is one inverted-index self-join:
+    |∩| = per-pair match count, sizes from a per-doc count, never an
+    array shuffled or intersected.
 
-    The cap is the skew guard: without it, one boilerplate shingle
-    shared by 1M docs makes a 10¹²-pair bucket in the self-join. With
-    it the per-shingle bucket is ≤ df_cap, so the candidate space is
-    bounded by |shingles|·df_cap² regardless of corpus skew. Recall
-    trade-off: a pair similar ONLY through stop-shingles is missed —
-    the same trade a search engine makes dropping stopwords. The cap
-    is deterministic, so the DuckDB oracle mirrors it exactly.
-    ``df_cap=None`` disables the guard (oracle/recall testing only)."""
-    grams = doc_shingles(df, id_col, text_col, n)
-    exploded = grams.select("doc_id", F.explode("grams").alias("gram"))
+    The cap is also the skew guard: without it, one boilerplate
+    shingle shared by 1M docs makes a 10¹²-pair bucket in the
+    self-join; with it the per-shingle bucket is ≤ df_cap, so the
+    join's pair space is bounded by |shingles|·df_cap² under ANY
+    corpus skew. The cap is deterministic, so the DuckDB oracle
+    mirrors it exactly. ``df_cap=None`` disables the filter (plain
+    exact Jaccard; oracle/recall testing only)."""
+    exploded = doc_shingles(df, id_col, text_col, n).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
     if df_cap is not None:
         rare = (
             exploded.groupBy("gram")
@@ -200,27 +203,24 @@ def ngram_jaccard_pairs(
             .filter(F.col("gram_df") <= df_cap)
             .select("gram")
         )
-        indexed = exploded.join(rare, "gram")
+        indexed = exploded.join(rare, "gram")  # vocab-sized side: AQE broadcasts it when it fits
     else:
         indexed = exploded
+    sizes = indexed.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = indexed.select(F.col("doc_id").alias("id_a"), "gram")
     b = indexed.select(F.col("doc_id").alias("id_b"), "gram")
-    cands = (
+    shared = (
         a.join(b, "gram")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
     )
-    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
     return (
-        cands.join(ga, "id_a")
-        .join(gb, "id_b")
-        .withColumn("shared", F.size(F.array_intersect("grams_a", "grams_b")))
-        .withColumn(
-            "jaccard",
-            F.col("shared") / (F.size("grams_a") + F.size("grams_b") - F.col("shared")),
-        )
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

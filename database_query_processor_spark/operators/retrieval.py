@@ -1,0 +1,164 @@
+"""Lexical retrieval and language-model scoring over document corpora
+— the query-side complement of the dedup/similarity operators (no
+reference analog; the reference has no text surface at all beyond
+STRING equality, src/qp/utils/Attribute.java:11-13).
+
+Scale design:
+  * BM25: term frequencies come from one explode+groupBy over the
+    token stream (shuffle keyed by (doc, term), map-side combined);
+    document frequencies and corpus stats are tiny aggregates that
+    broadcast. Scoring is scan-side arithmetic; the top-k is
+    TakeOrderedAndProject (per-partition heaps, driver merges k rows
+    — never a global sort). At 100 TB the only big shuffle carries
+    (doc_id, term, count) for QUERY TERMS ONLY — filtered before the
+    shuffle, so cost scales with hit count, not corpus size.
+  * Unigram-LM scoring: the "train" pass is a token-frequency
+    aggregate (one shuffle of (term, count)); the "score" pass joins
+    per-token log-probs back and fold-sums them per document. The
+    vocabulary table broadcasts; the fold is over each document's own
+    token array, so scoring is embarrassingly parallel.
+
+Cross-engine determinism: every floating-point reduction is an
+ORDERED sequential fold (sort_array + F.aggregate here, list_sum
+over an ORDER BY'd list in the DuckDB oracle) — float addition is
+not associative, so an unordered SUM() would hash-mismatch even with
+both engines bit-correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from database_query_processor_spark.functions.text import tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 top-k: score = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl)) with the Robertson-Sparck-Jones
+    idf = ln((N − df + 0.5)/(df + 0.5) + 1). Per-document term scores
+    are summed in term order (sorted struct array + sequential fold)
+    so the result is bit-reproducible across engines and
+    partitionings."""
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tscore = (
+        idf
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", F.struct(F.col("tok"), tscore.alias("s")).alias("ts"))
+    )
+    # round to 9 decimals: JVM Math.log and C libm log() legally differ
+    # in the last ulp (~2e-16 here), which would break the cross-engine
+    # value hash; 9 decimals is far above ulp noise and far below any
+    # meaningful score distinction
+    return (
+        per_term.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("ts")).alias("arr"))
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate(F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["s"]), 9
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def sql_bm25_topk(terms: list[str], k: int = 10, toks_sql: str = "") -> str:
+    """DuckDB oracle mirroring bm25_topk bit-for-bit (same fold order,
+    same double arithmetic)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({toks_sql}) AS tok FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n_docs,
+                  cast(sum(dl) AS double) / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+       WHERE tok IN ({in_list}) GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+ts AS (SELECT tf.doc_id, tf.tok,
+              ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+              * (tf * ({BM25_K1} + 1.0))
+              / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl)) AS s
+       FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus)
+SELECT doc_id, round(list_sum(list(s ORDER BY tok)), 9) AS score
+FROM ts GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-trained unigram-LM quality score (the CCNet/perplexity
+    filtering shape): nll(doc) = −(1/|doc|) Σ_i ln p(tok_i) with
+    p(tok) = corpus_count(tok) / corpus_total. Lower = more typical
+    of the corpus; filtering or temperature-sampling on this column
+    is the classic LM-quality gate. Per-token log-probs are folded in
+    token-POSITION order for bit-reproducibility."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lnp = F.log(F.col("cnt") / F.col("total"))
+    per_tok = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.struct(F.col("pos"), lnp.alias("lp")).alias("pl"))
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pl")).alias("arr"))
+        .select(
+            "doc_id",
+            F.size("arr").alias("n_toks"),
+            F.round(
+                -F.aggregate(F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["lp"])
+                / F.size("arr"),
+                9,
+            ).alias("nll"),
+        )
+    )
+
+
+def sql_unigram_logprob(toks_sql: str = "") -> str:
+    """DuckDB oracle mirroring unigram_logprob_scores bit-for-bit."""
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({toks_sql}) AS tok,
+                     generate_subscripts({toks_sql}, 1) AS pos
+              FROM documents),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT sum(cnt) AS total FROM vocab),
+pt AS (SELECT doc_id, pos, ln(cast(cnt AS double) / cast(total AS double)) AS lp
+       FROM toks JOIN vocab USING (tok) CROSS JOIN total)
+SELECT doc_id, count(*) AS n_toks,
+       round(-list_sum(list(lp ORDER BY pos)) / count(*), 9) AS nll
+FROM pt GROUP BY doc_id
+"""

@@ -216,9 +216,13 @@ def embedding_dup_pairs(
             .filter(F.col("cos") >= threshold)
         )
     mask = (1 << _BITS_PER_BAND) - 1
+    # per-vector norms hoisted ABOVE the pair join: each candidate pair
+    # then costs one dot product instead of three (the hoisted form is
+    # bit-identical — same ops, same order, just computed once)
     bands = df.select(
         F.col(id_col),
         F.col(vec_col),
+        F.sqrt(dot_d(F.col(vec_col), F.col(vec_col))).alias("nrm"),
         F.explode(
             F.array(
                 *[
@@ -232,17 +236,20 @@ def embedding_dup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(F.col(id_col), F.col(vec_col), F.col("bk.band"), F.col("bk.bval"))
+    ).select(F.col(id_col), F.col(vec_col), "nrm", F.col("bk.band"), F.col("bk.bval"))
     a = bands.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "band", "bval"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na"),
+        "band", "bval",
     )
     b = bands.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "band", "bval"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"),
+        "band", "bval",
     )
+    cos = dot_d(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, ["band", "bval"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
         .distinct()
     )

@@ -50,38 +50,41 @@ SELECT id_a, id_b, shared / (na + nb - shared) AS jaccard
 FROM pairs WHERE shared / (na + nb - shared) >= 0.5
 """
 
-# Mirrors the df-capped inverted index in ngram_jaccard_pairs: shingles
-# with document frequency > NGRAM_DF_CAP generate no candidates; found
-# pairs are verified with exact Jaccard over the full shingle sets.
+# Mirrors the df-capped (stopword-filtered) Jaccard in
+# ngram_jaccard_pairs: shingles with document frequency > NGRAM_DF_CAP
+# are excluded from the similarity universe (neither intersection nor
+# set sizes); within it the Jaccard is exact, via the same
+# inverted-index self-join shape.
 JACCARD_CAPPED_SQL = f"""
 WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 g AS (SELECT doc_id, {GRAMS_SQL} AS grams FROM t),
 ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
 rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) <= {DD.NGRAM_DF_CAP}),
 idx AS (SELECT doc_id, gram FROM ex JOIN rare USING (gram)),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM idx a JOIN idx b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-v AS (SELECT id_a, id_b,
-             len(list_intersect(ga.grams, gb.grams)) AS shared,
-             len(ga.grams) AS na, len(gb.grams) AS nb
-      FROM cand JOIN g ga ON cand.id_a = ga.doc_id
-                JOIN g gb ON cand.id_b = gb.doc_id)
-SELECT id_a, id_b, shared / (na + nb - shared) AS jaccard
-FROM v WHERE shared / (na + nb - shared) >= 0.5
+sizes AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),
+shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           FROM idx a JOIN idx b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b, shared / (sa.n + sb.n - shared) AS jaccard
+FROM shared JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+WHERE shared / (sa.n + sb.n - shared) >= 0.5
 """
 
 # Mirrors the banded-LSH blocking in embedding_dup_pairs: same bucket
 # bits, same 3 bands of 2 bits, same exact-cosine verify — the oracle
 # reproduces the candidate set bit-for-bit (banding is deterministic).
 COSINE_PAIRS_SQL = f"""
-WITH b AS (SELECT vec_id, embedding, {SIM.sql_hyperplane_bucket('embedding')} AS bucket
+WITH b AS (SELECT vec_id, embedding,
+                  sqrt({SIM.sql_dot('embedding', 'embedding')}) AS nrm,
+                  {SIM.sql_hyperplane_bucket('embedding')} AS bucket
            FROM embeddings),
-bands AS (SELECT vec_id, embedding, band, (bucket >> (2 * band)) & 3 AS bval
+bands AS (SELECT vec_id, embedding, nrm, band, (bucket >> (2 * band)) & 3 AS bval
           FROM b, (SELECT unnest([0, 1, 2]) AS band) t)
 SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-       {SIM.sql_cosine('a.embedding', 'b.embedding')} AS cos
+       {SIM.sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cos
 FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
-WHERE {SIM.sql_cosine('a.embedding', 'b.embedding')} >= 0.5
+WHERE {SIM.sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.5
 """
 
 COSINE_TOPK_SQL = f"""
@@ -1020,6 +1023,33 @@ FROM k GROUP BY lang, lang_tokens, keep_rate
 """
 
 
+BM25_TERMS = ["hash", "join", "sort"]
+
+
+def bm25_search(spark, sf_dir):
+    from database_query_processor_spark.operators import retrieval as RT
+
+    return RT.bm25_topk(_t(spark, sf_dir, "documents"), "doc_id", "text", BM25_TERMS, k=10)
+
+
+def _bm25_oracle():
+    from database_query_processor_spark.operators import retrieval as RT
+
+    return RT.sql_bm25_topk(BM25_TERMS, k=10, toks_sql=TOKS_SQL)
+
+
+def unigram_lm_quality(spark, sf_dir):
+    from database_query_processor_spark.operators import retrieval as RT
+
+    return RT.unigram_logprob_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _unigram_oracle():
+    from database_query_processor_spark.operators import retrieval as RT
+
+    return RT.sql_unigram_logprob(toks_sql=TOKS_SQL)
+
+
 SPECS = [
     QuerySpec("x37_passage_dedup", passage_dedup, PASSAGE_DEDUP_SQL,
               "sub-document passage-level exact dedup: 32-token passages, "
@@ -1033,6 +1063,14 @@ SPECS = [
               TEMPERATURE_SQL,
               "multilingual temperature resampling (alpha=0.5): sqrt-ratio "
               "keep rates, deterministic hash gate, broadcast rate frame"),
+    QuerySpec("x40_bm25_search", bm25_search, _bm25_oracle(),
+              "Okapi BM25 top-k retrieval: filtered (doc,term) shuffle, "
+              "broadcast df/corpus stats, TakeOrderedAndProject top-k, "
+              "order-deterministic score fold"),
+    QuerySpec("x41_unigram_lm_quality", unigram_lm_quality, _unigram_oracle(),
+              "corpus-trained unigram-LM negative-log-likelihood quality "
+              "score (CCNet-style perplexity filter), broadcast vocabulary, "
+              "position-ordered log-prob fold"),
     QuerySpec("x36_embedding_centroid_outliers", embedding_centroid_outliers,
               CENTROID_SQL,
               "per-label embedding centroid (exact-decimal element-wise "

@@ -265,6 +265,17 @@ def test_boilerplate_ngrams_plan(spark):
     assert "Join" not in plan, plan
 
 
+def test_bm25_topk_plan(spark):
+    """x40: the top-k must be TakeOrderedAndProject (per-partition
+    heaps, k-row driver merge — never a global sort), and the only
+    nested-loop joins are single-row broadcast stat frames (no
+    CartesianProduct exchange)."""
+    df = _specs()["x40_bm25_search"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_embedding_dedup_is_blocked_equi_join(spark):
     """x05: near-dup pair generation must join on the (band, bval) LSH
     blocking key — a real equi-join — never an inequality-only pair

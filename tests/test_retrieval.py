@@ -1,0 +1,64 @@
+"""Semantic invariants of the retrieval/LM-scoring operators (x40,
+x41) beyond the DuckDB hash parity: ranking behavior and scoring
+structure that must hold at any scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_query_processor_spark.operators.retrieval import (
+    bm25_topk,
+    unigram_logprob_scores,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "hash join hash join hash join"),          # dense in query terms
+        (2, "hash join"),                              # short, both terms
+        (3, "hash table scan filter window order"),    # one term
+        (4, "scan filter window order group value"),   # no query terms
+        (5, "hash join hash join hash join"),          # duplicate of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_bm25_only_matching_docs_scored(spark):
+    out = bm25_topk(_docs(spark), "doc_id", "text", ["hash", "join"], k=10).collect()
+    ids = {r.doc_id for r in out}
+    assert 4 not in ids          # zero matching terms -> no row
+    assert {1, 2, 3, 5} == ids
+
+
+def test_bm25_duplicate_docs_tie_and_rank(spark):
+    out = bm25_topk(_docs(spark), "doc_id", "text", ["hash", "join"], k=10).collect()
+    score = {r.doc_id: r.score for r in out}
+    assert score[1] == score[5]  # identical docs, identical score
+    # two-term docs outrank the one-term doc
+    assert min(score[1], score[2]) > score[3]
+    # deterministic tie-break: doc 1 before doc 5
+    order = [r.doc_id for r in out]
+    assert order.index(1) < order.index(5)
+
+
+def test_unigram_lm_duplicate_docs_equal_and_rare_penalized(spark):
+    rows = [(i, "value " * 20 + "table") for i in range(8)] + [
+        (100, "value " * 20 + "table"),       # same as the common shape
+        (101, "zzyzx " * 20 + "qwvkj"),       # all-rare tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in unigram_logprob_scores(df, "doc_id", "text").collect()}
+    assert out[100].nll == out[0].nll          # identical docs -> identical score
+    assert out[101].nll > out[0].nll           # rare tokens -> higher NLL
+    assert out[0].n_toks == 21
+
+
+def test_unigram_lm_nll_is_proper_mean(spark):
+    """A single-doc corpus: every token prob is tf/total, and the NLL
+    must equal the entropy of the empirical distribution."""
+    import math
+
+    df = _docs(spark).filter(F.col("doc_id") == 1)  # hash x3, join x3
+    row = unigram_logprob_scores(df, "doc_id", "text").collect()[0]
+    assert row.n_toks == 6
+    assert abs(row.nll - (-math.log(0.5))) < 1e-9

@@ -75,9 +75,9 @@ def test_ngram_df_cap_bounds_stop_shingle_bucket(spark):
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", df_cap=10).collect()
     found = {(r.id_a, r.id_b) for r in pairs}
     assert (0, 1) in found, pairs
-    # jaccard for the dup pair is exact over FULL shingle sets (the
-    # boilerplate shingles count in the verify even though capped out
-    # of candidate generation)
+    # the duplicate pair's capped shingle sets are identical (their
+    # unique shingles all have df=2 ≤ cap), so stopword-filtered
+    # jaccard is exactly 1
     dup = next(r for r in pairs if (r.id_a, r.id_b) == (0, 1))
     assert dup.jaccard == 1.0
     # no pair should arise from boilerplate-only similarity
