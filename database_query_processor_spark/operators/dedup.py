@@ -290,12 +290,72 @@ def simhash64(text_col: str) -> Column:
     return out
 
 
-def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash60_md5(text_col: str) -> Column:
+    """60-bit SimHash over md5 token hashes — the ORACLE-PARITY
+    variant of simhash64: md5 exists in both Spark and DuckDB (hex
+    digits sliced to nibbles → 4 bits each, 15 nibbles = 60 bits; 60
+    rather than 64 keeps every shift inside positive signed-64 range
+    in both engines). Production corpora should prefer simhash64
+    (xxhash64 is ~10× cheaper than md5); the algebra is identical."""
+    # per-token nibble values materialized ONCE (15 hex parses per
+    # token); the 60 bit-sums below are then pure integer arithmetic
+    nibs = F.transform(
+        F.array_distinct(tokens(text_col)),
+        lambda t: F.transform(
+            F.slice(F.split(F.md5(t), ""), 1, 15),
+            lambda c: F.conv(c, 16, 10).cast("long"),
+        ),
+    )
+
+    def _bit_merger(idx: int, shift: int):
+        return lambda acc, nb: acc + (
+            F.shiftright(F.element_at(nb, idx), shift).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(60):
+        bit_sum = F.aggregate(nibs, F.lit(0).cast("long"), _bit_merger(b // 4 + 1, b % 4))
+        out = out.bitwiseOR(
+            F.when(bit_sum > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def sql_simhash60(nibs_expr: str) -> str:
+    """DuckDB expression mirroring simhash60_md5 over ``nibs_expr`` (a
+    list of per-token 15-nibble integer lists), bit-for-bit."""
+    terms = []
+    for b in range(60):
+        idx, shift = b // 4 + 1, b % 4
+        bit = f"((nb[{idx}] >> {shift}) & 1)"
+        terms.append(
+            f"(CASE WHEN list_sum([2 * {bit} - 1 for nb in {nibs_expr}]) > 0 "
+            f"THEN (1::BIGINT << {b}) ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """SimHash near-dup pairs within hamming distance ≤ max_hamming.
-    Pigeonhole banding: split 64 bits into 4 × 16-bit bands; any pair
+    Pigeonhole banding: split the signature into 4 bands; any pair
     with ≤3 differing bits collides on ≥1 band, so candidate
-    generation is an equi-join on (band, band_bits), not O(n²)."""
-    sh = _spread(df).select(F.col(id_col).alias("doc_id"), simhash64(text_col).alias("sh"))
+    generation is an equi-join on (band, band_bits), not O(n²).
+    ``hash_fn='xxhash64'`` → 64-bit/4×16 production form;
+    ``hash_fn='md5'`` → 60-bit/4×15 oracle-parity form (DuckDB can
+    reproduce it exactly; see simhash60_md5)."""
+    if hash_fn == "md5":
+        sig, band_bits, mask = simhash60_md5(text_col), 15, 0x7FFF
+    else:
+        sig, band_bits, mask = simhash64(text_col), 16, 0xFFFF
+    sh = _spread(df).select(F.col(id_col).alias("doc_id"), sig.alias("sh"))
     banded = sh.select(
         "doc_id",
         "sh",
@@ -304,7 +364,9 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: 
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned("sh", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("bits"),
+                        F.shiftrightunsigned("sh", band_bits * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
                     )
                     for b in range(4)
                 ]

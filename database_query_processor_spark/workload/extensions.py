@@ -38,16 +38,22 @@ def _stop_sql(lang: str) -> str:
     return f"len(list_intersect(list_distinct(toks), [{words}]))"
 
 
+# Exact Jaccard pair set via the inverted index (equivalent to the
+# all-pairs form for any threshold > 0 — pairs sharing no shingle have
+# jaccard 0 — but the join cost is sum(df^2) over shingles, not n^2/2
+# list intersections).
 JACCARD_PAIRS_SQL = f"""
 WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 g AS (SELECT doc_id, {GRAMS_SQL} AS grams FROM t),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         len(list_intersect(a.grams, b.grams)) AS shared,
-         len(a.grams) AS na, len(b.grams) AS nb
-  FROM g a JOIN g b ON a.doc_id < b.doc_id)
-SELECT id_a, id_b, shared / (na + nb - shared) AS jaccard
-FROM pairs WHERE shared / (na + nb - shared) >= 0.5
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b, shared / (sa.n + sb.n - shared) AS jaccard
+FROM shared JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+WHERE shared / (sa.n + sb.n - shared) >= 0.5
 """
 
 # Mirrors the df-capped (stopword-filtered) Jaccard in
@@ -176,7 +182,28 @@ def dedup_minhash(spark, sf_dir):
 
 
 def dedup_simhash(spark, sf_dir):
-    return DD.simhash_dedup_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return DD.simhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", hash_fn="md5"
+    )
+
+
+def _simhash_oracle():
+    nibs = (
+        "[[strpos('0123456789abcdef', md5(x)[i]) - 1 for i in range(1, 16)] "
+        "for x in list_distinct(toks)]"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+n AS (SELECT doc_id, {nibs} AS nibs FROM t),
+s AS (SELECT doc_id, {DD.sql_simhash60('nibs')} AS sh FROM n),
+bands AS (SELECT doc_id, sh, band, (sh >> (15 * band)) & 32767 AS bits
+          FROM s, (SELECT unnest([0, 1, 2, 3]) AS band) tb),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.sh, b.sh)) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -1092,8 +1119,9 @@ SPECS = [
     QuerySpec("x02_dedup_minhash", dedup_minhash, JACCARD_PAIRS_SQL,
               "MinHash-LSH banded candidates + exact-Jaccard verify (oracle = exact pair set; "
               "LSH recall ≈1 at observed dup similarity)", bench=True),
-    QuerySpec("x03_dedup_simhash", dedup_simhash, None,
-              "SimHash-64 near-dups, hamming ≤3 via pigeonhole banding (xxhash64 → rows-only)"),
+    QuerySpec("x03_dedup_simhash", dedup_simhash, _simhash_oracle(),
+              "SimHash near-dups, hamming ≤3 via pigeonhole banding (md5-60 "
+              "oracle-parity variant; simhash64/xxhash64 is the production form)"),
     QuerySpec("x04_dedup_ngram_jaccard", dedup_ngram_jaccard, JACCARD_CAPPED_SQL,
               "word-3-gram Jaccard pairs via df-capped inverted-index join + exact verify"),
     QuerySpec("x05_dedup_embedding", dedup_embedding, COSINE_PAIRS_SQL,
