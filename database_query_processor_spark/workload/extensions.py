@@ -369,11 +369,15 @@ GRAMS5_SQL = (
 CLUSTERS_SQL = f"""
 WITH RECURSIVE t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 g AS (SELECT doc_id, {GRAMS_SQL} AS grams FROM t),
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+sh AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
 pr AS MATERIALIZED (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         len(list_intersect(a.grams, b.grams)) AS shared,
-         len(a.grams) AS na, len(b.grams) AS nb
-  FROM g a JOIN g b ON a.doc_id < b.doc_id),
+  SELECT id_a, id_b, shared, sa.n AS na, sb.n AS nb
+  FROM sh JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id),
 e AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pr WHERE shared / (na + nb - shared) >= 0.5
       UNION ALL

@@ -49,6 +49,26 @@ FROM read_csv('{os.path.join(_JAVASER_FIXTURE, "CART.txt")}', delim='\t',
 """
 
 
+def javaser_datasource_read(spark, sf_dir):
+    """Same table as src06, loaded through the REGISTERED custom
+    source (`spark.read.format("javaser")`, Python DataSource API):
+    schema from the .md sidecar at plan time, one InputPartition per
+    .tbl shard, rows decoded inside the scan (sf_dir unused: the
+    fixture IS the dataset)."""
+    from database_query_processor_spark.sources.javaser_source import JavaSerDataSource
+
+    try:
+        spark.dataSource.register(JavaSerDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("javaser")
+        .option("md", os.path.join(_JAVASER_FIXTURE, "CART.md"))
+        .option("path", os.path.join(_JAVASER_FIXTURE, "CART.tbl"))
+        .load()
+    )
+
+
 def javaser_read(spark, sf_dir):
     """Load a table in the reference's NATIVE on-disk format — the
     Java-serialized `<T>.md` schema + `<T>.tbl` tuple stream its
@@ -171,4 +191,8 @@ SPECS = [
               "reference-native table load: Java-serialized .md/.tbl "
               "decoded executor-side (binaryFile + mapInPandas), "
               "oracle = the reference's own .txt dump"),
+    QuerySpec("src07_javaser_datasource", javaser_datasource_read, _JAVASER_ORACLE,
+              "custom Spark data source (Python DataSource API) for the "
+              "reference-native format: .md schema at plan time, one "
+              "InputPartition per .tbl shard"),
 ]

@@ -78,6 +78,28 @@ def test_tuples_match_reference_txt(ref_table):
 
 
 @needs_java
+def test_custom_datasource(spark, ref_table):
+    """spark.read.format('javaser') through the registered Python
+    DataSource must reproduce the reference's rows with the .md-derived
+    schema, one partition per .tbl file."""
+    from database_query_processor_spark.sources.javaser_source import JavaSerDataSource
+
+    try:
+        spark.dataSource.register(JavaSerDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("javaser")
+        .option("md", os.path.join(ref_table, "CART.md"))
+        .option("path", os.path.join(ref_table, "CART.tbl"))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 1  # one file -> one partition
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == sorted(tuple(r) for r in _txt_rows(ref_table))
+
+
+@needs_java
 def test_distributed_read(spark, ref_table):
     df = javaser.read_tbl_dataset(
         spark,

@@ -63,6 +63,28 @@ def _boilerplate_corpus(spark, n_docs=400):
     return spark.createDataFrame(rows, "doc_id int, text string")
 
 
+def test_simhash_variants_agree_on_exact_dups(spark):
+    """Both SimHash forms (xxhash64-64 production, md5-60 oracle
+    parity) must report verbatim duplicates at hamming 0, and not pair
+    unrelated docs at this similarity level."""
+    from database_query_processor_spark.operators.dedup import simhash_dedup_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely different content about database query engines"),
+        (4, "another unrelated snippet mentioning vectors and columns"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    for hash_fn in ("xxhash64", "md5"):
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_dedup_pairs(docs, "doc_id", "text", hash_fn=hash_fn).collect()
+        }
+        assert pairs.get((1, 2)) == 0, (hash_fn, pairs)
+        assert all(p == (1, 2) for p in pairs), (hash_fn, pairs)
+
+
 def test_ngram_df_cap_bounds_stop_shingle_bucket(spark):
     """x04 skew guard: with a planted stop-shingle in all 400 docs, the
     capped inverted index must drop it — candidate space stays
