@@ -88,6 +88,37 @@ def connected_components(
     return labels
 
 
+def keep_best_per_cluster(
+    labels: DataFrame, scores: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical-document selection — the curation step that CONSUMES
+    dedup clusters: per cluster keep the highest-scoring member
+    (ties → smallest id). Input: `labels` (id, cluster_id) from
+    connected_components, `scores` (id, score). Output: one row per
+    cluster (cluster_id, keep_doc_id, n_docs, best_score).
+
+    One hash shuffle on cluster_id; the rank is a window with
+    partial top-1 pushdown (WindowGroupLimit), so per-cluster state
+    is O(1) — no cluster's members are ever collected."""
+    joined = labels.join(scores, labels["node_id"] == scores[id_col]).select(
+        "cluster_id", F.col(id_col), F.col("score")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count("*").over(Window.partitionBy("cluster_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("keep_doc_id"),
+            "n_docs",
+            F.col("score").alias("best_score"),
+        )
+    )
+
+
 # --- decontamination -----------------------------------------------------
 
 

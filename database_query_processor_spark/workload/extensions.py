@@ -451,6 +451,54 @@ def dedup_clusters(spark, sf_dir):
     return labels.select(F.col("node_id").alias("doc_id"), "cluster_id")
 
 
+def dedup_keep_best(spark, sf_dir):
+    """x42: the curation step after clustering — near-dup clusters
+    (MinHash-LSH + connected components, as x18) resolved to ONE
+    canonical document each, chosen by the x09 quality score
+    (ties → smallest doc_id)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(d, "doc_id", "text").select("id_a", "id_b")
+    labels = CP.connected_components(d.select("doc_id"), pairs)
+    scores = d.select("doc_id", TX.quality_score("text").alias("score"))
+    return CP.keep_best_per_cluster(labels, scores)
+
+
+KEEP_BEST_SQL = f"""
+WITH RECURSIVE t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, {GRAMS_SQL} AS grams FROM t),
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+sh AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pr AS MATERIALIZED (
+  SELECT id_a, id_b, shared, sa.n AS na, sb.n AS nb
+  FROM sh JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id),
+e AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pr WHERE shared / (na + nb - shared) >= 0.5
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pr WHERE shared / (na + nb - shared) >= 0.5),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id),
+labels AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+q AS (SELECT doc_id,
+             least(1.0, len(toks) / 50.0)
+               * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text))
+               * (0.5 + 0.5 * ({_EN_OCC} / greatest(len(toks), 1))) AS score
+      FROM t),
+ranked AS (SELECT cluster_id, l.doc_id, score,
+                  row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY score DESC, l.doc_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY cluster_id) AS n_docs
+           FROM labels l JOIN q ON l.doc_id = q.doc_id)
+SELECT cluster_id, doc_id AS keep_doc_id, n_docs, score AS best_score
+FROM ranked WHERE rn = 1
+"""
+
+
 def corpus_decontaminate(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return CP.decontaminate(d, "doc_id", "text", F.col("doc_id") % 97 == 0, n=5)
@@ -1094,6 +1142,9 @@ SPECS = [
               TEMPERATURE_SQL,
               "multilingual temperature resampling (alpha=0.5): sqrt-ratio "
               "keep rates, deterministic hash gate, broadcast rate frame"),
+    QuerySpec("x42_dedup_keep_best", dedup_keep_best, KEEP_BEST_SQL,
+              "canonical doc per near-dup cluster: connected components + "
+              "quality-ranked WindowGroupLimit top-1 per cluster"),
     QuerySpec("x40_bm25_search", bm25_search, _bm25_oracle(),
               "Okapi BM25 top-k retrieval: filtered (doc,term) shuffle, "
               "broadcast df/corpus stats, TakeOrderedAndProject top-k, "
