@@ -298,7 +298,10 @@ def simhash60_md5(text_col: str) -> Column:
     in both engines). Production corpora should prefer simhash64
     (xxhash64 is ~10× cheaper than md5); the algebra is identical."""
     # per-token nibble values materialized ONCE (15 hex parses per
-    # token); the 60 bit-sums below are then pure integer arithmetic
+    # token), then ONE fold over the token array accumulates all 60
+    # bit-sums via zip_with — bit-sums are integers, so the
+    # reassociation is exact, and a single traversal replaces 60
+    # separate array folds (smaller Catalyst tree, one codegen pass)
     nibs = F.transform(
         F.array_distinct(tokens(text_col)),
         lambda t: F.transform(
@@ -307,20 +310,30 @@ def simhash60_md5(text_col: str) -> Column:
         ),
     )
 
-    def _bit_merger(idx: int, shift: int):
-        return lambda acc, nb: acc + (
-            F.shiftright(F.element_at(nb, idx), shift).bitwiseAND(F.lit(1)) * 2 - 1
+    def token_bits(nb):
+        return F.array(
+            *[
+                (
+                    F.shiftright(F.element_at(nb, b // 4 + 1), b % 4).bitwiseAND(F.lit(1))
+                    * 2
+                    - 1
+                ).cast("long")
+                for b in range(60)
+            ]
         )
 
-    out = F.lit(0).cast("long")
-    for b in range(60):
-        bit_sum = F.aggregate(nibs, F.lit(0).cast("long"), _bit_merger(b // 4 + 1, b % 4))
-        out = out.bitwiseOR(
-            F.when(bit_sum > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return out
+    zero = F.array_repeat(F.lit(0).cast("long"), 60)
+    sums = F.aggregate(nibs, zero, lambda acc, nb: F.zip_with(acc, token_bits(nb), lambda x, y: x + y))
+    # assemble the signature: bit b set iff sums[b] > 0 (2^b via pow —
+    # powers of two are exact in doubles; b ≤ 59 stays in signed-64)
+    indexed = F.zip_with(
+        sums,
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda s, b: F.when(s > 0, F.pow(F.lit(2.0), b.cast("double")).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(indexed, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def sql_simhash60(nibs_expr: str) -> str:
