@@ -1,0 +1,61 @@
+"""Recall quality of the approximate similarity operators against
+their exact counterparts on planted near-duplicates — the evidence
+that the LSH shortcuts are USEFUL approximations, not just
+self-consistent ones. All data is seeded and the operators are
+deterministic, so these assertions are exact replays, not flaky
+probability claims."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from database_query_processor_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """100 random unit-ish vectors + a tiny-noise copy of each:
+    pairs (i, i+100) have cosine ≥ 0.99; unrelated pairs ~0."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(100, SIM._EMB_DIM)).astype("float32")
+    noisy = base + 0.03 * rng.normal(size=base.shape).astype("float32")
+    rows = [(i, v.tolist()) for i, v in enumerate(base)] + [
+        (i + 100, v.tolist()) for i, v in enumerate(noisy)
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_banded_dedup_recall_on_planted_pairs(planted):
+    """The banded-LSH default path must recover essentially all planted
+    near-identical pairs found by the exact O(n²) path at cos ≥ 0.9."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_dup_pairs(
+            planted, "vec_id", "embedding", threshold=0.9, exact=True
+        ).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_dup_pairs(
+            planted, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    assert len(exact) >= 100  # every planted pair clears the threshold
+    assert banded <= exact  # blocking can only lose pairs, never invent them
+    recall = len(banded & exact) / len(exact)
+    assert recall >= 0.95, (len(banded), len(exact), recall)
+
+
+def test_ann_lsh_finds_planted_neighbor(planted):
+    """For most query vectors, the single-bucket LSH top-k must contain
+    the planted copy that exact search ranks first."""
+    hits = 0
+    for qid in range(10):
+        ex = [r.vec_id for r in SIM.cosine_topk(planted, "vec_id", "embedding", qid, k=1).collect()]
+        assert ex == [qid + 100]  # exact search: the copy is the 1-NN
+        lsh = [r.vec_id for r in SIM.ann_lsh_topk(planted, "vec_id", "embedding", qid, k=10).collect()]
+        hits += qid + 100 in lsh
+    # P(all 6 sign bits agree) ≈ 0.76 per pair at cos≈0.995; seeded data
+    # makes the realized count a fixed replay — bound it loosely below
+    assert hits >= 6, hits
