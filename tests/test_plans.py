@@ -265,6 +265,17 @@ def test_boilerplate_ngrams_plan(spark):
     assert "Join" not in plan, plan
 
 
+def test_ngram_jaccard_is_index_join(spark):
+    """x04: the df-capped Jaccard must be pure equi-joins over the
+    inverted index — no cartesian, no nested-loop pair join, and no
+    array-typed columns crossing an exchange (similarity comes from
+    per-pair match counts, not array_intersect)."""
+    df = _specs()["x04_dedup_ngram_jaccard"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "array_intersect" not in plan, plan
+
+
 def test_bm25_topk_plan(spark):
     """x40: the top-k must be TakeOrderedAndProject (per-partition
     heaps, k-row driver merge — never a global sort), and the only
