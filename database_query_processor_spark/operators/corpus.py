@@ -63,6 +63,10 @@ def connected_components(
         F.col(nodes.columns[0]).alias("node_id"),
         F.col(nodes.columns[0]).alias("cluster_id"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Convergence check: labels only ever decrease (min-propagation),
+    # so the labels are a fixpoint iff sum(cluster_id) is unchanged —
+    # one cheap aggregate per round instead of a self-join diff.
+    cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
     for _ in range(max_rounds):
         prop = sym.join(labels, sym.src == labels.node_id).select(
             F.col("dst").alias("node_id"), "cluster_id"
@@ -73,17 +77,12 @@ def connected_components(
             .agg(F.min("cluster_id").alias("cluster_id"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new.agg(F.sum("cluster_id")).first()[0]
         labels.unpersist()
         labels = new
-        if changed == 0:
+        if new_sum == cur_sum:
             break
+        cur_sum = new_sum
     sym.unpersist()
     return labels
 
