@@ -8,8 +8,12 @@ prints the wall-clock time (src/QueryMain.java:21-40,162-226). Here::
         [--data-dir /root/testdata/sf0.01] [--dialect reference|spark] \
         [--explain] [--single-file]
 
-The page-size/buffer knobs have no Spark analog (Tungsten manages
-memory); the closest levers are the session config in session.py.
+The reference's positional ``pagesize numbuffer`` knobs are accepted
+for drop-in compatibility: pagesize (bytes per I/O page) has no Spark
+analog — Tungsten manages memory — and is ignored with a notice;
+numbuffer (concurrent in-memory pages, the reference's parallelism/
+memory bound) maps to ``spark.sql.shuffle.partitions``, the closest
+Spark lever for the same trade-off.
 ``--dialect reference`` (default) accepts the reference's syntax
 verbatim (comma-AND, GROUPBY/ORDERBY, double-quoted literals);
 ``--dialect spark`` passes the file straight to ``spark.sql``.
@@ -31,6 +35,10 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="database_query_processor_spark")
     ap.add_argument("query_file", help="SQL file (one query)")
     ap.add_argument("result_dir", help="output directory (tab-delimited, header, -NULL- nulls)")
+    ap.add_argument("pagesize", nargs="?", type=int, default=None,
+                    help="reference-compat: bytes per page (no Spark analog; ignored)")
+    ap.add_argument("numbuffer", nargs="?", type=int, default=None,
+                    help="reference-compat: buffer pool pages -> spark.sql.shuffle.partitions")
     ap.add_argument("--data-dir", default=DEFAULT_SF_DIR, help="parquet table directory")
     ap.add_argument("--dialect", choices=("reference", "spark"), default="reference")
     ap.add_argument("--explain", action="store_true", help="print the physical plan")
@@ -41,7 +49,9 @@ def main(argv: list[str] | None = None) -> int:
         raw = fh.read().strip().rstrip(";")
     sql = translate(raw) if args.dialect == "reference" else raw
 
-    spark = get_spark(app_name="dqps-cli")
+    if args.pagesize is not None:
+        print(f"note: pagesize={args.pagesize} ignored (Tungsten manages memory)", file=sys.stderr)
+    spark = get_spark(app_name="dqps-cli", shuffle_partitions=args.numbuffer)
     register_tables(spark, args.data_dir)
     df = spark.sql(sql)
     if args.explain:

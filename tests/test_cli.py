@@ -35,3 +35,17 @@ def test_cli_spark_dialect(spark, tmp_path):
     assert rc == 0
     lines = spark.sparkContext.textFile(str(out)).collect()
     assert lines[0] == "n" and int(lines[1]) > 0
+
+
+def test_cli_reference_positional_knobs(spark, tmp_path):
+    """Drop-in compatibility with `java QueryMain q.sql out pagesize
+    numbuff`: the two extra positionals are accepted (pagesize ignored,
+    numbuffer -> shuffle partitions) and the query still runs."""
+    q = tmp_path / "q.sql"
+    q.write_text("SELECT lineitem.l_orderkey FROM lineitem ORDERBY lineitem.l_orderkey\n")
+    out = tmp_path / "result_knobs"
+    rc = main([str(q), str(out), "8000", "800", "--data-dir", SF, "--single-file"])
+    assert rc == 0
+    lines = spark.sparkContext.textFile(str(out)).collect()
+    assert lines[0] == "l_orderkey"
+    assert len(lines) > 1
