@@ -44,7 +44,14 @@ def test_cli_reference_positional_knobs(spark, tmp_path):
     q = tmp_path / "q.sql"
     q.write_text("SELECT lineitem.l_orderkey FROM lineitem ORDERBY lineitem.l_orderkey\n")
     out = tmp_path / "result_knobs"
-    rc = main([str(q), str(out), "8000", "800", "--data-dir", SF, "--single-file"])
+    # NB: in-process, getOrCreate applies numbuffer to the SHARED test
+    # session's runtime conf — restore it or every later test pays for
+    # 64 shuffle partitions (a real CLI run is its own process)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        rc = main([str(q), str(out), "8000", "64", "--data-dir", SF, "--single-file"])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
     assert rc == 0
     lines = spark.sparkContext.textFile(str(out)).collect()
     assert lines[0] == "l_orderkey"
