@@ -278,6 +278,25 @@ def sql_det_hash(expr: str) -> str:
     return f"(({expr}) % {HASH_MOD}) * {HASH_MULT} % {HASH_MOD}"
 
 
+def train_val_test_split(
+    df: DataFrame, id_col: str, val_pct: int = 5, test_pct: int = 5
+) -> DataFrame:
+    """Deterministic corpus split manifest: every row labeled
+    train/val/test by a hash gate on its id — disjoint, exhaustive,
+    and reproducible across runs, retries, and cluster sizes (the
+    property df.randomSplit lacks under speculative re-execution).
+    At 100 TB this is a scan-side map; writing the output
+    partitionBy("split") yields the three training shards with no
+    extra shuffle beyond the write."""
+    gate = det_hash(F.col(id_col)) % 100
+    split = (
+        F.when(gate < test_pct, F.lit("test"))
+        .when(gate < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.select(F.col(id_col), split.alias("split"))
+
+
 def stratified_sample(
     df: DataFrame, id_col: str, stratum: Column, rates: dict[str, int]
 ) -> DataFrame:

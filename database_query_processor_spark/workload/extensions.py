@@ -418,6 +418,14 @@ STRATUM_SQL = ("CASE WHEN length(text) < 200 THEN 'short' "
                "WHEN length(text) < 400 THEN 'medium' ELSE 'long' END")
 SAMPLE_RATES = {"short": 5, "medium": 20, "long": 60}
 
+SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {CP.sql_det_hash('doc_id')} % 100 < 5 THEN 'test'
+            WHEN {CP.sql_det_hash('doc_id')} % 100 < 10 THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
 SAMPLE_SQL = f"""
 SELECT doc_id, {STRATUM_SQL} AS stratum FROM documents
 WHERE {CP.sql_det_hash('doc_id')} % 100 <
@@ -506,6 +514,10 @@ def corpus_decontaminate(spark, sf_dir):
 
 def corpus_chunks(spark, sf_dir):
     return CP.chunk_documents(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def corpus_split(spark, sf_dir):
+    return CP.train_val_test_split(_t(spark, sf_dir, "documents"), "doc_id")
 
 
 def corpus_sample(spark, sf_dir):
@@ -1142,6 +1154,9 @@ SPECS = [
               TEMPERATURE_SQL,
               "multilingual temperature resampling (alpha=0.5): sqrt-ratio "
               "keep rates, deterministic hash gate, broadcast rate frame"),
+    QuerySpec("x43_train_val_test_split", corpus_split, SPLIT_SQL,
+              "deterministic train/val/test split manifest (hash gate — "
+              "disjoint, exhaustive, stable under retries/repartitioning)"),
     QuerySpec("x42_dedup_keep_best", dedup_keep_best, KEEP_BEST_SQL,
               "canonical doc per near-dup cluster: connected components + "
               "quality-ranked WindowGroupLimit top-1 per cluster"),
