@@ -520,6 +520,46 @@ def corpus_split(spark, sf_dir):
     return CP.train_val_test_split(_t(spark, sf_dir, "documents"), "doc_id")
 
 
+def corpus_safe_split(spark, sf_dir):
+    """x44: contamination-aware split — the x43 hash-gate split with
+    benchmark-overlapping documents (x19's 5-gram test) forced to a
+    'quarantine' label so no contaminated document can land in train.
+    The flags frame is doc_id + one boolean (broadcast-sized at any
+    corpus scale where the benchmark is a fixed slice); the split
+    itself stays a scan-side map."""
+    d = _t(spark, sf_dir, "documents")
+    flags = CP.decontaminate(d, "doc_id", "text", F.col("doc_id") % 97 == 0).select(
+        "doc_id", "contaminated"
+    )
+    split = CP.train_val_test_split(d, "doc_id")
+    return (
+        split.join(flags, "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("contaminated"), F.lit("quarantine"))
+            .otherwise(F.col("split"))
+            .alias("split"),
+        )
+    )
+
+
+SAFE_SPLIT_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, {GRAMS5_SQL} AS grams FROM t),
+bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
+h AS (SELECT doc_id, count(*) AS n FROM tg JOIN bg USING (gram) GROUP BY doc_id),
+s AS (SELECT doc_id,
+             CASE WHEN {CP.sql_det_hash('doc_id')} % 100 < 5 THEN 'test'
+                  WHEN {CP.sql_det_hash('doc_id')} % 100 < 10 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents WHERE doc_id % 97 <> 0)
+SELECT s.doc_id,
+       CASE WHEN coalesce(h.n, 0) > 0 THEN 'quarantine' ELSE s.split END AS split
+FROM s LEFT JOIN h USING (doc_id)
+"""
+
+
 def corpus_sample(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     stratum = (
@@ -1154,6 +1194,9 @@ SPECS = [
               TEMPERATURE_SQL,
               "multilingual temperature resampling (alpha=0.5): sqrt-ratio "
               "keep rates, deterministic hash gate, broadcast rate frame"),
+    QuerySpec("x44_contamination_safe_split", corpus_safe_split, SAFE_SPLIT_SQL,
+              "contamination-aware split: hash-gate split with benchmark-"
+              "overlapping docs forced to quarantine (x19 + x43 composed)"),
     QuerySpec("x43_train_val_test_split", corpus_split, SPLIT_SQL,
               "deterministic train/val/test split manifest (hash gate — "
               "disjoint, exhaustive, stable under retries/repartitioning)"),
