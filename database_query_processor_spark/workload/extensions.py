@@ -507,6 +507,55 @@ FROM ranked WHERE rn = 1
 """
 
 
+def dedup_soft_weights(spark, sf_dir):
+    """x45: duplication-aware training weights — soft dedup. Instead
+    of dropping near-duplicates, every document gets weight
+    1/|cluster| so each content cluster contributes one unit of loss
+    mass in training (the common alternative to hard dedup when
+    duplicates carry distributional signal). Same cluster machinery
+    as x18; the weight is a scan-side map over the labels."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(d, "doc_id", "text").select("id_a", "id_b")
+    labels = CP.connected_components(d.select("doc_id"), pairs)
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node_id").alias("doc_id"),
+        "cluster_id",
+        F.count("*").over(w).alias("n_dup"),
+        (F.lit(1.0) / F.count("*").over(w)).alias("weight"),
+    )
+
+
+SOFT_WEIGHTS_SQL = f"""
+WITH RECURSIVE t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, {GRAMS_SQL} AS grams FROM t),
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+sh AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pr AS MATERIALIZED (
+  SELECT id_a, id_b, shared, sa.n AS na, sb.n AS nb
+  FROM sh JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id),
+e AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pr WHERE shared / (na + nb - shared) >= 0.5
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pr WHERE shared / (na + nb - shared) >= 0.5),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id),
+labels AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS n_dup,
+       1.0::DOUBLE / count(*) OVER (PARTITION BY cluster_id) AS weight
+FROM labels
+"""
+
+
 def corpus_decontaminate(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return CP.decontaminate(d, "doc_id", "text", F.col("doc_id") % 97 == 0, n=5)
@@ -1194,6 +1243,9 @@ SPECS = [
               TEMPERATURE_SQL,
               "multilingual temperature resampling (alpha=0.5): sqrt-ratio "
               "keep rates, deterministic hash gate, broadcast rate frame"),
+    QuerySpec("x45_dedup_soft_weights", dedup_soft_weights, SOFT_WEIGHTS_SQL,
+              "duplication-aware training weights: 1/|cluster| per doc — "
+              "soft dedup preserving one unit of loss mass per content cluster"),
     QuerySpec("x44_contamination_safe_split", corpus_safe_split, SAFE_SPLIT_SQL,
               "contamination-aware split: hash-gate split with benchmark-"
               "overlapping docs forced to quarantine (x19 + x43 composed)"),
