@@ -185,8 +185,13 @@ def gapfill_interpolate(
         .when(F.col("nv").isNull(), F.col("pv"))
         .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
     )
+    # ROUND(...,9) on both engines (the x40/x41 cross-engine hash
+    # contract): the interpolation chain is IEEE-deterministic today,
+    # but unrounded doubles are 1-ulp hostages to engine arithmetic
+    # changes — same hazard class that cost t09 its round-2 driver row.
     return x.select(
-        key_col, "ws", F.col("v").isNull().alias("filled"), v_interp.alias("v_interp")
+        key_col, "ws", F.col("v").isNull().alias("filled"),
+        F.round(v_interp, 9).alias("v_interp"),
     )
 
 
@@ -252,8 +257,10 @@ def time_weighted_avg(
     µs, summed as DECIMAL(38,0)) so the final double conversion is a
     single correctly-rounded int→double in both engines — a scaled
     decimal would round twice (int→double, then /10^scale) in DuckDB
-    and drift by 1 ulp. One divide at the end; bit-identical to the
-    DuckDB oracle."""
+    and drift by 1 ulp. One divide at the end, then ROUND(..., 9) on
+    BOTH engines (the proven x40/x41 contract, retrieval.py): the raw
+    double is 1-ulp-sensitive to DuckDB-version arithmetic changes,
+    which is exactly what broke the round-2 driver hash (t09)."""
     from database_query_processor_spark.operators.aggregates import dec
 
     w = W.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
@@ -270,7 +277,7 @@ def time_weighted_avg(
     weighted = stepped.where(F.col("_dt").isNotNull())
     num = F.sum(F.col("_v_cents").cast("decimal(38,0)") * F.col("_dt"))
     return weighted.groupBy(key_col).agg(
-        (num.cast("double") / (F.lit(100.0) * F.sum("_dt"))).alias("twa"),
+        F.round(num.cast("double") / (F.lit(100.0) * F.sum("_dt")), 9).alias("twa"),
         F.sum("_dt").alias("total_us"),
         F.count("*").alias("n_obs"),
     )

@@ -35,33 +35,12 @@ class QuerySpec:
     bench: bool = False
 
 
-def _previously_verified() -> set[str]:
-    """Query names with a green hash_match row in the latest driver
-    CORRECTNESS_r*.json. Used to order not-yet-verified queries first so a
-    fixed driver verification budget covers new ground each round instead of
-    re-proving the same prefix."""
-    import json
-    import re
-    from pathlib import Path
-
-    root = Path(__file__).resolve().parents[2]
-    reports = sorted(
-        root.glob("CORRECTNESS_r*.json"),
-        key=lambda p: int(re.search(r"r(\d+)", p.stem).group(1)),
-    )
-    green: set[str] = set()
-    for report in reports:
-        try:
-            data = json.loads(report.read_text())
-        except (OSError, ValueError):
-            continue
-        for name, row in data.items():
-            if isinstance(row, dict) and row.get("hash_match"):
-                green.add(name)
-    return green
-
-
 def all_specs() -> list[QuerySpec]:
+    """Every declared QuerySpec, in fixed declaration order.
+
+    Deterministic across checkouts: no filesystem-dependent reordering
+    here (verification-budget routing lives in the driver-facing
+    harness, __spark_entry__.py, where that policy belongs)."""
     from database_query_processor_spark.workload import (
         completions,
         dialect_queries,
@@ -73,14 +52,8 @@ def all_specs() -> list[QuerySpec]:
     )
 
     specs: list[QuerySpec] = []
-    # Novel families first (extensions/streaming/dialect/sources), reference
-    # parity last — parity + early completions already carry green driver rows.
     for mod in (extensions, streaming_ops, dialect_queries, sources_ops, tpch, completions, parity):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
-    # Stable partition: anything a past driver round already hash-verified
-    # goes to the back of the sweep.
-    verified = _previously_verified()
-    specs.sort(key=lambda s: s.name in verified)
     return specs

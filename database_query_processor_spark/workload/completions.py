@@ -632,7 +632,7 @@ SELECT (SELECT COUNT(*) FROM c JOIN b USING (user_id)) AS n_both,
 
 JSON_EXTRACT_SQL = """
 WITH j AS (SELECT event_type, CAST(props->>'k' AS INTEGER) AS k FROM events)
-SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
 FROM j WHERE k > 50 GROUP BY event_type
 """
 

@@ -136,7 +136,7 @@ def partitioned_pruned_read(spark, sf_dir):
 
 
 _PRUNED_ORACLE = """
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
 FROM documents WHERE lang = 'en' GROUP BY lang, source
 """
 
@@ -166,7 +166,7 @@ def schema_evolution_merge(spark, sf_dir):
 
 _EVOLUTION_ORACLE = """
 SELECT CASE WHEN doc_id % 2 = 0 THEN '(pre-evolution)' ELSE lang END AS lang,
-       COUNT(*) AS n_docs, SUM(n_chars) AS chars
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
 FROM documents GROUP BY 1
 """
 

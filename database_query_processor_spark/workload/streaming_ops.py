@@ -287,12 +287,12 @@ x AS (
          wn AS (PARTITION BY s.event_type ORDER BY s.ws
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
 SELECT event_type, ws, v IS NULL AS filled,
-       CASE WHEN v IS NOT NULL THEN v
-            WHEN pv IS NULL THEN nv
-            WHEN nv IS NULL THEN pv
-            ELSE pv + (nv - pv) * (CAST(date_diff('second', pt, ws) AS DOUBLE)
-                                   / date_diff('second', pt, nt))
-       END AS v_interp
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * (CAST(date_diff('second', pt, ws) AS DOUBLE)
+                                         / date_diff('second', pt, nt))
+             END, 9) AS v_interp
 FROM x
 """
 
@@ -363,9 +363,9 @@ WITH s AS (
                                   ORDER BY ts, event_id)) AS dt
   FROM events)
 SELECT event_type,
-       CAST(SUM(CAST(v_cents AS DECIMAL(38,0)) * dt) AS DOUBLE)
-         / (100.0 * SUM(dt)) AS twa,
-       SUM(dt) AS total_us, COUNT(*) AS n_obs
+       ROUND(CAST(SUM(CAST(v_cents AS DECIMAL(38,0)) * dt) AS DOUBLE)
+             / (100.0 * SUM(dt)), 9) AS twa,
+       CAST(SUM(dt) AS BIGINT) AS total_us, COUNT(*) AS n_obs
 FROM s WHERE dt IS NOT NULL GROUP BY event_type
 """
 

@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's correctness sweep.
+
+Runs every (or a filtered subset of) QuerySpec through the same
+Spark-vs-DuckDB comparison the driver performs (tests/oracle.py), and
+prints one line per query: wall seconds, name, MATCH / ROWS-ONLY /
+MISMATCH / ERROR.
+
+Usage:
+    python sweep.py                 # all specs at sf0.01
+    python sweep.py t09 s0 src      # name-prefix filters
+    SWEEP_SF_DIR=/root/testdata/sf0.1 python sweep.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from database_query_processor_spark.session import get_spark
+from database_query_processor_spark.workload import all_specs
+from tests.oracle import compare, duckdb_run
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.01")
+    prefixes = sys.argv[1:]
+    specs = all_specs()
+    if prefixes:
+        specs = [s for s in specs if any(s.name.startswith(p) for p in prefixes)]
+    spark = get_spark()
+    n_match = n_rows = n_bad = 0
+    for spec in specs:
+        t0 = time.time()
+        try:
+            df = spec.build(spark, sf_dir)
+            if spec.oracle is None:
+                rows = df.count()
+                print(f"{time.time() - t0:7.2f}s {spec.name} ROWS-ONLY ({rows} rows)")
+                n_rows += 1
+                continue
+            probs = compare(df, duckdb_run(spec.oracle, sf_dir))
+        except Exception as exc:  # noqa: BLE001 - harness reports, never dies
+            print(f"{time.time() - t0:7.2f}s {spec.name} ERROR {type(exc).__name__}: {exc}")
+            n_bad += 1
+            continue
+        if probs:
+            print(f"{time.time() - t0:7.2f}s {spec.name} MISMATCH: {'; '.join(probs)}")
+            n_bad += 1
+        else:
+            print(f"{time.time() - t0:7.2f}s {spec.name} MATCH")
+            n_match += 1
+    print(f"# {n_match} MATCH, {n_rows} rows-only, {n_bad} bad, of {len(specs)}")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
