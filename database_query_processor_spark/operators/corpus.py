@@ -36,7 +36,7 @@ Scale design:
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from database_query_processor_spark.functions.text import tokens, word_ngrams
@@ -54,7 +54,11 @@ def connected_components(
 
     Min-label propagation to fixpoint: each round joins current labels
     across edges (both directions) and takes the per-node min. A round
-    is one shuffle; convergence needs O(log diameter) rounds."""
+    is one shuffle; convergence needs O(log diameter) rounds. Each
+    round's labels are localCheckpoint()ed, so lineage stays O(1)
+    instead of growing one join+agg per round — without it, deep
+    chains (high-diameter clusters) re-plan an ever-taller tree and
+    eventually blow the planner."""
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -71,11 +75,15 @@ def connected_components(
         prop = sym.join(labels, sym.src == labels.node_id).select(
             F.col("dst").alias("node_id"), "cluster_id"
         )
+        # localCheckpoint (eager) both materializes this round's labels
+        # for reuse AND truncates lineage at the checkpointed RDD; the
+        # superseded round's blocks are released by the ContextCleaner
+        # once the old `labels` reference drops.
         new = (
             labels.union(prop)
             .groupBy("node_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
         )
         new_sum = new.agg(F.sum("cluster_id")).first()[0]
         labels.unpersist()
@@ -98,12 +106,22 @@ def keep_best_per_cluster(
 
     One hash shuffle on cluster_id; the rank is a window with
     partial top-1 pushdown (WindowGroupLimit), so per-cluster state
-    is O(1) — no cluster's members are ever collected."""
-    joined = labels.join(scores, labels["node_id"] == scores[id_col]).select(
-        "cluster_id", F.col(id_col), F.col("score")
+    is O(1) — no cluster's members are ever collected.
+
+    Score coverage contract: members missing from `scores` still
+    count toward n_docs and rank LAST (score NULL, desc_nulls_last);
+    a cluster whose members all lack scores keeps one row with
+    best_score NULL. (An inner join would silently drop unscored
+    members — and whole clusters — from the output.)"""
+    joined = labels.join(
+        scores, labels["node_id"] == scores[id_col], "left"
+    ).select(
+        "cluster_id",
+        F.col("node_id").alias(id_col),
+        F.col("score"),
     )
     w = Window.partitionBy("cluster_id").orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
+        F.col("score").desc_nulls_last(), F.col(id_col).asc()
     )
     return (
         joined.withColumn("rn", F.row_number().over(w))
@@ -312,6 +330,17 @@ def stratified_sample(
     return df.withColumn("stratum", stratum).where(gate < rate)
 
 
+def _prefix_offsets(spark: SparkSession, per_pid: dict[int, int]) -> DataFrame:
+    """Tiny (pid, _offset) frame of exclusive prefix sums over the
+    per-partition counts/totals — one row per partition, meant to be
+    broadcast-joined back onto the partitioned data."""
+    rows, acc = [], 0
+    for pid in sorted(per_pid):
+        rows.append((pid, acc))
+        acc += per_pid[pid]
+    return spark.createDataFrame(rows or [(0, 0)], "pid int, _offset bigint")
+
+
 def train_order(df: DataFrame, id_col: str, num_partitions: int = 32) -> DataFrame:
     """Deterministic global shuffle for training-data ordering:
     assigns each row a position 1..N in det_hash order without a
@@ -329,18 +358,16 @@ def train_order(df: DataFrame, id_col: str, num_partitions: int = 32) -> DataFra
         r["pid"]: r["n"]
         for r in keyed.groupBy("pid").agg(F.count("*").alias("n")).collect()
     }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset = F.lit(0).cast("bigint")
-    for pid, off in offsets.items():
-        offset = F.when(F.col("pid") == pid, F.lit(off).cast("bigint")).otherwise(offset)
+    # Broadcast-join the tiny (pid, offset) table rather than compiling
+    # a chained-WHEN literal: a CASE over num_partitions arms is O(P)
+    # expression depth — fine at 32, a codegen hazard at cluster
+    # partition counts (thousands).
+    offsets = _prefix_offsets(keyed.sparkSession, counts)
     w = Window.partitionBy("pid").orderBy("shuffle_key", id_col)
-    return keyed.select(
+    return keyed.join(F.broadcast(offsets), "pid").select(
         id_col,
         "shuffle_key",
-        (F.row_number().over(w) + offset).alias("pos"),
+        (F.row_number().over(w) + F.col("_offset")).alias("pos"),
     )
 
 
@@ -375,20 +402,21 @@ def pack_sequences(
         r["pid"]: r["t"]
         for r in keyed.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect()
     }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    offset = F.lit(0).cast("bigint")
-    for pid, off in offsets.items():
-        offset = F.when(F.col("pid") == pid, F.lit(off).cast("bigint")).otherwise(offset)
+    # same broadcast-offsets shape as train_order (no O(P) WHEN chain)
+    offsets = _prefix_offsets(keyed.sparkSession, totals)
     w = Window.partitionBy("pid").orderBy("ord_key", "doc_id")
-    start = (F.sum("n_tokens").over(w) - F.col("n_tokens") + offset).alias("start_offset")
-    return keyed.select(
-        "doc_id",
-        "n_tokens",
-        start,
-    ).withColumn("seq_id", F.floor(F.col("start_offset") / budget).cast("bigint"))
+    start = (
+        F.sum("n_tokens").over(w) - F.col("n_tokens") + F.col("_offset")
+    ).alias("start_offset")
+    return (
+        keyed.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start,
+        )
+        .withColumn("seq_id", F.floor(F.col("start_offset") / budget).cast("bigint"))
+    )
 
 
 # --- JSONL serialization -------------------------------------------------

@@ -121,3 +121,57 @@ def test_jsonl_roundtrip(spark, tmp_path):
         'say "hi"\tnow',
         "back\\slash\nnewline",
     }
+
+
+def test_connected_components_long_chain(spark):
+    """Path graph of 24 hops: exercises many propagation rounds —
+    the per-round localCheckpoint must keep the plan bounded instead
+    of accreting 20+ join+agg layers of lineage, and the fixpoint
+    still labels the whole chain with its min."""
+    n = 25
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["node_id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
+    )
+    labels = CP.connected_components(nodes, edges)
+    got = {r["node_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+    # lineage is truncated: the returned plan is a checkpoint scan,
+    # not a 20-round join tower
+    assert "Scan ExistingRDD" in explain_str(labels)
+
+
+def test_keep_best_handles_missing_scores(spark):
+    """Members missing a score row still count toward n_docs and rank
+    last; an entirely unscored cluster keeps one row (best_score
+    NULL) instead of vanishing."""
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], ["node_id", "cluster_id"]
+    )
+    scores = spark.createDataFrame([(2, 0.5), (3, 0.9)], ["doc_id", "score"])
+    got = {
+        r["cluster_id"]: r
+        for r in CP.keep_best_per_cluster(labels, scores).collect()
+    }
+    assert got[1]["keep_doc_id"] == 3 and got[1]["n_docs"] == 3
+    assert got[1]["best_score"] == 0.9
+    assert got[7]["keep_doc_id"] == 7 and got[7]["n_docs"] == 2
+    assert got[7]["best_score"] is None
+
+
+def test_partition_offsets_join_not_when_chain(spark):
+    """train_order/pack_sequences must add partition offsets via a
+    broadcast join against the tiny (pid, offset) frame — a chained
+    CASE WHEN over num_partitions arms is O(P) expression depth and
+    would not survive cluster partition counts."""
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    plan = explain_str(CP.train_order(df, "doc_id", num_partitions=64))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("CASE WHEN") <= 2, "offset literal must not scale with P"
+
+    toks = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 100 + 1).alias("n_tokens")
+    )
+    plan2 = explain_str(CP.pack_sequences(toks, "doc_id", "n_tokens", num_partitions=64))
+    assert "BroadcastHashJoin" in plan2
+    assert plan2.count("CASE WHEN") <= 2
