@@ -17,15 +17,20 @@ swung individual queries 2-3×):
     later queries;
   * an explicit JVM System.gc() barrier between queries keeps one
     query's garbage from being collected inside the next one's timing;
-  * 2 warm runs (JIT/codegen) then 5 timed runs, reporting the MIN —
-    for a deterministic plan the minimum is the plan's intrinsic cost;
-    GC/scheduler interference only ever adds time.
+  * 2 warm runs (JIT/codegen) then 5 timed runs. The headline
+    `queries`/`value` numbers are the MIN (for a deterministic plan
+    the minimum is the plan's intrinsic cost; interference only adds
+    time), but the JSON also carries `queries_median`, `value_median`
+    and the full `raw_runs` list so (a) cross-round comparisons can be
+    made methodology-consistent and (b) steady-state costs (GC every
+    production run would pay) stay visible rather than hidden by min.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -50,6 +55,8 @@ def main() -> None:
 
     specs = [s for s in all_specs() if s.bench]
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for spec in specs:
         try:
             _gc_barrier()
@@ -62,6 +69,8 @@ def main() -> None:
                 _run(spec)
                 runs.append(time.perf_counter() - t0)
             timings[spec.name] = round(min(runs), 3)
+            medians[spec.name] = round(statistics.median(runs), 3)
+            raw[spec.name] = [round(r, 3) for r in runs]
             print(f"  {spec.name}: {timings[spec.name]}s {[round(r, 2) for r in runs]}", file=sys.stderr)
         except Exception as ex:  # one broken query must not zero the whole bench
             timings[spec.name] = -1.0
@@ -72,6 +81,10 @@ def main() -> None:
         "value": round(sum(t for t in timings.values() if t >= 0), 3),
         "unit": "sec",
         "queries": timings,
+        "value_median": round(sum(t for t in medians.values() if t >= 0), 3),
+        "queries_median": medians,
+        "raw_runs": raw,
+        "methodology": f"min of {TIMED_RUNS} after {WARM_RUNS} warm; clearCache+System.gc barrier",
         "sf": float(sf),
     }))
 

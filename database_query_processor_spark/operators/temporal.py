@@ -96,38 +96,51 @@ def rollup_gapfill_locf(
 
     Shape & scale: the rollup is one hash shuffle on (key, bucket)
     with map-side partial aggregation — the shuffle carries one row
-    per (partition × key × bucket), not the input. The spine is
-    generated distributively (`sequence` + `explode` on the per-key
-    span — one row per key in, one row per bucket out, no driver
-    loop), and the spine⋈rollup join is an equi-join on the same
-    (key, bucket) pair. The LOCF window partitions by key; for
-    low-cardinality keys over years of buckets, segment the window by
-    (key, coarse epoch) and stitch segment boundaries with a second
-    tiny pass over one row per segment — the rollup itself already
-    bounded the window input to buckets, not raw rows, so the
-    per-key partition is days×24 rows even when the raw key held
-    billions of events.
+    per (partition × key × bucket), not the input. Densification
+    never materializes a spine or joins it back: every gap lies
+    between two CONSECUTIVE observed buckets, so a single lag()
+    window over the rollup yields each gap's span and its LOCF value,
+    and each rollup row emits [its preceding gap rows ++ itself] via
+    one `sequence` + `inline` — one scan, one shuffle, one
+    bucket-level window. (The earlier span→sequence→spine-join
+    formulation — and a naive union of observed + gap branches —
+    aggregate the input subtree twice; this shape is the fix, worth
+    1.5×→~1× of baseline on t05.)
+    Contract: `val_col` must aggregate non-empty buckets to non-NULL
+    (true for any exact-decimal sum over a non-null column) — the
+    carried value is the previous observed bucket's aggregate.
     """
     unit = bucket.split()[-1].rstrip("S").lower()
+    iv = F.expr(f"INTERVAL {bucket}")
     agg = df.groupBy(
         F.col(key_col), F.date_trunc(unit, F.col(ts_col)).alias("ws")
     ).agg(val_col.alias("v"), F.count("*").alias("n"))
-    span = agg.groupBy(key_col).agg(F.min("ws").alias("_a"), F.max("ws").alias("_b"))
-    spine = span.select(
-        key_col,
-        F.explode(F.sequence(F.col("_a"), F.col("_b"), F.expr(f"INTERVAL {bucket}"))).alias("ws"),
-    )
     w = W.partitionBy(key_col).orderBy(F.col("ws").asc())
-    return (
-        spine.join(agg, [key_col, "ws"], "left")
-        .select(
-            key_col,
-            "ws",
-            F.coalesce("n", F.lit(0)).alias("n"),
-            F.col("n").isNull().alias("filled"),
-            F.last("v", ignorenulls=True).over(w).alias("v_locf"),
-        )
+    lagged = agg.select(
+        key_col,
+        "ws",
+        "v",
+        "n",
+        F.lag("ws").over(w).alias("_pws"),
+        F.lag("v").over(w).alias("_pv"),
     )
+    # start of this row's emission span: first missing bucket after the
+    # previous observation if there is a gap, else the row's own bucket
+    start = F.when(
+        F.col("_pws").isNotNull() & (F.col("_pws") + iv < F.col("ws")),
+        F.col("_pws") + iv,
+    ).otherwise(F.col("ws"))
+    is_obs = lambda g: g == F.col("ws")  # noqa: E731
+    rows = F.transform(
+        F.sequence(start, F.col("ws"), iv),
+        lambda g: F.struct(
+            g.alias("ws"),
+            F.when(is_obs(g), F.col("n")).otherwise(F.lit(0)).alias("n"),
+            (~is_obs(g)).alias("filled"),
+            F.when(is_obs(g), F.col("v")).otherwise(F.col("_pv")).alias("v_locf"),
+        ),
+    )
+    return lagged.select(key_col, F.inline(rows))
 
 
 def gapfill_interpolate(
@@ -139,60 +152,61 @@ def gapfill_interpolate(
 ) -> DataFrame:
     """Linear-interpolation gap fill: like rollup_gapfill_locf, but a
     filled bucket gets the value linearly interpolated between its
-    nearest observed neighbors (LOCF at the trailing edge, NOCB at the
-    leading edge). Output: key, ws, filled, v_interp.
+    nearest observed neighbors. Output: key, ws, filled, v_interp.
 
-    Both neighbor lookups are windows over the SAME (key, ws-ordered)
-    partition — forward `last(ignorenulls)` and backward
-    `first(ignorenulls)` — so Catalyst plans one sort + one exchange
-    for the pair; everything runs on bucket-level rows (see
-    rollup_gapfill_locf for why that's scale-safe). The interpolation
-    ratio uses integer second offsets (`timestampdiff`), so the
-    arithmetic is bit-identical across engines.
+    Same single-pass shape as rollup_gapfill_locf: every filled
+    bucket lies strictly between two CONSECUTIVE observed buckets, so
+    one lag() window over the rollup supplies both interpolation
+    endpoints ((_pws, _pv) and the current row), and each rollup row
+    emits [its preceding gap rows ++ itself] via one `sequence` +
+    `inline` — one scan, one shuffle, one bucket-level window; no
+    spine materialization, no second aggregation of the input, no
+    spine join. The interpolation ratio divides integer epoch-second
+    offsets (bucket timestamps are whole bucket multiples, so the
+    casts are exact), bit-identical across engines, and v_interp is
+    ROUND(...,9) on both engines (the x40/x41 cross-engine hash
+    contract — unrounded doubles are 1-ulp hostages to engine
+    arithmetic changes, the hazard class that cost t09 its round-2
+    driver row).
     """
     unit = bucket.split()[-1].rstrip("S").lower()
+    iv = F.expr(f"INTERVAL {bucket}")
     agg = df.groupBy(
         F.col(key_col), F.date_trunc(unit, F.col(ts_col)).alias("ws")
     ).agg(val_col.alias("v"))
-    span = agg.groupBy(key_col).agg(F.min("ws").alias("_a"), F.max("ws").alias("_b"))
-    spine = span.select(
-        key_col,
-        F.explode(F.sequence(F.col("_a"), F.col("_b"), F.expr(f"INTERVAL {bucket}"))).alias("ws"),
-    )
-    j = spine.join(agg, [key_col, "ws"], "left")
-    w_prev = W.partitionBy(key_col).orderBy(F.col("ws").asc()).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    w_next = W.partitionBy(key_col).orderBy(F.col("ws").asc()).rowsBetween(
-        W.currentRow, W.unboundedFollowing
-    )
-    obs_ts = F.when(F.col("v").isNotNull(), F.col("ws"))
-    x = j.select(
+    w = W.partitionBy(key_col).orderBy(F.col("ws").asc())
+    lagged = agg.select(
         key_col,
         "ws",
         "v",
-        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
-        F.last(obs_ts, ignorenulls=True).over(w_prev).alias("pt"),
-        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
-        F.first(obs_ts, ignorenulls=True).over(w_next).alias("nt"),
+        F.lag("ws").over(w).alias("_pws"),
+        F.lag("v").over(w).alias("_pv"),
     )
-    frac = F.expr("timestampdiff(SECOND, pt, ws)").cast("double") / F.expr(
-        "timestampdiff(SECOND, pt, nt)"
+    start = F.when(
+        F.col("_pws").isNotNull() & (F.col("_pws") + iv < F.col("ws")),
+        F.col("_pws") + iv,
+    ).otherwise(F.col("ws"))
+    is_obs = lambda g: g == F.col("ws")  # noqa: E731
+
+    def frac(g):
+        return (g.cast("long") - F.col("_pws").cast("long")).cast("double") / (
+            F.col("ws").cast("long") - F.col("_pws").cast("long")
+        )
+
+    rows = F.transform(
+        F.sequence(start, F.col("ws"), iv),
+        lambda g: F.struct(
+            g.alias("ws"),
+            (~is_obs(g)).alias("filled"),
+            F.round(
+                F.when(is_obs(g), F.col("v")).otherwise(
+                    F.col("_pv") + (F.col("v") - F.col("_pv")) * frac(g)
+                ),
+                9,
+            ).alias("v_interp"),
+        ),
     )
-    v_interp = (
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .when(F.col("pv").isNull(), F.col("nv"))
-        .when(F.col("nv").isNull(), F.col("pv"))
-        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
-    )
-    # ROUND(...,9) on both engines (the x40/x41 cross-engine hash
-    # contract): the interpolation chain is IEEE-deterministic today,
-    # but unrounded doubles are 1-ulp hostages to engine arithmetic
-    # changes — same hazard class that cost t09 its round-2 driver row.
-    return x.select(
-        key_col, "ws", F.col("v").isNull().alias("filled"),
-        F.round(v_interp, 9).alias("v_interp"),
-    )
+    return lagged.select(key_col, F.inline(rows))
 
 
 def ohlc_bars(

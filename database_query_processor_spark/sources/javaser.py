@@ -35,12 +35,50 @@ TC_ARRAY = 0x75
 TC_BLOCKDATA = 0x77
 TC_ENDBLOCKDATA = 0x78
 TC_BLOCKDATALONG = 0x7A
+TC_LONGSTRING = 0x7C
 BASE_HANDLE = 0x7E0000
 SC_WRITE_METHOD = 0x01
 SC_SERIALIZABLE = 0x02
 
 # reference type codes (src/qp/utils/Attribute.java:11-13)
 ATTR_INT, ATTR_STRING, ATTR_REAL = 1, 2, 3
+
+
+def _decode_modified_utf8(b: bytes) -> str:
+    """Decode Java *modified* UTF-8 (DataInput.readUTF wire format):
+    NUL is two bytes (0xC0 0x80) and supplementary characters are
+    CESU-8 — each UTF-16 surrogate encoded as its own 3-byte unit —
+    neither of which strict standard UTF-8 accepts. ASCII/BMP text is
+    byte-identical to UTF-8, so try the fast strict path first."""
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    units: list[int] = []  # UTF-16 code units
+    i, n = 0, len(b)
+    while i < n:
+        c = b[i]
+        if c < 0x80:
+            units.append(c)
+            i += 1
+        elif c >> 5 == 0b110:
+            if i + 1 >= n:
+                raise ValueError("truncated modified-UTF-8 2-byte unit")
+            units.append(((c & 0x1F) << 6) | (b[i + 1] & 0x3F))
+            i += 2
+        elif c >> 4 == 0b1110:
+            if i + 2 >= n:
+                raise ValueError("truncated modified-UTF-8 3-byte unit")
+            units.append(((c & 0x0F) << 12) | ((b[i + 1] & 0x3F) << 6) | (b[i + 2] & 0x3F))
+            i += 3
+        else:
+            raise ValueError(f"malformed modified-UTF-8 lead byte 0x{c:02x} at {i}")
+    # pair up CESU-8 surrogates into astral characters
+    return (
+        "".join(map(chr, units))
+        .encode("utf-16-le", "surrogatepass")
+        .decode("utf-16-le", "surrogatepass")
+    )
 
 
 @dataclass
@@ -107,7 +145,13 @@ class JavaSerReader:
         return struct.unpack(">i", self._raw(4))[0]
 
     def _utf(self) -> str:
-        return self._raw(self._u2()).decode("utf-8")
+        return _decode_modified_utf8(self._raw(self._u2()))
+
+    def _utf_long(self) -> str:
+        # TC_LONGSTRING payload: 8-byte big-endian length (strings >= 64 KiB,
+        # ObjectOutputStream.writeLongUTF)
+        n = struct.unpack(">Q", self._raw(8))[0]
+        return _decode_modified_utf8(self._raw(n))
 
     def _prim(self, typecode: str):
         if typecode == "I":
@@ -140,6 +184,10 @@ class JavaSerReader:
             return _resolve(self.handles[self._i4() - BASE_HANDLE])
         if tc == TC_STRING:
             s = self._utf()
+            self.handles.append(s)
+            return s
+        if tc == TC_LONGSTRING:
+            s = self._utf_long()
             self.handles.append(s)
             return s
         if tc == TC_OBJECT:

@@ -110,3 +110,44 @@ def test_distributed_read(spark, ref_table):
     want = sorted(tuple(r) for r in _txt_rows(ref_table))
     assert got == want
     assert df.schema.fieldNames()[0].endswith("cartid")
+
+
+def _stream(*body: bytes) -> bytes:
+    import struct as _s
+
+    return _s.pack(">HH", javaser.MAGIC, javaser.VERSION) + b"".join(body)
+
+
+def test_modified_utf8_nul_and_astral():
+    """Java writeUTF encodes NUL as 0xC0 0x80 and astral chars as
+    CESU-8 surrogate pairs — strict standard UTF-8 rejects both, but
+    a reference dataset containing them must still load."""
+    r = javaser.JavaSerReader(
+        _stream(bytes([javaser.TC_STRING, 0x00, 0x04, 0x61, 0xC0, 0x80, 0x62]))
+    )
+    assert r.read_content() == "a\x00b"
+    # U+1F600 as CESU-8: ED A0 BD ED B8 80
+    cesu = bytes([0xED, 0xA0, 0xBD, 0xED, 0xB8, 0x80])
+    r2 = javaser.JavaSerReader(
+        _stream(bytes([javaser.TC_STRING]) + len(cesu).to_bytes(2, "big") + cesu)
+    )
+    assert r2.read_content() == "\U0001F600"
+
+
+def test_long_string_tag():
+    """TC_LONGSTRING (0x7C): strings >= 64 KiB carry an 8-byte length."""
+    payload = b"x" * 70000
+    r = javaser.JavaSerReader(
+        _stream(
+            bytes([javaser.TC_LONGSTRING])
+            + len(payload).to_bytes(8, "big")
+            + payload
+        )
+    )
+    s = r.read_content()
+    assert s == "x" * 70000
+
+
+def test_plain_utf8_fast_path_unchanged():
+    b = "héllo wörld".encode("utf-8")
+    assert javaser._decode_modified_utf8(b) == "héllo wörld"

@@ -242,14 +242,15 @@ def test_repetition_stats_single_scan_no_join(spark):
 
 def test_rollup_gapfill_plan(spark):
     """t05: hypertable rollup = ONE full-data shuffle (the bucket
-    rollup, partial-agg'd map-side); the spine and LOCF window operate
-    on bucket-level rows only, and the spine⋈rollup join broadcasts —
-    at 100 TB the raw events move exactly once."""
+    rollup, partial-agg'd map-side); densification is a lag window +
+    sequence-explode over bucket-level rows — NO join at all (the
+    old spine⋈rollup formulation aggregated the input twice), so at
+    100 TB the raw events move exactly once."""
     df = _specs()["t05_rollup_gapfill"].build(spark, SF)
     plan = explain_str(df, "simple")
     assert count_exchanges(df) <= 2, plan
-    assert "BroadcastHashJoin" in join_strategies(df), plan
-    assert "CartesianProduct" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") <= 2, plan  # one partial+final pair
     assert "partial_count" in plan or "partial" in plan.lower(), plan
 
 
