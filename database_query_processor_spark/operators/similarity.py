@@ -123,6 +123,36 @@ def _py_cos(a, b) -> float:
     return _py_dot(a, b) / (math.sqrt(_py_dot(a, a)) * math.sqrt(_py_dot(b, b)))
 
 
+def _ids_codebook(df: DataFrame, id_col: str, vec_col: str, cells: int) -> list[tuple[int, list[float]]]:
+    """Deterministic codebook: the vectors of the ``cells`` smallest
+    ids (oracle-reproducible in plain SQL)."""
+    rows = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(cells)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    return [(r["cent_id"], [float(x) for x in r["cv"]]) for r in rows]
+
+
+def _kmeans_codebook(
+    df: DataFrame, vec_col: str, cells: int, seed: int = 42, sample_cap: int = 100_000
+) -> list[tuple[int, list[float]]]:
+    """KMeans-trained codebook (pyspark.ml) — the production centroid
+    quality path. Fit runs on a bounded deterministic sample (the fit
+    is iterative over its input, so cap it; centroid quality needs a
+    representative sample, not the corpus), and only the ``cells``
+    centers ever leave the JVM. cent_id = center index."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = df.count()
+    sample = df if n <= sample_cap else df.sample(fraction=sample_cap / n, seed=seed)
+    feats = sample.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=cells, seed=seed, featuresCol="features").fit(feats)
+    return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+
+
 def ann_ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -131,29 +161,34 @@ def ann_ivf_topk(
     k: int = 10,
     cells: int = IVF_CELLS,
     nprobe: int = IVF_NPROBE,
+    codebook: str = "ids",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into
     ``cells`` Voronoi cells, probe the ``nprobe`` cells nearest the
     query, exact cosine within the probed cells only.
 
-    Codebook: the vectors of the ``cells`` smallest ids — a
-    deterministic stand-in for a KMeans-trained codebook so the DuckDB
-    oracle can reproduce the exact partition (centroid *quality*
-    changes recall, not the algebra; swap in
-    ``pyspark.ml.clustering.KMeans`` fit on a sample at scale — the
-    plumbing below is unchanged).
+    Codebook (``codebook=``):
+      * ``"ids"`` (default): vectors of the ``cells`` smallest ids — a
+        deterministic stand-in so the DuckDB oracle can reproduce the
+        exact partition (centroid *quality* changes recall, not the
+        algebra).
+      * ``"kmeans"``: a pyspark.ml KMeans fit on a bounded sample —
+        the production centroid-quality path; same plumbing, better
+        cell balance (recall pinned vs the exact oracle in
+        tests/test_recall.py).
 
     Scale path (100 TB): centroids are tiny → collected + broadcast
     into a literal argmax expression, so assignment is a pure scan-side
     map (no shuffle, no UDF). Writing the corpus partitioned by
     ``cell`` turns probing into partition pruning: a query touches
     nprobe/cells of the data."""
-    cent_rows = (
-        df.orderBy(F.col(id_col).asc())
-        .limit(cells)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
-        .collect()
-    )
+    if codebook == "kmeans":
+        cents = _kmeans_codebook(df.select(vec_col), vec_col, cells)
+    elif codebook == "ids":
+        cents = _ids_codebook(df, id_col, vec_col, cells)
+    else:
+        raise ValueError(f"unknown codebook {codebook!r} (want 'ids' or 'kmeans')")
+    cent_rows = [{"cent_id": cid, "cv": cv} for cid, cv in cents]
     qv = [float(x) for x in df.filter(F.col(id_col) == query_id).select(vec_col).first()[0]]
     probe_ids = [
         cid

@@ -59,3 +59,32 @@ def test_ann_lsh_finds_planted_neighbor(planted):
     # P(all 6 sign bits agree) ≈ 0.76 per pair at cos≈0.995; seeded data
     # makes the realized count a fixed replay — bound it loosely below
     assert hits >= 6, hits
+
+
+def test_ivf_kmeans_codebook_recall(planted):
+    """The KMeans codebook path must run the same IVF plumbing as the
+    deterministic 'ids' codebook and beat/match its recall vs the
+    exact cosine top-k: the planted near-copy of the query shares the
+    query's cell under any reasonable codebook, so it must appear in
+    a 2-of-8-cell probe."""
+    query_id = 7
+    exact_ids = [
+        r.vec_id
+        for r in SIM.cosine_topk(planted, "vec_id", "embedding", query_id, k=10).collect()
+    ]
+    got = [
+        r.vec_id
+        for r in SIM.ann_ivf_topk(
+            planted, "vec_id", "embedding", query_id, k=10, codebook="kmeans"
+        ).collect()
+    ]
+    # the planted near-duplicate (cos >= 0.99) must be found
+    assert query_id + 100 in got
+    # recall@10 vs exact must clear the useful-approximation bar
+    recall = len(set(got) & set(exact_ids)) / len(exact_ids)
+    assert recall >= 0.5, (recall, got, exact_ids)
+
+
+def test_ivf_bad_codebook_rejected(planted):
+    with pytest.raises(ValueError):
+        SIM.ann_ivf_topk(planted, "vec_id", "embedding", 1, codebook="nope")
