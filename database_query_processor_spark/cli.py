@@ -43,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dialect", choices=("reference", "spark"), default="reference")
     ap.add_argument("--explain", action="store_true", help="print the physical plan")
     ap.add_argument("--single-file", action="store_true", help="coalesce to one output file")
+    ap.add_argument("--confirm", action="store_true",
+                    help="reference-compat: show the plan and ask before executing "
+                         "(QueryMain's confirm-before-execute prompt, "
+                         "src/QueryMain.java:139-157)")
     args = ap.parse_args(argv)
 
     with open(args.query_file, encoding="utf-8") as fh:
@@ -54,8 +58,13 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="dqps-cli", shuffle_partitions=args.numbuffer)
     register_tables(spark, args.data_dir)
     df = spark.sql(sql)
-    if args.explain:
+    if args.explain or args.confirm:
         df.explain("formatted")
+    if args.confirm:
+        answer = input("execute this plan? [y/N] ").strip().lower()
+        if answer not in ("y", "yes"):
+            print("aborted", file=sys.stderr)
+            return 2
     t0 = time.perf_counter()
     write_result(df, args.result_dir, single_file=args.single_file)
     elapsed = time.perf_counter() - t0

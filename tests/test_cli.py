@@ -56,3 +56,23 @@ def test_cli_reference_positional_knobs(spark, tmp_path):
     lines = spark.sparkContext.textFile(str(out)).collect()
     assert lines[0] == "l_orderkey"
     assert len(lines) > 1
+
+
+def test_cli_confirm_gate(spark, tmp_path, monkeypatch, capsys):
+    """--confirm mirrors QueryMain's confirm-before-execute prompt
+    (src/QueryMain.java:139-157): a non-yes answer prints the plan but
+    never executes; yes runs normally."""
+    q = tmp_path / "q.sql"
+    q.write_text("SELECT region.r_name FROM region\n")
+    out = tmp_path / "result"
+
+    monkeypatch.setattr("builtins.input", lambda *_: "n")
+    rc = main([str(q), str(out), "--data-dir", SF, "--confirm"])
+    assert rc == 2
+    assert not out.exists()
+
+    monkeypatch.setattr("builtins.input", lambda *_: "y")
+    rc = main([str(q), str(out), "--data-dir", SF, "--confirm", "--single-file"])
+    assert rc == 0
+    lines = spark.sparkContext.textFile(str(out)).collect()
+    assert lines[0] == "r_name" and len(lines) == 6

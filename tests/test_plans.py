@@ -254,6 +254,19 @@ def test_rollup_gapfill_plan(spark):
     assert "partial_count" in plan or "partial" in plan.lower(), plan
 
 
+def test_gapfill_interpolate_plan(spark):
+    """t06: same single-pass contract as t05 — one FileScan, one
+    full-data shuffle into the bucket rollup, lag window +
+    sequence+inline densification, no join, no second aggregation of
+    the input."""
+    df = _specs()["t06_gapfill_interpolate"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") <= 2, plan
+    assert count_exchanges(df) <= 2, plan
+
+
 def test_boilerplate_ngrams_plan(spark):
     """x33: cross-doc boilerplate = explode as a scan-stage generator
     computed exactly ONCE (fenced tokenize), (doc, gram) pre-agg,
