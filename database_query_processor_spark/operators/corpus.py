@@ -569,3 +569,52 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             / F.greatest(F.col("n_bg"), F.lit(1))
         ).alias("dup_bigram_frac"),
     )
+
+
+def budget_select(
+    df: DataFrame,
+    id_col: str,
+    ntok_col: str,
+    score_col,
+    budget: int,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Greedy quality-first corpus selection under a global token
+    budget — the "fill N tokens with the best data" pretraining
+    primitive: rank documents by (score DESC, id ASC) and keep the
+    prefix whose cumulative token count stays under ``budget`` (the
+    document straddling the boundary is kept — greedy fill, never an
+    empty result for a positive budget).
+
+    Output: (id, n_tokens, score, start_offset) for kept docs, where
+    start_offset is the tokens consumed before this doc.
+
+    Scale: same two-pass distributed prefix sum as train_order /
+    pack_sequences, but range-partitioned on the RANKING key
+    (score DESC, id ASC) instead of a hash key: per-partition token
+    totals (one tiny row each) broadcast back as partition offsets,
+    within-partition running sums complete the global prefix — no
+    single-partition global window, one range shuffle of
+    (id, n_tokens, score)."""
+    keyed = df.select(
+        F.col(id_col),
+        F.col(ntok_col).alias("n_tokens"),
+        score_col.alias("score"),
+    ).repartitionByRange(num_partitions, F.col("score").desc(), F.col(id_col).asc())
+    keyed = keyed.withColumn("pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    totals = {
+        r["pid"]: r["t"]
+        for r in keyed.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets = _prefix_offsets(keyed.sparkSession, totals)
+    w = Window.partitionBy("pid").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    start = (
+        F.sum("n_tokens").over(w) - F.col("n_tokens") + F.col("_offset")
+    ).alias("start_offset")
+    return (
+        keyed.join(F.broadcast(offsets), "pid")
+        .select(id_col, "n_tokens", "score", start)
+        .where(F.col("start_offset") < budget)
+    )

@@ -162,3 +162,104 @@ SELECT doc_id, count(*) AS n_toks,
        round(-list_sum(list(lp ORDER BY pos)) / count(*), 9) AS nll
 FROM pt GROUP BY doc_id
 """
+
+
+RRF_K = 60
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    pool: int = 50,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the standard
+    RAG-corpus primitive combining a lexical ranker and a dense
+    ranker: rrf(d) = Σ_sys 1/(rrf_k + rank_sys(d)) over the systems
+    that retrieved d (missing rank contributes 0), fused over a
+    ``pool``-deep candidate list per system, top-``k`` by fused score.
+    Embedding rows join the document domain by vec_id == doc_id.
+
+    Output: doc_id, rrf (ROUND 9), lex_rank, dense_rank (NULL where
+    one system missed the doc).
+
+    Scale: both rankers end in TakeOrderedAndProject (per-partition
+    heaps, k rows to the driver-side merge) — the global row_number
+    windows and the full-outer fusion join run on ≤pool rows each, a
+    CONSTANT, so single-partition execution there is correct, not a
+    bottleneck. Corpus-sized work is exactly the two rankers' own
+    scans; nothing else touches the data."""
+    from pyspark.sql import Window as W
+
+    from database_query_processor_spark.operators.similarity import cosine_topk
+
+    lex = bm25_topk(docs, id_col, text_col, terms, k=pool)
+    lexr = lex.select(
+        F.col("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("lex_rank"),
+    )
+    dense = cosine_topk(emb, vec_id_col, vec_col, query_id, k=pool)
+    denser = dense.select(
+        F.col(vec_id_col).alias("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.col("cos").desc(), F.col(vec_id_col).asc()))
+        .alias("dense_rank"),
+    )
+    contrib = lambda r: F.coalesce(F.lit(1.0) / (rrf_k + F.col(r)), F.lit(0.0))  # noqa: E731
+    return (
+        lexr.join(denser, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.round(contrib("lex_rank") + contrib("dense_rank"), 9).alias("rrf"),
+            "lex_rank",
+            "dense_rank",
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def sql_hybrid_rrf(
+    terms: list[str],
+    query_id: int,
+    cosine_sql: str,
+    k: int = 10,
+    pool: int = 50,
+    rrf_k: int = RRF_K,
+    toks_sql: str = "",
+) -> str:
+    """DuckDB oracle mirroring hybrid_rrf_topk (same rank tie-breaks,
+    same 1/(k+rank) double arithmetic, ROUND 9). ``cosine_sql`` is the
+    engine-shared ordered-fold cosine expression over (embedding, qv)
+    — similarity.sql_cosine('embedding', 'qv')."""
+    return f"""
+WITH lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+  FROM ({sql_bm25_topk(terms, k=pool, toks_sql=toks_sql)}) lex),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id}),
+dense AS (
+  SELECT vec_id, {cosine_sql} AS cos
+  FROM embeddings, q WHERE vec_id <> {query_id}
+  ORDER BY cos DESC, vec_id ASC LIMIT {pool}),
+denser AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS dense_rank
+  FROM dense)
+SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + lex_rank), 0.0)
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + dense_rank), 0.0),
+             9) AS rrf,
+       lex_rank, dense_rank
+FROM lexr l FULL JOIN denser d ON l.doc_id = d.doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT {k}
+"""

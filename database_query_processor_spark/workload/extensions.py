@@ -1230,7 +1230,75 @@ def _unigram_oracle():
     return RT.sql_unigram_logprob(toks_sql=TOKS_SQL)
 
 
+def hybrid_search(spark, sf_dir):
+    """x46: hybrid retrieval — BM25 lexical ranker + dense cosine
+    ranker fused with reciprocal-rank fusion (rrf_k=60) over
+    pool-deep candidate lists; embeddings join the doc domain by
+    vec_id == doc_id."""
+    from database_query_processor_spark.operators import retrieval as RT
+
+    return RT.hybrid_rrf_topk(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        BM25_TERMS,
+        query_id=0,
+        k=10,
+    )
+
+
+def _hybrid_oracle():
+    from database_query_processor_spark.operators import retrieval as RT
+
+    return RT.sql_hybrid_rrf(
+        BM25_TERMS, 0, SIM.sql_cosine("embedding", "qv"), k=10, toks_sql=TOKS_SQL
+    )
+
+
+def corpus_budget_select(spark, sf_dir):
+    """x47: greedy quality-first corpus selection under a global token
+    budget — rank by (quality DESC, doc_id) and keep the prefix whose
+    cumulative whitespace-token count stays under budget (boundary doc
+    kept). Distributed two-pass prefix sum, range-partitioned on the
+    ranking key."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        TX.ws_token_count("text").alias("n_tokens"),
+        TX.quality_score("text").alias("q"),
+    )
+    out = CP.budget_select(scored, "doc_id", "n_tokens", F.col("q"), budget=5000)
+    return out.select(
+        "doc_id", "n_tokens", F.round("score", 9).alias("score"), "start_offset"
+    )
+
+
+BUDGET_SELECT_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_WS_COUNT_SQL} AS n_tokens, {TOKS_SQL} AS toks
+           FROM documents),
+s AS (SELECT doc_id, n_tokens,
+             least(1.0, len(toks) / 50.0)
+               * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text))
+               * (0.5 + 0.5 * ({_EN_OCC} / greatest(len(toks), 1))) AS score
+      FROM t),
+c AS (SELECT doc_id, n_tokens, score,
+             SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+      FROM s)
+SELECT doc_id, n_tokens, ROUND(score, 9) AS score,
+       CAST(start_offset AS BIGINT) AS start_offset
+FROM c WHERE start_offset < 5000
+"""
+
+
 SPECS = [
+    QuerySpec("x46_hybrid_rrf_search", hybrid_search, _hybrid_oracle(),
+              "hybrid retrieval: BM25 + dense cosine rankers fused by "
+              "reciprocal-rank fusion; constant-size fusion join, corpus "
+              "cost = the two rankers' scans"),
+    QuerySpec("x47_budget_select", corpus_budget_select, BUDGET_SELECT_SQL,
+              "token-budget-capped quality-first corpus selection: "
+              "range-partitioned two-pass prefix sum on the ranking key, "
+              "no single-partition global window"),
     QuerySpec("x37_passage_dedup", passage_dedup, PASSAGE_DEDUP_SQL,
               "sub-document passage-level exact dedup: 32-token passages, "
               "global first-occurrence wins, documents reassembled "

@@ -175,3 +175,19 @@ def test_partition_offsets_join_not_when_chain(spark):
     plan2 = explain_str(CP.pack_sequences(toks, "doc_id", "n_tokens", num_partitions=64))
     assert "BroadcastHashJoin" in plan2
     assert plan2.count("CASE WHEN") <= 2
+
+
+def test_budget_select_boundary_and_order(spark):
+    """Greedy fill semantics: docs rank by (score desc, id asc); the
+    doc straddling the budget boundary is kept; everything after is
+    cut. A budget covering everything keeps all rows."""
+    rows = [(1, 10, 0.9), (2, 10, 0.8), (3, 10, 0.8), (4, 10, 0.1)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tok int, q double")
+    got = {
+        r["doc_id"]: r["start_offset"]
+        for r in CP.budget_select(df, "doc_id", "n_tok", F.col("q"), budget=25).collect()
+    }
+    # 0.9 -> offset 0; tie at 0.8 breaks to id 2 then 3; 3 straddles 25
+    assert got == {1: 0, 2: 10, 3: 20}
+    all_kept = CP.budget_select(df, "doc_id", "n_tok", F.col("q"), budget=10**9)
+    assert all_kept.count() == 4

@@ -62,3 +62,37 @@ def test_unigram_lm_nll_is_proper_mean(spark):
     row = unigram_logprob_scores(df, "doc_id", "text").collect()[0]
     assert row.n_toks == 6
     assert abs(row.nll - (-math.log(0.5))) < 1e-9
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark):
+    """A doc retrieved by BOTH systems outranks docs either system
+    retrieved alone at comparable depth, and rank columns are NULL
+    for the system that missed the doc."""
+    from database_query_processor_spark.operators.retrieval import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "query anchor text"),
+            (1, "hash join hash join hash join"),   # strong lexical
+            (2, "hash join sort"),                  # lexical + dense
+            (3, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=8)
+    near = (q + 0.01 * rng.normal(size=8)).tolist()
+    far = rng.normal(size=8).tolist()
+    emb = spark.createDataFrame(
+        [(0, q.tolist()), (1, far), (2, near), (3, rng.normal(size=8).tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_rrf_topk(docs, emb, ["hash", "join", "sort"], query_id=0, k=4).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 2 is in both candidate lists -> highest fused score
+    assert out[0]["doc_id"] == 2
+    assert by_id[2]["lex_rank"] is not None and by_id[2]["dense_rank"] is not None
+    # doc 3 has no query term -> lexical miss -> NULL lex_rank
+    assert by_id[3]["lex_rank"] is None and by_id[3]["dense_rank"] is not None
