@@ -32,3 +32,24 @@ def test_engine_analyze_feeds_cbo(spark):
         assert stats.rowCount().isDefined()
     finally:
         spark.catalog.uncacheTable("nation")
+
+
+def test_sweep_order_policy():
+    """Harness policy (not library behavior): queries without a green
+    row in the LATEST driver report sort first, risk-ordered
+    (streaming, sources, dialect, temporal before the TPC-H tail);
+    green queries follow, rotated so they get periodic re-checks.
+    all_specs() itself stays in fixed declaration order."""
+    import __spark_entry__ as e
+    from database_query_processor_spark.workload import all_specs
+
+    order = list(e.queries())
+    names = {s.name for s in all_specs()}
+    assert set(order) == names and len(order) == len(names)
+    green = e._latest_green()
+    if green:
+        unverified = [n for n in order if n not in green]
+        # contiguous prefix: every unverified name precedes every green one
+        assert order[: len(unverified)] == unverified
+    # deterministic across calls
+    assert order == list(e.queries())
