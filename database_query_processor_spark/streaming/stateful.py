@@ -106,3 +106,139 @@ def run_user_profile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros(F.col("last_us")).cast("timestamp_ntz").alias("last_ts"),
         )
     )
+
+
+# --- transformWithState (Spark 4 arbitrary-state API) --------------------
+
+TWS_OUTPUT_SCHEMA = "event_type STRING, day_us BIGINT, n BIGINT"
+
+
+from pyspark.sql.streaming import StatefulProcessor as _StatefulProcessor
+
+
+class _DailyCountProcessor(_StatefulProcessor):
+    """StatefulProcessor: per event_type, a MapState day→count."""
+
+    def init(self, handle) -> None:
+        self._counts = handle.getMapState("daily", "day_us BIGINT", "n BIGINT")
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        touched: dict[int, int] = {}
+        for pdf in rows:
+            if pdf.empty:
+                continue
+            day_us = (
+                pdf["ts"].astype("datetime64[us]").astype("int64")
+                // 86_400_000_000
+            ) * 86_400_000_000
+            for d, c in day_us.value_counts().items():
+                d = int(d)
+                if d in touched:
+                    prev = touched[d]
+                elif self._counts.containsKey((d,)):
+                    prev = int(self._counts.getValue((d,))[0])
+                else:
+                    prev = 0
+                total = prev + int(c)
+                self._counts.updateValue((d,), (total,))
+                touched[d] = total
+        if touched:
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]] * len(touched),
+                    "day_us": list(touched.keys()),
+                    "n": list(touched.values()),
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def daily_counts_tws(stream: DataFrame) -> DataFrame:
+    """Per-(event_type, day) running counts via Spark 4's
+    transformWithStateInPandas — the arbitrary-state successor to
+    applyInPandasWithState (s04): typed state variables (MapState
+    here) on the executor state store instead of one opaque tuple,
+    plus timers/TTL when needed. Counts are additive, so emitted
+    update-mode rows are monotone and the batch-side max() reduction
+    is batching-invariant (same contract as s04).
+
+    Environment gate: the transformWithState state-server protocol
+    speaks protobuf; this container ships no `google.protobuf`, so
+    the runtime path raises a clear error here instead of crashing
+    deep inside the streaming Python driver worker. The processor
+    LOGIC is container-testable (tests/test_streaming_late.py drives
+    _DailyCountProcessor.handleInputRows against a fake MapState);
+    the runtime test auto-activates where protobuf exists."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(state-server protocol); install `protobuf` to run the "
+            "s09 topology — the stateful logic itself is tested "
+            "protobuf-free"
+        ) from exc
+    return (
+        stream.select("event_type", "ts")
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            _DailyCountProcessor(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def run_daily_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive daily_counts_tws over the finite events parquet to
+    completion (file readStream → RocksDB-backed state → update-mode
+    memory sink), then reduce update rows to the final count per
+    (event_type, day). transformWithState requires the RocksDB state
+    store provider; set for this query's lifetime and restored."""
+    conf = spark.conf
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = conf.get(key, None)
+    conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        stream = normalize_event_ts(stream)
+        name = "daily_counts_" + uuid.uuid4().hex[:8]
+        q = (
+            daily_counts_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.table(name)
+            .groupBy("event_type", "day_us")
+            .agg(F.max("n").alias("n"))
+            .select(
+                "event_type",
+                F.timestamp_micros(F.col("day_us")).cast("timestamp_ntz").alias("day"),
+                "n",
+            )
+        )
+    finally:
+        if old is None:
+            conf.unset(key)
+        else:
+            conf.set(key, old)

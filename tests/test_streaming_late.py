@@ -71,3 +71,76 @@ def test_foreach_batch_sink_idempotent(spark, tmp_path):
         for r in run_foreach_batch_sink(spark, "/root/testdata/sf0.001", out).collect()
     }
     assert first == second
+
+
+class _FakeMapState:
+    """In-memory MapState double for protobuf-free logic tests."""
+
+    def __init__(self):
+        self.d = {}
+
+    def containsKey(self, k):
+        return k in self.d
+
+    def getValue(self, k):
+        return self.d[k]
+
+    def updateValue(self, k, v):
+        self.d[k] = v
+
+
+class _FakeHandle:
+    def __init__(self, state):
+        self._state = state
+
+    def getMapState(self, name, key_schema, value_schema, ttlDurationMs=None):
+        return self._state
+
+
+def test_tws_daily_count_processor_logic():
+    """_DailyCountProcessor (the transformWithStateInPandas s09
+    operator) accumulates per-(key, day) counts across batches and
+    emits monotone updates — tested against a fake MapState since the
+    container lacks protobuf for the real state server (the runtime
+    path is gated with a clear ImportError; see daily_counts_tws)."""
+    import pandas as pd
+
+    from database_query_processor_spark.streaming.stateful import (
+        _DailyCountProcessor,
+    )
+
+    p = _DailyCountProcessor()
+    p.init(_FakeHandle(_FakeMapState()))
+    day0 = pd.Timestamp("2024-01-01")
+    batch1 = pd.DataFrame({"ts": [day0, day0 + pd.Timedelta(hours=3),
+                                  day0 + pd.Timedelta(days=1)]})
+    out1 = pd.concat(p.handleInputRows(("click",), iter([batch1]), None))
+    got1 = dict(zip(out1["day_us"], out1["n"]))
+    d0_us = int(day0.value // 1000)
+    d1_us = d0_us + 86_400_000_000
+    assert got1 == {d0_us: 2, d1_us: 1}
+
+    # second batch: same day accumulates on top of stored state
+    batch2 = pd.DataFrame({"ts": [day0 + pd.Timedelta(hours=5)]})
+    out2 = pd.concat(p.handleInputRows(("click",), iter([batch2]), None))
+    assert dict(zip(out2["day_us"], out2["n"])) == {d0_us: 3}
+
+
+def test_tws_runtime_gate_message():
+    """Without protobuf the runtime path must fail fast with the
+    documented message, not crash inside the streaming driver
+    worker."""
+    import importlib.util
+
+    import pytest
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no `google` namespace package at all
+        has_protobuf = False
+    if has_protobuf:
+        pytest.skip("protobuf present: the runtime path is usable here")
+    from database_query_processor_spark.streaming.stateful import daily_counts_tws
+
+    with pytest.raises(ImportError, match="protobuf"):
+        daily_counts_tws(None)
