@@ -137,3 +137,86 @@ def test_spark_matches_duckdb(views, sql):
 def test_join_spark_matches_duckdb(views, sql):
     probs = compare(views.sql(sql), duckdb_run(sql, SF))
     assert not probs, f"{sql}\n{probs}"
+
+
+# --- reference-dialect translator differential ---------------------------
+#
+# Same differential idea, but the Spark side goes through the
+# reference-dialect TRANSLATOR (plans/dialect.py): random queries in
+# the reference grammar (comma-AND conjuncts, GROUPBY/ORDERBY
+# keywords, double-quoted literals, mandatory TABLE.col qualification,
+# one global DESC flag) and the structurally-equivalent ANSI for
+# DuckDB — covering the translator across the grammar space instead
+# of the handful of fixed testcase files.
+
+
+@st.composite
+def dialect_query(draw):
+    """Returns (reference_dialect_sql, ansi_sql) for one random query."""
+    preds = []
+    for _ in range(draw(st.integers(min_value=0, max_value=3))):
+        kind = draw(st.sampled_from(["num", "str", "attr"]))
+        if kind == "num":
+            c = draw(st.sampled_from(NUM_COLS))
+            op = draw(st.sampled_from(OPS))
+            v = draw(st.integers(min_value=0, max_value=60))
+            preds.append((f'lineitem.{c} {op} "{v}"', f"{c} {op} {v}"))
+        elif kind == "str":
+            c = draw(st.sampled_from(STR_COLS))
+            op = draw(st.sampled_from(["=", "<>"]))
+            v = draw(st.sampled_from(["A", "N", "R", "O", "F"]))
+            preds.append((f'lineitem.{c} {op} "{v}"', f"{c} {op} '{v}'"))
+        else:  # attr-vs-attr, same table (reference routes to Select)
+            a, b = draw(
+                st.sampled_from(
+                    [("l_partkey", "l_suppkey"), ("l_linenumber", "l_quantity")]
+                )
+            )
+            op = draw(st.sampled_from(OPS))
+            preds.append((f"lineitem.{a} {op} lineitem.{b}", f"{a} {op} {b}"))
+    ref_where = (" WHERE " + ", ".join(p[0] for p in preds)) if preds else ""
+    ansi_where = (" WHERE " + " AND ".join(p[1] for p in preds)) if preds else ""
+
+    if draw(st.booleans()):
+        # GROUPBY form — reference semantics: project list ⊆ group keys
+        keys = draw(
+            st.lists(st.sampled_from(STR_COLS + ["l_linenumber"]), min_size=1,
+                     max_size=2, unique=True)
+        )
+        ref_cols = ", ".join(f"lineitem.{k}" for k in keys)
+        ref = f"SELECT {ref_cols} FROM lineitem{ref_where} GROUPBY {ref_cols}"
+        ansi = (
+            f"SELECT {', '.join(keys)} FROM lineitem{ansi_where} "
+            f"GROUP BY {', '.join(keys)}"
+        )
+        return ref, ansi
+
+    cols = draw(
+        st.lists(st.sampled_from(NUM_COLS + STR_COLS), min_size=1, max_size=3,
+                 unique=True)
+    )
+    ref_cols = ", ".join(f"lineitem.{c}" for c in cols)
+    order = draw(st.sampled_from([None, "asc", "desc"]))
+    ref = f"SELECT {ref_cols} FROM lineitem{ref_where}"
+    ansi = f"SELECT {', '.join(cols)} FROM lineitem{ansi_where}"
+    if order:
+        okey = cols[0]
+        ref += f" ORDERBY lineitem.{okey}" + (" DESC" if order == "desc" else "")
+        # order-insensitive compare: ORDER BY only changes row order,
+        # which the canonical sort in compare() already neutralizes —
+        # what's under test is that the translator ACCEPTS the clause
+    return ref, ansi
+
+
+@given(q=dialect_query())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dialect_translator_matches_duckdb(views, q):
+    from database_query_processor_spark.plans.dialect import translate
+
+    ref_sql, ansi_sql = q
+    probs = compare(views.sql(translate(ref_sql)), duckdb_run(ansi_sql, SF))
+    assert not probs, f"{ref_sql}\n-> {translate(ref_sql)}\n{probs}"
