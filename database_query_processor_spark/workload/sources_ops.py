@@ -171,7 +171,28 @@ FROM documents GROUP BY 1
 """
 
 
+def json_roundtrip(spark, sf_dir):
+    """documents → JSON-lines sink → SCHEMA'D json scan. Spark's json
+    source with an explicit schema skips the inference pass — at
+    100 TB schema inference over text is a full extra scan, so typed
+    read-back is the only acceptable form (same contract as src03's
+    csv path). Unicode/control characters survive the round trip
+    (JSON escapes are the writer's problem, not the reader's)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="dqps_json_")
+    d.write.mode("overwrite").json(path)
+    return (
+        spark.read.schema(d.schema)
+        .json(path)
+        .select("doc_id", "text")
+    )
+
+
 SPECS = [
+    QuerySpec("src08_json_roundtrip", json_roundtrip, _ROUNDTRIP_ORACLE,
+              "JSON-lines sink + schema'd (inference-free) json source "
+              "roundtrip — the training-shard interchange format read "
+              "back typed"),
     QuerySpec("src05_schema_evolution_merge", schema_evolution_merge,
               _EVOLUTION_ORACLE,
               "additive schema evolution: two-batch parquet dataset, "

@@ -220,3 +220,50 @@ def test_dialect_translator_matches_duckdb(views, q):
     ref_sql, ansi_sql = q
     probs = compare(views.sql(translate(ref_sql)), duckdb_run(ansi_sql, SF))
     assert not probs, f"{ref_sql}\n-> {translate(ref_sql)}\n{probs}"
+
+
+# --- window-function differential ----------------------------------------
+#
+# The c-family window queries (rank family, frames, lag/lead) are the
+# lowest-risk block left for driver verification; this property test
+# walks the window space (function × partition × order × frame) so a
+# Spark/DuckDB semantic divergence would surface before the driver
+# sweep reaches them.
+
+
+@st.composite
+def window_query(draw) -> str:
+    part = draw(st.sampled_from(["o_orderstatus", "o_custkey % 10"]))
+    okey = draw(st.sampled_from(["o_orderkey", "o_totalprice DESC, o_orderkey"]))
+    fn = draw(
+        st.sampled_from(
+            [
+                "rank()",
+                "dense_rank()",
+                "row_number()",
+                "lag(o_orderkey, 1) ",
+                "lead(o_orderkey, 2)",
+                "count(*)",
+                "min(o_orderkey)",
+            ]
+        )
+    )
+    frame = ""
+    if fn in ("count(*)", "min(o_orderkey)") and draw(st.booleans()):
+        frame = " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"
+    pred = draw(st.sampled_from(["", " WHERE o_custkey < 500", " WHERE o_orderkey < 2000"]))
+    return (
+        f"SELECT o_orderkey, {fn} OVER (PARTITION BY {part} ORDER BY {okey}{frame}) AS w "
+        f"FROM orders{pred}"
+    )
+
+
+@given(sql=window_query())
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_window_spark_matches_duckdb(views, sql):
+    probs = compare(views.sql(sql), duckdb_run(sql, SF))
+    assert not probs, f"{sql}\n{probs}"
