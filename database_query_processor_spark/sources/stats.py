@@ -50,3 +50,23 @@ def analyze_table(spark: SparkSession, table: str) -> None:
     max/nulls) for a catalog table — the engine-side consumer of what
     the `.stat` file fed in the reference."""
     spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+
+def parse_stat(text: str, columns: list[str]) -> TableStats:
+    """Read the reference's `.stat` sidecar layout back into
+    TableStats — the inverse of to_stat_text, matching the
+    reference's own consumer (PlanCost reads row count then one
+    distinct count per schema column, src/qp/optimizer/
+    PlanCost.java:244-304). `columns` supplies the names the sidecar
+    omits (it is positional, keyed by the schema's column order)."""
+    lines = [ln for ln in text.strip().splitlines() if ln.strip()]
+    if len(lines) < 2:
+        raise ValueError("stat sidecar needs a row-count line and a distincts line")
+    row_count = int(lines[0].strip())
+    distincts = [int(v) for v in lines[1].split("\t")]
+    if len(distincts) != len(columns):
+        raise ValueError(
+            f"stat sidecar has {len(distincts)} distinct counts for "
+            f"{len(columns)} columns"
+        )
+    return TableStats(row_count=row_count, distinct_counts=dict(zip(columns, distincts)))

@@ -139,3 +139,23 @@ def test_jsonl_export_roundtrip(spark, tmp_path):
     orig = {(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()}
     got = {(r["doc_id"], r["text"]) for r in back.select("doc_id", "text").collect()}
     assert got == orig
+
+
+def test_stat_sidecar_roundtrip(spark):
+    """to_stat_text ↔ parse_stat round-trip in the reference's .stat
+    layout (row count line + tab-separated positional distincts,
+    src/RandomDB.java:147-170 / PlanCost.java:244-304)."""
+    from database_query_processor_spark.sources.stats import parse_stat, table_stats
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "k int, v string"
+    )
+    st = table_stats(df, exact=True)
+    back = parse_stat(st.to_stat_text(), ["k", "v"])
+    assert back == st
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_stat("5", ["k"])
+    with pytest.raises(ValueError):
+        parse_stat("5\n1\t2", ["k"])
