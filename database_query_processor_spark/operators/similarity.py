@@ -365,3 +365,78 @@ def sql_hyperplane_bucket(vec: str) -> str:
         lit = "[" + ", ".join(repr(x) for x in h) + "]"
         terms.append(f"(case when {sql_dot(vec, lit)} > 0 then {1 << j} else 0 end)")
     return "(" + " + ".join(terms) + ")"
+
+
+SEM_CELLS = 8  # coarse clusters for semantic dedup
+SEM_TAU = 0.85  # within-cluster cosine cutoff
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cells: int = SEM_CELLS,
+    tau: float = SEM_TAU,
+    codebook: str = "ids",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space semantic
+    deduplication — coarse-cluster the corpus, then inside each
+    cluster drop every vector that has a lower-id neighbor with
+    cosine ≥ ``tau``. Returns one row per vector:
+    (vec_id, cell, kept).
+
+    Differs from `embedding_dup_pairs` (LSH banding) in blocking
+    geometry: Voronoi cells from a codebook give each vector exactly
+    ONE block, so the pair join touches each cluster once and the
+    output is a per-document keep/drop verdict rather than a pair
+    list — the form a curation pipeline consumes directly.
+
+    Drop rule = "∃ lower-id in-cluster neighbor ≥ tau" (not greedy
+    chain removal): deterministic, order-free, one self-join — the
+    published SemDeDup approximation.
+
+    Scale shape (100 TB): codebook is tiny (collected + broadcast
+    into a literal argmax — assignment is scan-side, no shuffle);
+    the only shuffle is the cell-keyed self-join. Within-cell cost
+    is O(size²): production uses enough cells to bound sizes
+    (√n rule) via ``codebook="kmeans"`` — the same knob as IVF; the
+    "ids" codebook keeps the DuckDB oracle exact."""
+    if codebook == "kmeans":
+        cents = _kmeans_codebook(df.select(vec_col), vec_col, cells)
+    elif codebook == "ids":
+        cents = _ids_codebook(df, id_col, vec_col, cells)
+    else:
+        raise ValueError(f"unknown codebook {codebook!r} (want 'ids' or 'kmeans')")
+    best = F.greatest(
+        *[
+            F.struct(
+                cosine(F.col(vec_col), _lit_vec(cv)).alias("c"),
+                F.lit(-cid).alias("nid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col), (-best.getField("nid")).alias("cell")
+    )
+    dropped = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .filter(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) >= tau)
+        .select(F.col(f"a.{id_col}").alias("_dropped_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, assigned[id_col] == dropped["_dropped_id"], "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("_dropped_id").isNull().alias("kept"),
+        )
+    )

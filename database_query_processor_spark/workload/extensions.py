@@ -1290,7 +1290,58 @@ FROM c WHERE start_offset < 5000
 """
 
 
+def dedup_editdistance(spark, sf_dir):
+    """x48: character-level near-dup pairs — Levenshtein ≤ 8 among
+    documents sharing a 24-char normalized prefix (blocked equi-join,
+    never all-pairs; see operators/dedup.py:editdistance_pairs)."""
+    return DD.editdistance_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+EDITDIST_SQL = f"""
+WITH b AS (SELECT doc_id, text, substr(lower(text), 1, {DD.EDIT_PREFIX_LEN}) AS blk
+           FROM documents)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b, levenshtein(a.text, c.text) AS dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+WHERE levenshtein(a.text, c.text) <= {DD.EDIT_MAX_DIST}
+"""
+
+
+def dedup_semantic(spark, sf_dir):
+    """x49: SemDeDup — Voronoi coarse clusters (deterministic "ids"
+    codebook for oracle parity; kmeans is the production knob), drop
+    vectors with a lower-id in-cluster neighbor at cosine ≥ 0.85.
+    Per-document keep/drop verdict, the form a curation pipeline
+    consumes (operators/similarity.py:semantic_dedup)."""
+    return SIM.semantic_dedup(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+SEMDEDUP_SQL = f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+               ORDER BY vec_id LIMIT {SIM.SEM_CELLS}),
+assign AS (
+  SELECT vec_id, embedding, cent_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {SIM.sql_cosine('e.embedding', 'c.cv')} DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT a.vec_id FROM assign a JOIN assign b
+    ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE {SIM.sql_cosine('a.embedding', 'b.embedding')} >= {SIM.SEM_TAU!r})
+SELECT a.vec_id, a.cell, (a.vec_id NOT IN (SELECT vec_id FROM dropped)) AS kept
+FROM assign a
+"""
+
+
 SPECS = [
+    QuerySpec("x48_dedup_editdistance", dedup_editdistance, EDITDIST_SQL,
+              "edit-distance near-dup pairs: prefix-blocked equi-join + "
+              "Levenshtein verify on candidates only (threshold-arg "
+              "short-circuit is the production variant)"),
+    QuerySpec("x49_dedup_semantic", dedup_semantic, SEMDEDUP_SQL,
+              "SemDeDup: codebook coarse clusters + within-cluster cosine "
+              "drop rule; per-doc keep/drop verdict, scan-side assignment, "
+              "one cell-keyed shuffle"),
     QuerySpec("x46_hybrid_rrf_search", hybrid_search, _hybrid_oracle(),
               "hybrid retrieval: BM25 + dense cosine rankers fused by "
               "reciprocal-rank fusion; constant-size fusion join, corpus "

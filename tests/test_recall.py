@@ -88,3 +88,28 @@ def test_ivf_kmeans_codebook_recall(planted):
 def test_ivf_bad_codebook_rejected(planted):
     with pytest.raises(ValueError):
         SIM.ann_ivf_topk(planted, "vec_id", "embedding", 1, codebook="nope")
+
+
+def test_semantic_dedup_drops_planted_twins_keeps_singletons(planted):
+    """SemDeDup on the planted corpus: every noisy copy (cos ≥ 0.99 to
+    its base, far above tau) must be DROPPED whenever it lands in the
+    same Voronoi cell as its base, and the verdict must partition the
+    corpus (one row per vector, kept XOR dropped)."""
+    out = SIM.semantic_dedup(planted, "vec_id", "embedding", tau=0.9)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == 200  # one verdict per vector
+    co_cell_twins = [
+        i for i in range(100) if rows[i].cell == rows[i + 100].cell
+    ]
+    assert len(co_cell_twins) >= 90  # near-identical pairs co-locate
+    for i in co_cell_twins:
+        assert not rows[i + 100].kept, (i, rows[i + 100])
+    # a dropped vector always has a lower-id co-cell neighbor >= tau,
+    # so the LOWEST id in every cell is always kept
+    import collections
+    lowest = {}
+    for vid, r in rows.items():
+        if r.cell not in lowest or vid < lowest[r.cell]:
+            lowest[r.cell] = vid
+    for cell, vid in lowest.items():
+        assert rows[vid].kept, (cell, vid)

@@ -104,3 +104,28 @@ def test_ngram_df_cap_bounds_stop_shingle_bucket(spark):
     assert dup.jaccard == 1.0
     # no pair should arise from boilerplate-only similarity
     assert all((a, b) == (0, 1) for a, b in found), found
+
+
+def test_editdistance_pairs_planted_template_edits(spark):
+    """Prefix-blocked Levenshtein finds template-edit duplicates (same
+    page, one field changed past the blocking prefix) and never pairs
+    unrelated docs."""
+    from database_query_processor_spark.operators.dedup import editdistance_pairs
+
+    page = "invoice for customer alpha number {} total due fifty units net thirty"
+    docs = spark.createDataFrame(
+        [
+            (0, page.format("101")),
+            (1, page.format("202")),          # 2 chars differ past the prefix
+            (2, page.format("101") + " paid"),  # 5-char suffix append
+            (3, "completely different content that shares no prefix at all"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in editdistance_pairs(docs, "doc_id", "text").collect()
+    }
+    assert pairs[(0, 1)] == 2
+    assert pairs[(0, 2)] == 5
+    assert all(3 not in p for p in pairs)
