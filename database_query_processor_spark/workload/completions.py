@@ -957,7 +957,116 @@ FROM documents
 """
 
 
+
+def recursive_month_spine(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4.0+, SPARK-24497): calendar-spine
+    generation — the canonical bounded-depth recursion. An 80-row
+    month spine is built by the recursive CTE itself (no table scan),
+    then LEFT-joined to pre-aggregated monthly order totals with
+    zero-fill, so missing months surface as explicit 0 rows.
+
+    Scale shape: recursion depth = number of months (bounded, driver-
+    side tiny); the orders aggregation is the only data-sized subtree
+    (partial-agg shuffle carries one row per month), and the spine
+    join broadcasts. Unbounded-depth recursion over DATA (transitive
+    closure) deliberately stays the iterative operator with
+    localCheckpoint (operators/corpus.py:connected_components) — a
+    recursive CTE's unbounded plan growth is the wrong tool at 100 TB;
+    this query covers the SQL surface itself.
+
+    No reference analog (the reference's parser has no WITH at all,
+    src/qp/parser/parser.cup)."""
+    from database_query_processor_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months
+          WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+        )
+        SELECT date_format(m, 'yyyy-MM') AS ym,
+               COALESCE(t.n_orders, 0) AS n_orders,
+               CAST(COALESCE(t.total, 0) AS DOUBLE) AS total_price
+        FROM months LEFT JOIN (
+          SELECT date_trunc('MONTH', o_orderdate) AS mo, COUNT(*) AS n_orders,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+          FROM orders GROUP BY 1) t ON t.mo = m
+        ORDER BY ym
+    """)
+
+
+RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1995-01-01 00:00:00'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+)
+SELECT strftime(m, '%Y-%m') AS ym,
+       COALESCE(t.n_orders, 0) AS n_orders,
+       CAST(COALESCE(t.total, 0) AS DOUBLE) AS total_price
+FROM months LEFT JOIN (
+  SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+  FROM orders GROUP BY 1) t ON t.mo = m
+ORDER BY ym
+"""
+
+
+def variant_shred(spark, sf_dir):
+    """VARIANT (Spark 4.0): schemaless semi-structured ingestion —
+    parse_json into the binary VARIANT encoding, shred typed fields
+    out with variant_get, aggregate. The schemaless counterpart of
+    c52's from_json (which needs the schema up front): VARIANT defers
+    typing to read time while staying columnar-friendly (the
+    encoding is order-preserving and prunable, unlike JSON strings
+    re-parsed per access).
+
+    A path absent from the data ('$.absent') yields NULL, counted to
+    pin the missing-path semantic. avg is exact-sum-then-one-divide
+    (bigint sum, single IEEE divide) rounded to 9 on both engines —
+    the cross-engine hash contract."""
+    e = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    absent = F.expr("variant_get(parse_json(props), '$.absent', 'string')")
+    return (
+        e.select("event_type", k.alias("k"), absent.alias("absent"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("k").cast("double") / F.count("*"), 9).alias("avg_k"),
+            F.count("absent").alias("n_absent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VARIANT_SHRED_SQL = """
+WITH v AS (SELECT event_type,
+                  CAST(json_extract(props, '$.k') AS INT) AS k,
+                  json_extract_string(props, '$.absent') AS absent
+           FROM events)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k,
+       ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 9) AS avg_k,
+       COUNT(absent) AS n_absent
+FROM v GROUP BY event_type ORDER BY event_type
+"""
+
+
 SPECS = [
+    QuerySpec("c61_recursive_cte", recursive_month_spine, RECURSIVE_SPINE_SQL,
+              "WITH RECURSIVE month-spine generation + zero-filled monthly "
+              "totals (Spark 4 recursive CTE; bounded depth, broadcast spine)"),
+    QuerySpec("c62_variant_shred", variant_shred, VARIANT_SHRED_SQL,
+              "VARIANT semi-structured shredding: parse_json -> variant_get "
+              "typed extraction, missing-path NULL semantics, exact-sum avg"),
     QuerySpec("c59_higher_order_funcs", higher_order_funcs, HIGHER_ORDER_SQL,
               "higher-order array functions (transform/filter/aggregate/"
               "exists/element_at) over per-order item arrays, exact "
