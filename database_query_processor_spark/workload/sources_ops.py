@@ -188,7 +188,88 @@ def json_roundtrip(spark, sf_dir):
     )
 
 
+def compaction_roundtrip(spark, sf_dir):
+    """src09: small-file compaction — fragment events into 64 tiny
+    files (the state a micro-batch ingest leaves behind), compact to 4
+    range-partitioned ts-sorted files (sources/layout.py:compact),
+    read back and aggregate. The oracle over the original table proves
+    the rewrite is content-preserving; tests/test_layout.py asserts
+    the physical claims (file count, disjoint ts ranges)."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.aggregates import dec
+    from database_query_processor_spark.sources import layout as LAY
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    frag = tempfile.mkdtemp(prefix="dqps_frag_")
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = tempfile.mkdtemp(prefix="dqps_compact_")
+    LAY.compact(spark.read.parquet(frag), compacted, "ts", target_files=4)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+_COMPACTION_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events GROUP BY event_type
+"""
+
+
+def zordered_scan(spark, sf_dir):
+    """src10: Z-order (Morton) clustered layout + 2-D predicate
+    read-back. events is rewritten clustered by the bit-interleave of
+    (user_id, epoch-hour) — the Delta/Iceberg ZORDER BY equivalent in
+    plain Spark — then scanned with a conjunctive predicate on BOTH
+    dimensions. Correctness here = content preservation (oracle runs
+    the same predicate on the original table); the data-skipping claim
+    (fewer files overlap a 2-D box than under a 1-D sort) is measured
+    from parquet footers in tests/test_layout.py."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.sources import layout as LAY
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    b = e.withColumn("_hour", (F.unix_timestamp("ts") / 3600).cast("long"))
+    path = tempfile.mkdtemp(prefix="dqps_zorder_")
+    LAY.write_zordered(b, path, "user_id", "_hour", files=8)
+    back = spark.read.parquet(path)
+    lo, hi = 100, 150
+    return (
+        back.filter((F.col("user_id") >= lo) & (F.col("user_id") <= hi))
+        .filter(F.col("_hour") % 24 < 12)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.min("event_id").alias("min_event"))
+    )
+
+
+_ZORDER_ORACLE = """
+SELECT user_id, COUNT(*) AS n, MIN(event_id) AS min_event
+FROM (SELECT user_id, event_id,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour
+      FROM events)
+WHERE user_id BETWEEN 100 AND 150 AND hour % 24 < 12
+GROUP BY user_id
+"""
+
+
 SPECS = [
+    QuerySpec("src09_compaction", compaction_roundtrip, _COMPACTION_ORACLE,
+              "small-file compaction: 64 fragments -> 4 range-partitioned "
+              "sorted files (content-preserving; physical claims gated in "
+              "tests/test_layout.py)"),
+    QuerySpec("src10_zorder_scan", zordered_scan, _ZORDER_ORACLE,
+              "Z-order (Morton) clustered rewrite + 2-D predicate read-back "
+              "(multi-dimensional data skipping via footer stats)"),
     QuerySpec("src08_json_roundtrip", json_roundtrip, _ROUNDTRIP_ORACLE,
               "JSON-lines sink + schema'd (inference-free) json source "
               "roundtrip — the training-shard interchange format read "

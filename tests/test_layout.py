@@ -75,3 +75,81 @@ def test_partitioned_read_prunes(spark, tmp_path):
     # pruned scan returns exactly the clicks
     n_clicks = events.filter(F.col("event_type") == "click").count()
     assert filtered.count() == n_clicks
+
+
+def _file_ranges(path, col):
+    """(min, max) of ``col`` per data file, from parquet footer stats."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(g.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                c = rgm.column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        out.append((f, lo, hi))
+    return out
+
+
+def test_compaction_produces_few_disjoint_sorted_files(spark, tmp_path):
+    """compact() must collapse a 64-fragment table into target_files
+    range-partitioned files whose ts ranges are pairwise DISJOINT —
+    that disjointness is what turns a ts predicate into file-level
+    skipping after compaction."""
+    from database_query_processor_spark.sources.layout import compact
+
+    e = load_table(spark, SF, "events").select("event_id", "ts", "value")
+    frag = str(tmp_path / "frag")
+    e.repartition(64).write.parquet(frag)
+    import glob as g
+
+    assert len(g.glob(f"{frag}/part-*.parquet")) == 64
+    out = str(tmp_path / "compacted")
+    compact(spark.read.parquet(frag), out, "ts", target_files=4)
+    ranges = _file_ranges(out, "ts")
+    assert len(ranges) <= 4
+    spans = sorted((lo, hi) for _, lo, hi in ranges if lo is not None)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next, spans
+    # content preserved
+    assert spark.read.parquet(out).count() == e.count()
+
+
+def test_zorder_skips_more_files_than_linear_sort_on_2d_box(spark, tmp_path):
+    """The data-skipping claim behind src10: for a predicate on BOTH
+    dimensions, a Z-ordered layout must leave fewer files whose
+    (user_id) footer range overlaps the box than a pure ts-sorted
+    layout with the same file count (where user_id is scattered
+    everywhere, so every file overlaps)."""
+    from database_query_processor_spark.sources.layout import write_zordered
+
+    e = load_table(spark, SF, "events").select("event_id", "ts", "user_id")
+    b = e.withColumn("_hour", (F.unix_timestamp("ts") / 3600).cast("long"))
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    write_zordered(b, zpath, "user_id", "_hour", files=8)
+    (
+        b.repartitionByRange(8, "ts").sortWithinPartitions("ts")
+        .write.parquet(lpath)
+    )
+
+    def overlapping(path, lo, hi):
+        return sum(
+            1
+            for _, mn, mx in _file_ranges(path, "user_id")
+            if mn is not None and not (mx < lo or mn > hi)
+        )
+
+    n_files = len(_file_ranges(lpath, "user_id"))
+    box_lo, box_hi = 0, 3  # sf0.001 has user_id 0..14; box = bottom quarter
+    z_hit = overlapping(zpath, box_lo, box_hi)
+    l_hit = overlapping(lpath, box_lo, box_hi)
+    assert l_hit == n_files  # 1-D sort scatters user_id: no skipping
+    assert z_hit < l_hit, (z_hit, l_hit)
