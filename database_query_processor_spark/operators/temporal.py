@@ -77,6 +77,58 @@ def range_join(
     return left.join(right, key_cond & range_cond, "inner")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_span: tuple[str, str],
+    r_span: tuple[str, str],
+    bin_hours: int = 6,
+    dedup_cols: list[str] | None = None,
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair whose CLOSED
+    time intervals intersect. The temporal-join triad's third member
+    beside as-of (latest-at-or-before) and range (equi-key + band):
+    here NEITHER side is a point and there is no equi-key at all.
+
+    Scale shape: a bare overlap predicate is a cross join with a
+    filter — O(|L|·|R|) at any scale. Instead both sides explode to
+    the fixed-width time bins their interval covers (`sequence` on
+    the bin index — bins-per-row bounded by span/bin) and equi-join
+    ON THE BIN: the shuffle partitions by time bin, co-locating only
+    temporally-near intervals — the binned range-join rewrite that
+    engines with RANGE_JOIN hints apply, expressed directly. Pairs
+    spanning a bin boundary match in several bins, so the join
+    dedups on `dedup_cols` (default: every output column) before the
+    exact overlap filter. Pick `bin_hours` ≈ typical span: too fine
+    multiplies explode fan-out, too coarse co-locates distant
+    intervals (same knob as the LSH band width trade-off).
+    """
+    ls, le = l_span
+    rs, re_ = r_span
+    binsec = bin_hours * 3600
+
+    def binned(df, s, e):
+        return df.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(s)) / binsec),
+                    F.floor(F.unix_timestamp(F.col(e)) / binsec),
+                )
+            ),
+        )
+
+    j = binned(left, ls, le).join(binned(right, rs, re_), "_bin").drop("_bin")
+    j = j.dropDuplicates(dedup_cols) if dedup_cols else j.distinct()
+    return j.filter(
+        (F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le))
+    ).withColumn(
+        "overlap_us",
+        F.unix_micros(F.least(F.col(le), F.col(re_)).cast("timestamp"))
+        - F.unix_micros(F.greatest(F.col(ls), F.col(rs)).cast("timestamp")),
+    )
+
+
 def rollup_gapfill_locf(
     df: DataFrame,
     key_col: str,

@@ -491,7 +491,63 @@ GROUP BY 1, 2
 """
 
 
+
+def interval_overlap(spark, sf_dir):
+    """t12: interval-overlap join — user sessions (30m-gap
+    sessionization) against per-event-type incident windows
+    ([first occurrence, +12h]). No equi-key, neither side a point:
+    both sides bin to 6h buckets and equi-join on the bin
+    (operators/temporal.py:interval_overlap_join), so the shuffle
+    co-locates only temporally-near intervals. Output: which sessions
+    an incident touched and for how long (closed-interval overlap,
+    exact microseconds)."""
+    sessions = TMP.sessionize(_events(spark, sf_dir), "user_id", "ts", gap_minutes=30)
+    incidents = (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.min("ts").alias("inc_start"))
+        .withColumn("inc_end", F.col("inc_start") + F.expr("INTERVAL 12 HOURS"))
+    )
+    out = TMP.interval_overlap_join(
+        sessions.select("user_id", "session_idx", "session_start", "session_end"),
+        incidents,
+        l_span=("session_start", "session_end"),
+        r_span=("inc_start", "inc_end"),
+        bin_hours=6,
+        dedup_cols=["user_id", "session_idx", "event_type"],
+    )
+    return out.select("user_id", "session_idx", "event_type", "overlap_us")
+
+
+INTERVAL_OVERLAP_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+s AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM o),
+sess AS (
+  SELECT user_id, session_idx, MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM s GROUP BY user_id, session_idx),
+inc AS (
+  SELECT event_type, MIN(ts) AS inc_start, MIN(ts) + INTERVAL 12 HOURS AS inc_end
+  FROM events GROUP BY event_type)
+SELECT user_id, session_idx, event_type,
+       epoch_us(least(session_end, inc_end)) - epoch_us(greatest(session_start, inc_start)) AS overlap_us
+FROM sess JOIN inc
+  ON session_start <= inc_end AND inc_start <= session_end
+"""
+
+
 SPECS = [
+    QuerySpec("t12_interval_overlap", interval_overlap, INTERVAL_OVERLAP_SQL,
+              "interval-overlap join (no equi-key, no point side): 6h-binned "
+              "equi-join rewrite of the overlap predicate, exact closed-"
+              "interval microsecond overlap"),
     QuerySpec("s08_stream_static_join", stream_static_enrichment, STREAM_STATIC_SQL,
               "REAL streaming stream-static dimension enrichment: "
               "per-micro-batch broadcast join to a bounded customer dim "

@@ -87,3 +87,43 @@ def test_empty_input_aggregates(spark):
     assert row.n == 0 and row.s is None
     # grouped agg: zero rows
     assert df.groupBy("g").agg(F.sum("v")).count() == 0
+
+
+def test_interval_overlap_join_bin_boundaries(spark):
+    """Binned overlap join must find pairs whose overlap straddles a
+    bin boundary (and pairs wider than one bin), count a boundary
+    TOUCH as overlap (closed intervals, overlap_us = 0), and never
+    pair disjoint intervals that merely share a bin."""
+    from datetime import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            (1, dt(2020, 1, 1, 5), dt(2020, 1, 1, 7)),    # straddles 6h bin edge
+            (2, dt(2020, 1, 1, 0), dt(2020, 1, 2, 0)),    # spans 5 bins
+            (3, dt(2020, 1, 1, 1), dt(2020, 1, 1, 2)),    # disjoint from r20, same bin
+        ],
+        "lid int, s timestamp, e timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, dt(2020, 1, 1, 6, 30), dt(2020, 1, 1, 8)),   # overlaps l1 (past edge), l2
+            (20, dt(2020, 1, 1, 3), dt(2020, 1, 1, 4)),       # same bin as l3, no overlap
+            (30, dt(2020, 1, 1, 7), dt(2020, 1, 1, 9)),       # touches l1 at 07:00 exactly
+        ],
+        "rid int, rs timestamp, re timestamp",
+    )
+    out = {
+        (r.lid, r.rid): r.overlap_us
+        for r in interval_overlap_join(
+            left, right, ("s", "e"), ("rs", "re"), bin_hours=6,
+            dedup_cols=["lid", "rid"],
+        ).collect()
+    }
+    assert set(out) == {(1, 10), (2, 10), (2, 20), (2, 30), (1, 30)}
+    assert out[(1, 10)] == 30 * 60 * 1_000_000  # 06:30-07:00
+    assert out[(1, 30)] == 0  # boundary touch counts, zero width
+    assert out[(2, 20)] == 60 * 60 * 1_000_000
