@@ -164,6 +164,103 @@ FROM pt GROUP BY doc_id
 """
 
 
+BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram term
+
+
+def bigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-trained interpolated bigram-LM quality score — the next
+    rung up from `unigram_logprob_scores` toward the 5-gram KenLM
+    CCNet actually filters with:
+
+        p(w_i | w_{i-1}) = λ·c(w_{i-1} w_i)/c(w_{i-1})
+                         + (1−λ)·c(w_i)/total          (λ = 0.75)
+        nll(doc) = −(1/(n−1)) Σ_{i=2..n} ln p(w_i | w_{i-1})
+
+    Interpolation with the unigram model means unseen bigrams get
+    backed-off mass instead of −∞ (and in a self-trained setting
+    every doc's own bigrams have count ≥ 1 anyway). Context mass
+    c(w_{i-1}) is the plain unigram count — the boundary-position
+    refinement changes scores by O(1/doc_count) and no ranking at
+    corpus scale; documented so the oracle mirrors exactly.
+
+    Scale shape: bigram extraction is array algebra on the scan side
+    (slice + zip_with, no shuffle); the "train" pass is one
+    (prev,cur)-keyed count shuffle (map-side combined) and the
+    "score" pass joins those counts back — Catalyst/AQE broadcasts
+    them while they fit, and degrades to a shuffle join when the
+    bigram vocabulary outgrows memory, which is exactly the right
+    behavior (a forced broadcast would OOM first). Docs with < 2
+    tokens have no bigrams and drop out, same as the oracle.
+    Per-bigram log-probs fold in position order (see module
+    docstring on ordered float reductions)."""
+    ta = tokens(text_col)
+    n = F.size(ta)
+    bg = F.zip_with(
+        F.slice(ta, 1, n - 1),
+        F.slice(ta, 2, n - 1),
+        lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+    )
+    bgs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(bg).alias("pos", "b"),
+    ).select("doc_id", "pos", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    toks = df.select(F.explode(tokens(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    bgc = bgs.groupBy("prev", "cur").agg(F.count("*").alias("cb"))
+    lam = F.lit(BIGRAM_LAMBDA)
+    lnp = F.log(
+        lam * (F.col("cb") / F.col("cu_prev"))
+        + (F.lit(1.0) - lam) * (F.col("cu_cur") / F.col("total"))
+    )
+    per_bg = (
+        bgs.join(bgc, ["prev", "cur"])
+        .join(vocab.select(F.col("tok").alias("prev"), F.col("cnt").alias("cu_prev")), "prev")
+        .join(vocab.select(F.col("tok").alias("cur"), F.col("cnt").alias("cu_cur")), "cur")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.struct(F.col("pos"), lnp.alias("lp")).alias("pl"))
+    )
+    return (
+        per_bg.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pl")).alias("arr"))
+        .select(
+            "doc_id",
+            F.size("arr").alias("n_bigrams"),
+            F.round(
+                -F.aggregate(F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["lp"])
+                / F.size("arr"),
+                9,
+            ).alias("nll"),
+        )
+    )
+
+
+def sql_bigram_logprob(toks_sql: str = "") -> str:
+    """DuckDB oracle mirroring bigram_logprob_scores bit-for-bit."""
+    return f"""
+WITH t AS (SELECT doc_id, {toks_sql} AS toks FROM documents),
+bg AS (SELECT doc_id, s['pos'] AS pos, s['prev'] AS prev, s['cur'] AS cur
+       FROM (SELECT doc_id,
+                    unnest([{{'pos': i - 1, 'prev': toks[i-1], 'cur': toks[i]}}
+                            for i in range(2, len(toks) + 1)]) AS s
+             FROM t)),
+toks AS (SELECT unnest(toks) AS tok FROM t),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT sum(cnt) AS total FROM vocab),
+bgc AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY prev, cur),
+pt AS (SELECT doc_id, pos,
+              ln({BIGRAM_LAMBDA} * (cast(cb AS double) / cast(vp.cnt AS double))
+                 + (1.0 - {BIGRAM_LAMBDA}) * (cast(vc.cnt AS double) / cast(total AS double))) AS lp
+       FROM bg JOIN bgc USING (prev, cur)
+               JOIN vocab vp ON bg.prev = vp.tok
+               JOIN vocab vc ON bg.cur = vc.tok
+               CROSS JOIN total)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(-list_sum(list(lp ORDER BY pos)) / count(*), 9) AS nll
+FROM pt GROUP BY doc_id
+"""
+
+
 RRF_K = 60
 
 

@@ -1224,6 +1224,20 @@ def unigram_lm_quality(spark, sf_dir):
     return RT.unigram_logprob_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def bigram_lm_quality(spark, sf_dir):
+    """x50: interpolated bigram-LM NLL quality score (one rung below
+    CCNet's 5-gram KenLM; operators/retrieval.py:bigram_logprob_scores)."""
+    from database_query_processor_spark.operators import retrieval as RT
+
+    return RT.bigram_logprob_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _bigram_oracle():
+    from database_query_processor_spark.operators import retrieval as RT
+
+    return RT.sql_bigram_logprob(toks_sql=TOKS_SQL)
+
+
 def _unigram_oracle():
     from database_query_processor_spark.operators import retrieval as RT
 
@@ -1378,6 +1392,10 @@ SPECS = [
               "Okapi BM25 top-k retrieval: filtered (doc,term) shuffle, "
               "broadcast df/corpus stats, TakeOrderedAndProject top-k, "
               "order-deterministic score fold"),
+    QuerySpec("x50_bigram_lm_quality", bigram_lm_quality, _bigram_oracle(),
+              "corpus-trained interpolated bigram-LM NLL quality score "
+              "(scan-side bigram extraction, one (prev,cur) count shuffle, "
+              "position-ordered log-prob fold)"),
     QuerySpec("x41_unigram_lm_quality", unigram_lm_quality, _unigram_oracle(),
               "corpus-trained unigram-LM negative-log-likelihood quality "
               "score (CCNet-style perplexity filter), broadcast vocabulary, "

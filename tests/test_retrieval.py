@@ -96,3 +96,36 @@ def test_hybrid_rrf_fuses_both_rankers(spark):
     assert by_id[2]["lex_rank"] is not None and by_id[2]["dense_rank"] is not None
     # doc 3 has no query term -> lexical miss -> NULL lex_rank
     assert by_id[3]["lex_rank"] is None and by_id[3]["dense_rank"] is not None
+
+
+def test_bigram_lm_exact_value_and_ordering(spark):
+    """Hand-computed interpolated bigram NLL on a 3-doc corpus, plus
+    the ranking property the filter relies on: a doc made of corpus-
+    common bigrams scores lower NLL than one pairing the same tokens
+    in never-seen orders."""
+    import math
+
+    from database_query_processor_spark.operators.retrieval import (
+        BIGRAM_LAMBDA,
+        bigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hash join hash join"),
+            (1, "hash join"),
+            (2, "join hash"),  # reversed order: bigram (join,hash) seen twice (doc0 interior, doc2)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob_scores(docs, "doc_id", "text").collect()}
+    # corpus: unigrams hash=4 join=4 total=8; bigrams (hash,join)=3, (join,hash)=2
+    lam = BIGRAM_LAMBDA
+    p_hj = lam * 3 / 4 + (1 - lam) * 4 / 8
+    p_jh = lam * 2 / 4 + (1 - lam) * 4 / 8
+    exp0 = round(-(math.log(p_hj) + math.log(p_jh) + math.log(p_hj)) / 3, 9)
+    assert out[0].n_bigrams == 3
+    assert abs(out[0].nll - exp0) < 1e-12
+    assert out[1].nll == round(-math.log(p_hj), 9)
+    # common-order doc scores better (lower NLL) than the rare order
+    assert out[1].nll < out[2].nll
