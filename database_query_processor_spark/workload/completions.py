@@ -1060,7 +1060,43 @@ FROM v GROUP BY event_type ORDER BY event_type
 """
 
 
+
+def pagerank_supply_graph(spark, sf_dir):
+    """c63: fixed-point PageRank over the customer–supplier supply
+    graph (edge = customer ordered from supplier; undirected,
+    id-spaces interleaved to keep one numeric node domain). 5
+    iterations, all-bigint arithmetic — integer sums are associative,
+    so the unordered shuffle reduce hash-matches DuckDB exactly
+    (operators/graph.py:pagerank_fixedpoint)."""
+    from database_query_processor_spark.operators import graph as GR
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("id_a"),
+            (F.col("l_suppkey") * 2 + 1).alias("id_b"),
+        )
+        .distinct()
+    )
+    return GR.pagerank_fixedpoint(edges)
+
+
+def _pagerank_oracle():
+    from database_query_processor_spark.operators import graph as GR
+
+    return GR.sql_pagerank(
+        "SELECT DISTINCT o_custkey * 2 AS id_a, l_suppkey * 2 + 1 AS id_b "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    )
+
+
 SPECS = [
+    QuerySpec("c63_pagerank", pagerank_supply_graph, _pagerank_oracle(),
+              "fixed-point PageRank on the customer-supplier graph: 5 "
+              "bigint power-iteration rounds (one shuffle each, O(1) "
+              "lineage via localCheckpoint), unrolled-CTE oracle"),
     QuerySpec("c61_recursive_cte", recursive_month_spine, RECURSIVE_SPINE_SQL,
               "WITH RECURSIVE month-spine generation + zero-filled monthly "
               "totals (Spark 4 recursive CTE; bounded depth, broadcast spine)"),

@@ -191,3 +191,25 @@ def test_budget_select_boundary_and_order(spark):
     assert got == {1: 0, 2: 10, 3: 20}
     all_kept = CP.budget_select(df, "doc_id", "n_tok", F.col("q"), budget=10**9)
     assert all_kept.count() == 4
+
+
+def test_pagerank_star_graph_hub_dominates_and_mass_conserved(spark):
+    """On a star graph the hub must outrank every leaf, leaves must
+    tie exactly (fixed-point → EXACT equality, no float tolerance),
+    and total mass must stay within iters×nodes floor-loss of the
+    scale."""
+    from database_query_processor_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_fixedpoint,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    ranks = {r.node_id: r.rank for r in pagerank_fixedpoint(edges).collect()}
+    assert len(ranks) == 9
+    leaf_ranks = {ranks[i] for i in range(1, 9)}
+    assert len(leaf_ranks) == 1  # bit-exact tie
+    assert ranks[0] > max(leaf_ranks)
+    assert PR_SCALE >= sum(ranks.values()) > PR_SCALE - PR_SCALE // 10
+    assert sum(ranks.values()) <= PR_SCALE
