@@ -159,3 +159,56 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
     )
     return l.join(r, [*on, "__salt"], how).drop("__salt")
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    matched_update: dict[str, Column],
+    matched_delete: Column | None = None,
+    insert_when_missing: bool = True,
+) -> DataFrame:
+    """MERGE INTO semantics (the Delta/Iceberg upsert surface) over
+    plain DataFrames: one FULL OUTER join on ``key``, then per-row
+
+      * matched + ``matched_delete``            → row dropped
+      * matched otherwise                       → ``matched_update``
+        expressions overwrite the named target columns
+      * target-only                             → row kept verbatim
+      * source-only (``insert_when_missing``)   → row inserted from
+        the source's columns (source must carry the target schema)
+
+    Returns the merged relation; persisting it is the caller's
+    copy-on-write rewrite (pair with sources/layout.py:compact for
+    the compacting variant). Sources may not contain duplicate keys
+    — the relational MERGE precondition; duplicates would fan out
+    the join exactly as the SQL standard forbids.
+
+    Scale shape: the single full-outer hash join IS the merge-on-read
+    cost model; at 100 TB the win comes from pruning the rewrite to
+    affected partitions — join source keys against the partition
+    column first, rewrite only those partitions, leave the rest
+    untouched (the same partition-pruning machinery as
+    src04/test_layout.py). Update expressions reference source
+    columns via ``F.col("s.<name>")``, target via ``F.col("t.<name>")``.
+    """
+    t, s = target.alias("t"), source.alias("s")
+    j = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
+    t_only = F.col(f"s.{key}").isNull()
+    if matched_delete is not None:
+        j = j.filter(~(matched & matched_delete))
+    out_cols = []
+    for c in target.columns:
+        upd = matched_update.get(c, F.col(f"t.{c}"))
+        val = (
+            F.when(t_only, F.col(f"t.{c}"))
+            .when(matched, upd)
+            .otherwise(F.col(f"s.{c}") if insert_when_missing else F.lit(None))
+        )
+        out_cols.append(val.alias(c))
+    j = j.select(*out_cols)
+    if not insert_when_missing:
+        j = j.filter(F.col(key).isNotNull())
+    return j

@@ -262,7 +262,93 @@ GROUP BY user_id
 """
 
 
+def merge_upsert_roundtrip(spark, sf_dir):
+    """src11: MERGE INTO (upsert + delete + insert) against a parquet
+    snapshot — the Delta/Iceberg maintenance surface emulated with one
+    full-outer join (operators/relational.py:merge_into) and a
+    copy-on-write rewrite. The changelog is derived deterministically
+    from orders: keys ≡0 (mod 10) get a 10% price update (status 'U'),
+    ≡1 are deleted, ≡2 arrive as NEW orders under a shifted key. The
+    merged table roundtrips through parquet and is returned whole; the
+    oracle replays the same merge relationally in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.relational import merge_into
+
+    o = load_table(spark, sf_dir, "orders")
+    target = o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    upd_price = (
+        (F.col("o_totalprice").cast("decimal(12,2)") * F.lit("1.1").cast("decimal(3,1)"))
+        .cast("double")
+    )
+    updates = (
+        target.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey", "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            upd_price.alias("o_totalprice"),
+            F.lit(False).alias("is_delete"),
+        )
+    )
+    deletes = target.filter(F.col("o_orderkey") % 10 == 1).withColumn(
+        "is_delete", F.lit(True)
+    )
+    inserts = (
+        target.filter(F.col("o_orderkey") % 10 == 2)
+        .select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+            F.lit(False).alias("is_delete"),
+        )
+    )
+    source = updates.unionByName(deletes).unionByName(inserts)
+    merged = merge_into(
+        target,
+        source,
+        key="o_orderkey",
+        matched_update={
+            "o_orderstatus": F.col("s.o_orderstatus"),
+            "o_totalprice": F.col("s.o_totalprice"),
+        },
+        matched_delete=F.col("s.is_delete"),
+    )
+    path = tempfile.mkdtemp(prefix="dqps_merge_")
+    merged.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+_MERGE_ORACLE = """
+WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+src AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE)
+           AS o_totalprice,
+         FALSE AS is_delete
+  FROM t WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, TRUE
+  FROM t WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice, FALSE
+  FROM t WHERE o_orderkey % 10 = 2)
+SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       COALESCE(t.o_custkey, s.o_custkey) AS o_custkey,
+       CASE WHEN s.o_orderkey IS NULL THEN t.o_orderstatus ELSE s.o_orderstatus END
+         AS o_orderstatus,
+       CASE WHEN s.o_orderkey IS NULL THEN t.o_totalprice ELSE s.o_totalprice END
+         AS o_totalprice
+FROM t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL AND s.is_delete)
+"""
+
+
 SPECS = [
+    QuerySpec("src11_merge_upsert", merge_upsert_roundtrip, _MERGE_ORACLE,
+              "MERGE INTO emulation (update/delete/insert in one full-outer "
+              "join) + copy-on-write parquet rewrite; partition-pruned "
+              "rewrite is the at-scale variant"),
     QuerySpec("src09_compaction", compaction_roundtrip, _COMPACTION_ORACLE,
               "small-file compaction: 64 fragments -> 4 range-partitioned "
               "sorted files (content-preserving; physical claims gated in "

@@ -127,3 +127,38 @@ def test_interval_overlap_join_bin_boundaries(spark):
     assert out[(1, 10)] == 30 * 60 * 1_000_000  # 06:30-07:00
     assert out[(1, 30)] == 0  # boundary touch counts, zero width
     assert out[(2, 20)] == 60 * 60 * 1_000_000
+
+
+def test_merge_into_four_quadrants(spark):
+    """merge_into must hit all four MERGE outcomes on one tiny table:
+    matched-update, matched-delete, target-only untouched,
+    source-only inserted."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.relational import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, v string, amt double",
+    )
+    source = spark.createDataFrame(
+        [(1, "a2", 11.0, False), (2, "b", 20.0, True), (9, "new", 90.0, False)],
+        "k long, v string, amt double, is_delete boolean",
+    )
+    out = {
+        r.k: (r.v, r.amt)
+        for r in merge_into(
+            target, source, "k",
+            matched_update={"v": F.col("s.v"), "amt": F.col("s.amt")},
+            matched_delete=F.col("s.is_delete"),
+        ).collect()
+    }
+    assert out == {1: ("a2", 11.0), 3: ("c", 30.0), 9: ("new", 90.0)}
+    # insert_when_missing=False drops the source-only row instead
+    no_ins = merge_into(
+        target, source, "k",
+        matched_update={"v": F.col("s.v")},
+        matched_delete=F.col("s.is_delete"),
+        insert_when_missing=False,
+    )
+    assert {r.k for r in no_ins.collect()} == {1, 3}
