@@ -391,3 +391,48 @@ def sessionize(
         F.max(ts_col).alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+def sequence_pattern(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    pattern: list[str],
+    id_col: str | None = None,
+) -> DataFrame:
+    """CEP-style event-sequence detection (the MATCH_RECOGNIZE /
+    Flink-CEP shape, strict contiguity): every position where a key's
+    ts-ordered event stream reads exactly ``pattern`` with no other
+    event interleaved. Output: one row per match with the span.
+
+    Differs from t10's funnel: the funnel asks "did each stage EVER
+    happen in order" (conditional-MIN chain, one row per key);
+    this asks for CONTIGUOUS occurrences and yields every one.
+
+    Shape & scale: len(pattern)−1 lead() columns over ONE
+    (key, ts, id) window — Catalyst evaluates all leads in a single
+    Window operator on a single key exchange, so cost is one shuffle
+    of the event stream regardless of pattern length. Matching is a
+    scan-side conjunction. ``id_col`` breaks timestamp ties
+    deterministically (required for a stable oracle; pass the event
+    PK)."""
+    order = [F.col(ts_col).asc()] + ([F.col(id_col).asc()] if id_col else [])
+    w = W.partitionBy(key_col).orderBy(*order)
+    n = len(pattern)
+    cond = F.col(type_col) == pattern[0]
+    for i in range(1, n):
+        cond = cond & (F.lead(type_col, i).over(w) == pattern[i])
+    end_ts = F.lead(ts_col, n - 1).over(w)
+    out = df.select(
+        F.col(key_col),
+        *([F.col(id_col).alias("start_event_id")] if id_col else []),
+        F.col(ts_col).alias("start_ts"),
+        end_ts.alias("end_ts"),
+        cond.alias("_m"),
+    ).filter(F.col("_m")).drop("_m")
+    return out.withColumn(
+        "span_us",
+        F.unix_micros(F.col("end_ts").cast("timestamp"))
+        - F.unix_micros(F.col("start_ts").cast("timestamp")),
+    )

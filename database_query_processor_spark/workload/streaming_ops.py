@@ -543,7 +543,41 @@ FROM sess JOIN inc
 """
 
 
+
+def funnel_pattern_match(spark, sf_dir):
+    """t13: strict-contiguity event-sequence detection (the
+    MATCH_RECOGNIZE / CEP shape): every place a user's ts-ordered
+    stream reads exactly view→click→purchase with nothing between.
+    One (user, ts, event_id) window exchange evaluates all pattern
+    leads (operators/temporal.py:sequence_pattern)."""
+    return TMP.sequence_pattern(
+        _events(spark, sf_dir),
+        key_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        pattern=["view", "click", "purchase"],
+        id_col="event_id",
+    )
+
+
+PATTERN_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(ts, 2) OVER w AS end_ts
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+SELECT user_id, event_id AS start_event_id, ts AS start_ts, end_ts,
+       epoch_us(end_ts) - epoch_us(ts) AS span_us
+FROM o
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+"""
+
+
 SPECS = [
+    QuerySpec("t13_pattern_match", funnel_pattern_match, PATTERN_SQL,
+              "CEP sequence detection (strict contiguity, MATCH_RECOGNIZE "
+              "shape): all pattern leads in one window exchange"),
     QuerySpec("t12_interval_overlap", interval_overlap, INTERVAL_OVERLAP_SQL,
               "interval-overlap join (no equi-key, no point side): 6h-binned "
               "equi-join rewrite of the overlap predicate, exact closed-"

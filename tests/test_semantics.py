@@ -162,3 +162,28 @@ def test_merge_into_four_quadrants(spark):
         insert_when_missing=False,
     )
     assert {r.k for r in no_ins.collect()} == {1, 3}
+
+
+def test_sequence_pattern_strict_contiguity(spark):
+    """Pattern detection must reject interrupted sequences, find
+    overlapping matches independently, and respect per-key isolation."""
+    from datetime import datetime as dt
+
+    from database_query_processor_spark.operators.temporal import sequence_pattern
+
+    rows = [
+        # user 1: A B C (match), then A X B C (interrupted -> no match)
+        (1, 1, dt(2020, 1, 1, 0), "A"), (2, 1, dt(2020, 1, 1, 1), "B"),
+        (3, 1, dt(2020, 1, 1, 2), "C"), (4, 1, dt(2020, 1, 1, 3), "A"),
+        (5, 1, dt(2020, 1, 1, 4), "X"), (6, 1, dt(2020, 1, 1, 5), "B"),
+        (7, 1, dt(2020, 1, 1, 6), "C"),
+        # user 2: A A B C -> one match starting at the SECOND A
+        (8, 2, dt(2020, 1, 1, 0), "A"), (9, 2, dt(2020, 1, 1, 1), "A"),
+        (10, 2, dt(2020, 1, 1, 2), "B"), (11, 2, dt(2020, 1, 1, 3), "C"),
+        # user 3: B C split across users with user 1's A -> no match
+        (12, 3, dt(2020, 1, 1, 1), "B"), (13, 3, dt(2020, 1, 1, 2), "C"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, t string")
+    out = sequence_pattern(df, "user_id", "ts", "t", ["A", "B", "C"], id_col="event_id")
+    got = {(r.user_id, r.start_event_id) for r in out.collect()}
+    assert got == {(1, 1), (2, 9)}
