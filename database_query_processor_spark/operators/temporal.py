@@ -436,3 +436,99 @@ def sequence_pattern(
         F.unix_micros(F.col("end_ts").cast("timestamp"))
         - F.unix_micros(F.col("start_ts").cast("timestamp")),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    alpha: float,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Final exponentially-weighted moving average per key:
+    s_1 = x_1, s_i = (1-alpha)*s_{i-1} + alpha*x_i over the key's
+    samples in (ts, id) order. Returns (key, n_samples, ewma).
+
+    The recurrence is inherently sequential, but it never needs a
+    Python round-trip: each key's ordered value list is materialized
+    with sort_array(collect_list(struct(...))) inside ONE hash
+    aggregate, then folded JVM-side with F.aggregate. Cross-engine
+    determinism comes free — the fold visits elements in the same
+    order with the same two-multiply-one-add step as DuckDB's
+    list_reduce, so results are bit-identical with no rounding
+    contract. Assumes per-key history fits an executor (the same
+    bound sessionize/scd2 carry); for unbounded keys the streaming
+    form is transformWithState with a single running-value state.
+    No reference analog (no ordered aggregation there at all)."""
+    order_fields = [F.col(ts_col).alias("t")] + (
+        [F.col(id_col).alias("i")] if id_col else []
+    )
+    arr = F.sort_array(
+        F.collect_list(F.struct(*order_fields, F.col(val_col).cast("double").alias("v")))
+    )
+    a = repr(float(alpha))
+    fold = F.expr(
+        f"aggregate(slice(_s, 2, size(_s) - 1), element_at(_s, 1).v, "
+        f"(acc, x) -> acc * (1.0d - {a}d) + {a}d * x.v)"
+    )
+    return (
+        df.groupBy(key_col)
+        .agg(arr.alias("_s"))
+        .select(
+            key_col,
+            F.size("_s").alias("n_samples"),
+            fold.alias("ewma"),
+        )
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    n_window: int = 20,
+    z_thresh: float = 3.0,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: flag samples whose value
+    deviates more than `z_thresh` sample standard deviations from the
+    trailing `n_window`-row mean (window INCLUDES the current row, the
+    conventional monitoring formulation; rows before the window fills
+    are not scored). Returns the anomalous rows with (mean, std, z).
+
+    One hash exchange on the key; the three frame aggregates
+    (COUNT/SUM/SUM of squares) share a single Window operator.
+    Variance uses the explicit sum-of-squares identity rather than
+    stddev_samp so both engines run the same associative +/* plan;
+    residual last-ulp float divergence is absorbed by the shared
+    ROUND(...,9)-before-threshold contract (the x40/x41 pattern), so
+    the >threshold cut is taken on identical values in both engines."""
+    order = [F.col(ts_col).asc()] + ([F.col(id_col).asc()] if id_col else [])
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(n_window - 1), W.currentRow)
+    )
+    v = F.col(val_col).cast("double")
+    cnt = F.count(v).over(w)
+    s1 = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    mean = s1 / cnt
+    var = (s2 - s1 * s1 / cnt) / (cnt - 1)
+    std = F.sqrt(var)
+    z = F.round((v - mean) / std, 9)
+    out = df.select(
+        key_col,
+        ts_col,
+        *([id_col] if id_col else []),
+        v.alias("value"),
+        cnt.alias("_n"),
+        F.round(mean, 9).alias("mean"),
+        F.round(std, 9).alias("std"),
+        z.alias("z"),
+    )
+    return out.where(
+        (F.col("_n") == n_window) & (F.abs(F.col("z")) > F.lit(z_thresh))
+    ).drop("_n")

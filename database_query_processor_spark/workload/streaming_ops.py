@@ -574,7 +574,70 @@ WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
 """
 
 
+def ewma_smooth(spark, sf_dir):
+    """t14: final EWMA (alpha=0.1) of each user's value stream —
+    the time-series smoothing primitive. The sequential recurrence
+    runs as one hash aggregate (sort_array(collect_list)) + a
+    JVM-side ordered fold; DuckDB's list_reduce replays the
+    identical fold, so results are bit-identical with no rounding
+    contract (operators/temporal.py:ewma)."""
+    return TMP.ewma(
+        _events(spark, sf_dir),
+        key_col="user_id", ts_col="ts", val_col="value",
+        alpha=0.1, id_col="event_id",
+    )
+
+
+EWMA_SQL = """
+SELECT user_id,
+       CAST(len(vs) AS INT) AS n_samples,
+       list_reduce(vs, (acc, x) -> acc * (1.0 - 0.1) + 0.1 * x) AS ewma
+FROM (SELECT user_id, list(value ORDER BY ts ASC, event_id ASC) AS vs
+      FROM events GROUP BY user_id)
+"""
+
+
+def anomaly_zscore(spark, sf_dir):
+    """t15: rolling z-score anomaly detection — samples deviating
+    >3 trailing sample-stddevs from the 20-row rolling mean. One
+    user exchange; COUNT/SUM/SUM-of-squares share one Window
+    operator; the ROUND(...,9)-before-threshold contract makes the
+    cut identical across engines
+    (operators/temporal.py:rolling_zscore)."""
+    return TMP.rolling_zscore(
+        _events(spark, sf_dir),
+        key_col="user_id", ts_col="ts", val_col="value",
+        n_window=20, z_thresh=3.0, id_col="event_id",
+    )
+
+
+ZSCORE_SQL = """
+WITH w AS (
+  SELECT user_id, ts, event_id, value,
+         COUNT(value) OVER win AS n,
+         SUM(value) OVER win AS s1,
+         SUM(value * value) OVER win AS s2
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, ts, event_id, value,
+       ROUND(s1 / n, 9) AS mean,
+       ROUND(sqrt((s2 - s1 * s1 / n) / (n - 1)), 9) AS std,
+       ROUND((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 9) AS z
+FROM w
+WHERE n = 20
+  AND abs(ROUND((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 9)) > 3.0
+"""
+
+
 SPECS = [
+    QuerySpec("t14_ewma_smooth", ewma_smooth, EWMA_SQL,
+              "EWMA smoothing: sequential recurrence as ONE hash aggregate "
+              "+ JVM ordered fold, bit-identical to DuckDB list_reduce"),
+    QuerySpec("t15_anomaly_zscore", anomaly_zscore, ZSCORE_SQL,
+              "rolling z-score anomaly detection: 20-row trailing window, "
+              "shared COUNT/SUM/SUMSQ frame, round-before-threshold contract"),
     QuerySpec("t13_pattern_match", funnel_pattern_match, PATTERN_SQL,
               "CEP sequence detection (strict contiguity, MATCH_RECOGNIZE "
               "shape): all pattern leads in one window exchange"),

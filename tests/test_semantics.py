@@ -187,3 +187,53 @@ def test_sequence_pattern_strict_contiguity(spark):
     out = sequence_pattern(df, "user_id", "ts", "t", ["A", "B", "C"], id_col="event_id")
     got = {(r.user_id, r.start_event_id) for r in out.collect()}
     assert got == {(1, 1), (2, 9)}
+
+
+def test_ewma_recurrence_exact(spark):
+    """EWMA fold must equal the hand-unrolled recurrence s_i =
+    0.9*s_{i-1} + 0.1*x_i with s_1 = x_1, visiting samples in
+    (ts, id) order regardless of input order."""
+    from datetime import datetime as dt
+
+    from database_query_processor_spark.operators.temporal import ewma
+
+    rows = [  # deliberately out of order; ts tie broken by event_id
+        (3, 1, dt(2020, 1, 1, 2), 30.0),
+        (1, 1, dt(2020, 1, 1, 0), 10.0),
+        (2, 1, dt(2020, 1, 1, 1), 20.0),
+        (5, 2, dt(2020, 1, 1, 0), 7.0),
+        (4, 2, dt(2020, 1, 1, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    out = {r.user_id: (r.n_samples, r.ewma) for r in
+           ewma(df, "user_id", "ts", "value", 0.1, id_col="event_id").collect()}
+    s = 10.0
+    s = s * (1.0 - 0.1) + 0.1 * 20.0
+    s = s * (1.0 - 0.1) + 0.1 * 30.0
+    assert out[1] == (3, s)
+    assert out[2] == (2, 5.0 * (1.0 - 0.1) + 0.1 * 7.0)
+
+
+def test_rolling_zscore_flags_planted_outlier(spark):
+    """A constant-ish series with one planted spike must flag exactly
+    the spike, only once the window is full, with the documented
+    (mean, std, z) math."""
+    from datetime import datetime as dt
+
+    from database_query_processor_spark.operators.temporal import rolling_zscore
+
+    rows = []
+    for i in range(12):
+        # alternate 10/12 so the trailing std is non-zero
+        rows.append((i, 1, dt(2020, 1, 1, 0, i), 10.0 + 2.0 * (i % 2)))
+    rows.append((12, 1, dt(2020, 1, 1, 0, 12), 100.0))  # spike
+    for i in range(13, 20):
+        rows.append((i, 1, dt(2020, 1, 1, 0, i), 10.0 + 2.0 * (i % 2)))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    out = rolling_zscore(df, "user_id", "ts", "value", n_window=5,
+                         z_thresh=1.5, id_col="event_id").collect()
+    flagged = {r.event_id for r in out}
+    assert 12 in flagged  # the spike is caught
+    assert all(r.event_id >= 4 for r in out)  # nothing before the window fills
+    spike = next(r for r in out if r.event_id == 12)
+    assert spike.z > 1.5 and abs(spike.value - 100.0) < 1e-9
