@@ -115,3 +115,103 @@ def sql_pagerank(edges_sql: str, iters: int = PR_ITERS, scale: int = PR_SCALE) -
         ",\n".join(parts)
         + f"\nSELECT node_id, CAST(rank AS BIGINT) AS rank FROM r{iters}"
     )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count + clustering coefficient over an
+    UNDIRECTED edge set (id_a, id_b). Returns ONE row:
+    (n_nodes, n_edges, n_wedges, n_triangles, global_clustering)
+    where global_clustering = 3*triangles / wedges (closed-wedge
+    fraction) and wedges = Σ_v deg(v)·(deg(v)-1)/2.
+
+    The classical degree-ordered orientation (Schank/Wagner; the
+    MapReduce form is Cohen's): orient every edge from its
+    (degree, id)-smaller endpoint to the larger, so each triangle is
+    counted exactly once at its lowest-ranked vertex and every
+    out-degree is O(sqrt(m)) — the wedge self-join is bounded by
+    Σ outdeg² ≈ m^{3/2} instead of Σ deg² (which a skewed hub makes
+    quadratic). Three shuffles total at any scale: degree count,
+    wedge self-join on src, wedge-closure semi-join on (x, y).
+    All-integer arithmetic; the single final divide is one IEEE op,
+    deterministic across engines. No reference analog (the reference
+    has no self-join-with-inequality shape at all)."""
+    und = (
+        edges.select(
+            F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select("v"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient src -> dst by (deg, id) rank; carry dst's rank for wedge ordering
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ranked = und.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dstd"),
+    )
+    a, b = oriented.alias("a"), oriented.alias("b")
+    wedge = a.join(b, "src").where(
+        (F.col("a.dstd") < F.col("b.dstd"))
+        | ((F.col("a.dstd") == F.col("b.dstd")) & (F.col("a.dst") < F.col("b.dst")))
+    ).select(F.col("a.dst").alias("x"), F.col("b.dst").alias("y"))
+    closed = wedge.join(
+        oriented.select(F.col("src").alias("x"), F.col("dst").alias("y")), ["x", "y"], "left_semi"
+    )
+    tri = closed.agg(F.count("*").alias("n_triangles"))
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.expr("deg * (deg - 1L)")) / F.lit(2)).cast("long").alias("n_wedges"),
+    )
+    ecnt = und.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(ecnt)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (F.lit(3) * F.col("n_triangles") / F.col("n_wedges")).alias(
+                "global_clustering"
+            ),
+        )
+    )
+
+
+def sql_triangle_count(edges_sql: str) -> str:
+    """DuckDB oracle mirroring triangle_count exactly (same
+    orientation, same integer math, same single final divide)."""
+    return f"""
+WITH e AS ({edges_sql}),
+und AS (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+        FROM e WHERE id_a <> id_b),
+deg AS (SELECT node, count(*) AS deg FROM (
+          SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node),
+oriented AS (
+  SELECT CASE WHEN (du.deg, und.u) < (dv.deg, und.v) THEN und.u ELSE und.v END AS src,
+         CASE WHEN (du.deg, und.u) < (dv.deg, und.v) THEN und.v ELSE und.u END AS dst,
+         CASE WHEN (du.deg, und.u) < (dv.deg, und.v) THEN dv.deg ELSE du.deg END AS dstd
+  FROM und JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node),
+wedge AS (SELECT a.dst AS x, b.dst AS y
+          FROM oriented a JOIN oriented b ON a.src = b.src
+          WHERE (a.dstd, a.dst) < (b.dstd, b.dst)),
+tri AS (SELECT count(*) AS n_triangles FROM wedge
+        WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.src = wedge.x AND o.dst = wedge.y)),
+stats AS (SELECT count(*) AS n_nodes,
+                 CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+ecnt AS (SELECT count(*) AS n_edges FROM und)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       3 * n_triangles / CAST(n_wedges AS DOUBLE) AS global_clustering
+FROM stats, ecnt, tri
+"""

@@ -1092,7 +1092,45 @@ def _pagerank_oracle():
     )
 
 
+def triangle_copurchase_graph(spark, sf_dir):
+    """c64: triangle count + global clustering coefficient of the
+    supplier co-purchase graph (edge = two suppliers sharing >= 3
+    orders). Degree-ordered orientation bounds the wedge join at
+    m^1.5 — the hub-proof form (operators/graph.py:triangle_count)."""
+    from database_query_processor_spark.operators import graph as GR
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("id_a"), F.col("b.l_suppkey").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= 3)
+        .select("id_a", "id_b")
+    )
+    return GR.triangle_count(edges)
+
+
+def _triangle_oracle():
+    from database_query_processor_spark.operators import graph as GR
+
+    return GR.sql_triangle_count(
+        """SELECT a.l_suppkey AS id_a, b.l_suppkey AS id_b
+           FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+           JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b USING (l_orderkey)
+           WHERE a.l_suppkey < b.l_suppkey
+           GROUP BY 1, 2 HAVING count(*) >= 3"""
+    )
+
+
 SPECS = [
+    QuerySpec("c64_triangle_count", triangle_copurchase_graph, _triangle_oracle(),
+              "triangle count + global clustering coefficient: degree-"
+              "ordered orientation (out-degree O(sqrt m)) caps the wedge "
+              "self-join at m^1.5; all-integer counts, one final divide"),
     QuerySpec("c63_pagerank", pagerank_supply_graph, _pagerank_oracle(),
               "fixed-point PageRank on the customer-supplier graph: 5 "
               "bigint power-iteration rounds (one shuffle each, O(1) "

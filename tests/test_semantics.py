@@ -237,3 +237,17 @@ def test_rolling_zscore_flags_planted_outlier(spark):
     assert all(r.event_id >= 4 for r in out)  # nothing before the window fills
     spike = next(r for r in out if r.event_id == 12)
     assert spike.z > 1.5 and abs(spike.value - 100.0) < 1e-9
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 plus a pendant vertex: 4 triangles, wedges = sum C(deg,2)
+    = 3*C(3,2) + C(4,2) = 15, clustering = 12/15. Duplicate and
+    reversed edges must not change the counts."""
+    from database_query_processor_spark.operators.graph import triangle_count
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    edges = k4 + [(2, 1), (3, 1), (1, 2)]  # noise: reversed + dup
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    r = triangle_count(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (5, 7, 15, 4)
+    assert abs(r.global_clustering - 12.0 / 15.0) < 1e-12
