@@ -618,3 +618,34 @@ def budget_select(
         .select(id_col, "n_tokens", "score", start)
         .where(F.col("start_offset") < budget)
     )
+
+
+def weighted_reservoir(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Fixed-size weighted sample WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws key_i = u_i^(1/w_i) with u_i
+    uniform in (0,1]; the k largest keys are the sample, and
+    P(row in sample) is proportional-to-weight without replacement.
+    Complements weighted_sample (x31), which is Bernoulli and only
+    controls the EXPECTED size — this pins the exact size k.
+
+    u_i comes from the shared det_hash gate mapped into (0,1], so
+    the draw is reproducible across runs/retries/cluster sizes AND
+    replayable by the DuckDB oracle. Keys are rounded to 9 decimals
+    before ranking with an id tie-break, so the top-k cut is taken
+    on identical values in both engines (pow's last ulp may differ
+    between libms).
+
+    Scale: orderBy(...).limit(k) compiles to TakeOrderedAndProject —
+    per-partition top-k heaps merged on the driver, O(k·P) driver
+    work, NO global sort shuffle. The plan gate pins that shape."""
+    u = (det_hash(F.col(id_col)) + F.lit(1)) / F.lit(HASH_MOD)
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
+    return (
+        df.select("*", key.alias("res_key"))
+        .orderBy(F.col("res_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -775,6 +775,26 @@ WHERE ({CP.sql_det_hash('doc_id')}) % 1000 < quality * 1000
 """
 
 
+def corpus_weighted_reservoir(spark, sf_dir):
+    """x51: EXACT-size weighted sample (Efraimidis-Spirakis A-ES) of
+    50 docs with P(selected) proportional to length (n_chars) — the
+    fixed-budget companion of x31's Bernoulli sampler. Deterministic
+    u from the shared hash gate; TakeOrderedAndProject top-k, no
+    global sort (operators/corpus.py:weighted_reservoir)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return CP.weighted_reservoir(d, "doc_id", "n_chars", k=50)
+
+
+WEIGHTED_RESERVOIR_SQL = f"""
+SELECT doc_id, lang, n_chars,
+       ROUND(pow((({CP.sql_det_hash('doc_id')}) + 1) / {CP.HASH_MOD},
+                 1.0 / n_chars), 9) AS res_key
+FROM documents
+ORDER BY res_key DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 def vocab_topk(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1496,6 +1516,11 @@ SPECS = [
     QuerySpec("x31_weighted_sample", corpus_weighted_sample, WEIGHTED_SAMPLE_SQL,
               "quality-weighted deterministic sampling: P(keep)=quality via "
               "modular-hash gate (reproducible data mixing)"),
+    QuerySpec("x51_weighted_reservoir", corpus_weighted_reservoir,
+              WEIGHTED_RESERVOIR_SQL,
+              "exact-size weighted reservoir (Efraimidis-Spirakis A-ES): "
+              "deterministic u^(1/w) keys, TakeOrderedAndProject top-k, "
+              "no global sort"),
     QuerySpec("x30_sequence_pack", corpus_pack, PACK_SQL,
               "sequence packing: concat-then-split documents into fixed "
               "1024-token training sequences via a two-pass distributed "

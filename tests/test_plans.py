@@ -372,3 +372,14 @@ def test_twa_single_exchange(spark):
     df = _specs()["t09_time_weighted_avg"].build(spark, SF)
     plan = explain_str(df, "simple")
     assert plan.count("hashpartitioning(event_type") <= 1, plan
+
+
+def test_weighted_reservoir_topk_plan(spark):
+    """x51: the exact-size reservoir cut must compile to
+    TakeOrderedAndProject (per-partition heaps, O(k*P) driver merge)
+    — never a global sort exchange — and the key math must stay
+    JVM-side (no Python)."""
+    df = _specs()["x51_weighted_reservoir"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan or "TakeOrdered" in plan, plan
