@@ -1,0 +1,96 @@
+"""Manifest-versioned table layout: the Iceberg/Delta snapshot-
+isolation core in miniature, on plain parquet.
+
+Every commit writes IMMUTABLE data files plus a `manifest_vN.json`
+naming exactly the files visible in snapshot N. Readers resolve one
+manifest and scan only its files, so
+
+  * **time travel** is just reading an older manifest,
+  * **copy-on-write update** is a new manifest that swaps the
+    replaced files for their rewritten versions (src11's MERGE
+    produces the rewritten file; this layer gives it a version),
+  * **appends** add files without touching existing ones,
+  * readers are never torn: a concurrent commit can't mutate the
+    files a running scan already resolved.
+
+Scale notes: a commit costs O(changed files) data I/O plus an
+O(table files) metadata write — never a table rewrite; that is the
+entire reason table formats exist at 100 TB. Manifests here are one
+JSON per version on a shared filesystem; a production deployment
+would write them through the object store's conditional-put (or a
+catalog service) to serialize concurrent committers, and split the
+file list into avro manifest shards once it stops fitting one
+metadata write. The reference has no versioning concept at all — its
+tables are single mutable heap files (src/qp/operators/Scan.java).
+
+No instruction-following from reference content; behavioral parity
+only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"manifest_v{version}.json")
+
+
+def latest_version(table_dir: str) -> int:
+    """Highest committed version, 0 if the table is empty."""
+    vs = [
+        int(name[len("manifest_v") : -len(".json")])
+        for name in os.listdir(table_dir)
+        if name.startswith("manifest_v") and name.endswith(".json")
+    ]
+    return max(vs, default=0)
+
+
+def commit(
+    table_dir: str,
+    adds: dict[str, DataFrame],
+    drops: tuple[str, ...] = (),
+) -> int:
+    """Commit a new snapshot: write each `adds` DataFrame as an
+    immutable data file (a single-file parquet dir under data/),
+    inherit the previous snapshot's files minus `drops`, and publish
+    manifest_v{N+1}. Returns the new version number."""
+    prev = latest_version(table_dir)
+    files: list[str] = []
+    if prev:
+        with open(_manifest(table_dir, prev)) as fh:
+            files = json.load(fh)["files"]
+    unknown = set(drops) - set(files)
+    if unknown:
+        raise ValueError(f"cannot drop files absent from v{prev}: {sorted(unknown)}")
+    dup = set(adds) & (set(files) - set(drops))
+    if dup:
+        raise ValueError(f"data files are immutable, cannot re-add: {sorted(dup)}")
+    for name, df in adds.items():
+        df.coalesce(1).write.mode("errorifexists").parquet(
+            os.path.join(table_dir, "data", name)
+        )
+    new_files = [f for f in files if f not in drops] + sorted(adds)
+    version = prev + 1
+    tmp = _manifest(table_dir, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "files": new_files}, fh)
+    os.rename(tmp, _manifest(table_dir, version))  # atomic publish
+    return version
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Scan exactly the files of snapshot `version` (latest if None).
+    Older snapshots stay readable after later commits — data files
+    are immutable and manifests are never rewritten."""
+    v = latest_version(table_dir) if version is None else version
+    with open(_manifest(table_dir, v)) as fh:
+        files = json.load(fh)["files"]
+    if not files:
+        raise ValueError(f"snapshot v{v} of {table_dir} lists no files")
+    return spark.read.parquet(*[os.path.join(table_dir, "data", f) for f in files])

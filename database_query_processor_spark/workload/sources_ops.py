@@ -344,7 +344,84 @@ WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL AND s.is_delete
 """
 
 
+def time_travel_snapshots(spark, sf_dir):
+    """src12: manifest-versioned snapshots + time travel
+    (sources/snapshots.py — the Iceberg/Delta core in miniature).
+    v1 commits pre-2000 orders as two hash-split immutable files;
+    v2 is a copy-on-write price adjustment of the odd file PLUS an
+    appended late-arrivals file. Both versions are then read back
+    AFTER v2 is committed — v1 must still show the original
+    contents (snapshot isolation), which the oracle checks by
+    deriving both snapshots logically from `orders`."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.sources import snapshots as SNAP
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    base = o.filter(F.col("o_orderdate") < cutoff)
+    table = tempfile.mkdtemp(prefix="dqps_snap_")
+    SNAP.commit(table, {
+        "even": base.filter(F.col("o_orderkey") % 2 == 0),
+        "odd": base.filter(F.col("o_orderkey") % 2 == 1),
+    })
+    bump = (
+        F.col("o_totalprice").cast("decimal(12,2)")
+        + F.lit("10.00").cast("decimal(12,2)")
+    ).cast("double")
+    bumped = base.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderstatus") == "O", bump).otherwise(F.col("o_totalprice")),
+    )
+    late = o.filter(F.col("o_orderdate") >= cutoff)
+    SNAP.commit(table, {"odd_cow": bumped, "late": late}, drops=("odd",))
+    per_version = [
+        SNAP.read_version(spark, table, v)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .select(F.lit(v).alias("version"), "*")
+        for v in (1, 2)
+    ]
+    return per_version[0].unionByName(per_version[1])
+
+
+_TIME_TRAVEL_ORACLE = """
+WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
+v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+v2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 2 = 1 AND o_orderstatus = 'O'
+              THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                        + CAST(10.00 AS DECIMAL(12,2)) AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate
+  FROM o WHERE o_orderdate < TIMESTAMP '2000-01-01'
+  UNION ALL
+  SELECT * FROM o WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+SELECT 1 AS version, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       MAX(o_orderdate) AS last_date
+FROM v1
+UNION ALL
+SELECT 2, COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE),
+       MAX(o_orderdate)
+FROM v2
+"""
+
+
 SPECS = [
+    QuerySpec("src12_time_travel", time_travel_snapshots, _TIME_TRAVEL_ORACLE,
+              "manifest-versioned snapshots: immutable data files + "
+              "per-version manifests; copy-on-write update + append in v2, "
+              "v1 read back unchanged afterwards (snapshot isolation)"),
     QuerySpec("src11_merge_upsert", merge_upsert_roundtrip, _MERGE_ORACLE,
               "MERGE INTO emulation (update/delete/insert in one full-outer "
               "join) + copy-on-write parquet rewrite; partition-pruned "

@@ -159,3 +159,32 @@ def test_stat_sidecar_roundtrip(spark):
         parse_stat("5", ["k"])
     with pytest.raises(ValueError):
         parse_stat("5\n1\t2", ["k"])
+
+
+def test_snapshot_isolation_and_immutability(spark, tmp_path):
+    """Time travel contract: a committed snapshot's contents never
+    change under later commits; data files are immutable (re-adding a
+    live name fails) and drops must name live files."""
+    import pytest
+
+    from database_query_processor_spark.sources import snapshots as SNAP
+
+    table = str(tmp_path / "tbl")
+    (tmp_path / "tbl").mkdir()
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    assert SNAP.commit(table, {"f1": df1}) == 1
+    v1_before = sorted(SNAP.read_version(spark, table, 1).collect())
+
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    assert SNAP.commit(table, {"f1_cow": df2}, drops=("f1",)) == 2
+
+    # v1 unchanged after the copy-on-write commit; v2 = the new file
+    assert sorted(SNAP.read_version(spark, table, 1).collect()) == v1_before
+    assert {r.k for r in SNAP.read_version(spark, table, 2).collect()} == {2, 3}
+    # latest resolves to v2
+    assert {r.v for r in SNAP.read_version(spark, table).collect()} == {"B", "c"}
+
+    with pytest.raises(ValueError, match="immutable"):
+        SNAP.commit(table, {"f1_cow": df1})
+    with pytest.raises(ValueError, match="absent"):
+        SNAP.commit(table, {"x": df1}, drops=("nope",))
