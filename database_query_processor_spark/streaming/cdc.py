@@ -1,0 +1,112 @@
+"""Streaming CDC materialization: changelog stream → MERGE per
+micro-batch → one table-format snapshot per epoch.
+
+Composes three pieces this repo already proves separately into the
+production change-data-capture topology: a file-source readStream
+delivers changelog batches, foreachBatch applies each with
+relational.merge_into (the src11 MERGE emulation), and every applied
+epoch commits a new manifest version in sources/snapshots.py —
+so the materialized table is versioned, time-travelable, and
+readable by concurrent consumers while the stream runs.
+
+Exactly-once: foreachBatch redelivers a failed epoch under the SAME
+batch_id; data files are named by epoch, and an epoch whose file is
+already in the live manifest is skipped — at-least-once delivery ×
+idempotent commit = each change applied once (same contract as
+streaming/sinks.py, upgraded from append-only files to versioned
+MERGE).
+
+Scale: each epoch here rewrites the whole table (one output file) —
+correct and simplest for the test corpus. At 100 TB the same loop
+partitions the table on the merge key and rewrites ONLY partitions
+the batch touches (merge_into on the pruned subset, commit swaps
+just those files); epoch cost is then O(changed partitions), which
+is the Delta/Iceberg MERGE cost model. No reference analog (the
+reference is batch-only and mutation-free).
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_query_processor_spark.operators.relational import merge_into
+from database_query_processor_spark.sources import snapshots as SNAP
+
+
+def apply_cdc_epoch(
+    spark: SparkSession,
+    table: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    key: str,
+    update_cols: list[str],
+    delete_col: str = "is_delete",
+) -> bool:
+    """Apply ONE changelog micro-batch to the table's latest snapshot
+    and commit the result as the next version. Idempotent on epoch
+    redelivery: data files are named by epoch, so a batch_id whose
+    file is already live is a no-op. Checking the LATEST manifest is
+    sufficient because foreachBatch epochs are sequential — only the
+    most recent epoch (whose file survives in the live manifest) can
+    ever be redelivered. Returns whether a commit happened
+    (False = redelivery skipped)."""
+    name = f"merged_epoch_{batch_id}"
+    version = SNAP.latest_version(table)
+    with open(SNAP._manifest(table, version)) as fh:
+        live = json.load(fh)["files"]
+    if name in live:
+        return False
+    current = SNAP.read_version(spark, table, version)
+    merged = merge_into(
+        current,
+        batch_df,
+        key=key,
+        matched_update={c: F.col(f"s.{c}") for c in update_cols},
+        matched_delete=F.col(f"s.{delete_col}"),
+    )
+    SNAP.commit(table, {name: merged}, drops=tuple(live))
+    return True
+
+
+def run_cdc_apply(
+    spark: SparkSession,
+    target: DataFrame,
+    changelog: DataFrame,
+    key: str,
+    update_cols: list[str],
+    delete_col: str = "is_delete",
+    log_files: int = 4,
+    table_dir: str | None = None,
+) -> DataFrame:
+    """REAL streaming run: seed snapshot v1 with `target`, stream
+    `changelog` one file per micro-batch, MERGE each batch into the
+    latest snapshot and commit it as the next version. Returns the
+    final materialized table (read through the manifest layer, so
+    every intermediate version remains queryable)."""
+    table = table_dir or tempfile.mkdtemp(prefix="dqps_cdc_tbl_")
+    SNAP.commit(table, {"base": target})
+
+    log_dir = tempfile.mkdtemp(prefix="dqps_cdc_log_")
+    changelog.repartition(log_files).write.mode("overwrite").parquet(log_dir)
+    schema = spark.read.parquet(log_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir)
+    )
+
+    def apply_epoch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cdc_epoch(
+            spark, table, batch_df, batch_id, key, update_cols, delete_col
+        )
+
+    q = stream.writeStream.foreachBatch(apply_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return SNAP.read_version(spark, table)

@@ -262,21 +262,14 @@ GROUP BY user_id
 """
 
 
-def merge_upsert_roundtrip(spark, sf_dir):
-    """src11: MERGE INTO (upsert + delete + insert) against a parquet
-    snapshot — the Delta/Iceberg maintenance surface emulated with one
-    full-outer join (operators/relational.py:merge_into) and a
-    copy-on-write rewrite. The changelog is derived deterministically
-    from orders: keys ≡0 (mod 10) get a 10% price update (status 'U'),
-    ≡1 are deleted, ≡2 arrive as NEW orders under a shifted key. The
-    merged table roundtrips through parquet and is returned whole; the
-    oracle replays the same merge relationally in DuckDB."""
+def orders_changelog(target):
+    """The deterministic CDC changelog both src11 (one-shot MERGE) and
+    s09 (streaming incremental apply) consume — at most one op per
+    key, so the final state is independent of micro-batch boundaries:
+    keys ≡0 (mod 10) get a 10% price update (status 'U'), ≡1 are
+    deleted, ≡2 arrive as NEW orders under a shifted key."""
     from pyspark.sql import functions as F
 
-    from database_query_processor_spark.operators.relational import merge_into
-
-    o = load_table(spark, sf_dir, "orders")
-    target = o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     upd_price = (
         (F.col("o_totalprice").cast("decimal(12,2)") * F.lit("1.1").cast("decimal(3,1)"))
         .cast("double")
@@ -303,7 +296,24 @@ def merge_upsert_roundtrip(spark, sf_dir):
             F.lit(False).alias("is_delete"),
         )
     )
-    source = updates.unionByName(deletes).unionByName(inserts)
+    return updates.unionByName(deletes).unionByName(inserts)
+
+
+def merge_upsert_roundtrip(spark, sf_dir):
+    """src11: MERGE INTO (upsert + delete + insert) against a parquet
+    snapshot — the Delta/Iceberg maintenance surface emulated with one
+    full-outer join (operators/relational.py:merge_into) and a
+    copy-on-write rewrite. The changelog is orders_changelog's
+    deterministic derivation; the merged table roundtrips through
+    parquet and is returned whole; the oracle replays the same merge
+    relationally in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.relational import merge_into
+
+    o = load_table(spark, sf_dir, "orders")
+    target = o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    source = orders_changelog(target)
     merged = merge_into(
         target,
         source,

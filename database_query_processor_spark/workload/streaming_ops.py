@@ -631,7 +631,40 @@ WHERE n = 20
 """
 
 
+def stream_cdc_apply(spark, sf_dir):
+    """s09: REAL streaming CDC materialization — the orders changelog
+    (src11's derivation, one op per key) streamed one file per
+    micro-batch, each epoch MERGEd into the latest manifest snapshot
+    and committed as the next version (streaming/cdc.py). The final
+    materialized table must equal src11's one-shot batch MERGE — the
+    incremental-equals-batch convergence check."""
+    from database_query_processor_spark.streaming.cdc import run_cdc_apply
+    from database_query_processor_spark.workload.sources_ops import orders_changelog
+
+    o = load_table(spark, sf_dir, "orders")
+    target = o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    return run_cdc_apply(
+        spark,
+        target,
+        orders_changelog(target),
+        key="o_orderkey",
+        update_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
+def _cdc_oracle():
+    # The convergence claim IS the oracle choice: the streaming
+    # incremental apply must reproduce src11's batch MERGE exactly.
+    from database_query_processor_spark.workload.sources_ops import _MERGE_ORACLE
+
+    return _MERGE_ORACLE
+
+
 SPECS = [
+    QuerySpec("s09_stream_cdc_apply", stream_cdc_apply, _cdc_oracle(),
+              "REAL streaming CDC apply: changelog stream -> MERGE per "
+              "micro-batch -> manifest snapshot per epoch (idempotent on "
+              "redelivery); final state equals the one-shot batch MERGE"),
     QuerySpec("t14_ewma_smooth", ewma_smooth, EWMA_SQL,
               "EWMA smoothing: sequential recurrence as ONE hash aggregate "
               "+ JVM ordered fold, bit-identical to DuckDB list_reduce"),

@@ -144,3 +144,46 @@ def test_tws_runtime_gate_message():
 
     with pytest.raises(ImportError, match="protobuf"):
         daily_counts_tws(None)
+
+
+def test_cdc_epoch_redelivery_idempotent(spark, tmp_path):
+    """s09's exactly-once contract: re-applying an epoch with the same
+    batch_id must be a manifest no-op, and the incremental apply must
+    converge to the one-shot batch MERGE."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.relational import merge_into
+    from database_query_processor_spark.sources import snapshots as SNAP
+    from database_query_processor_spark.streaming.cdc import (
+        apply_cdc_epoch,
+        run_cdc_apply,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    log = spark.createDataFrame(
+        [(2, "B", 25.0, False), (3, "c", 30.0, True), (4, "d", 40.0, False)],
+        "k long, s string, v double, is_delete boolean",
+    )
+
+    table = str(tmp_path / "cdc_tbl")
+    (tmp_path / "cdc_tbl").mkdir()
+    final = run_cdc_apply(
+        spark, target, log, key="k", update_cols=["s", "v"],
+        log_files=2, table_dir=table,
+    )
+    batch = merge_into(
+        target, log, key="k",
+        matched_update={"s": F.col("s.s"), "v": F.col("s.v")},
+        matched_delete=F.col("s.is_delete"),
+    )
+    assert sorted(final.collect()) == sorted(batch.collect())
+
+    # redeliver the last applied epoch: manifest must not move
+    v_before = SNAP.latest_version(table)
+    redo = apply_cdc_epoch(
+        spark, table, log.limit(1), batch_id=v_before - 2,
+        key="k", update_cols=["s", "v"],
+    )
+    assert redo is False and SNAP.latest_version(table) == v_before
