@@ -383,3 +383,33 @@ def test_weighted_reservoir_topk_plan(spark):
     plan = explain_str(df, "simple")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort " not in plan or "TakeOrdered" in plan, plan
+
+
+def test_ewma_single_aggregate_no_window(spark):
+    """t14: the recurrence must plan as ONE keyed hash aggregate
+    (sort_array(collect_list) + fold in the result projection) — no
+    Window operator, no Python, one exchange."""
+    df = _specs()["t14_ewma_smooth"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "Window" not in plan, plan
+    assert count_exchanges(df) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_zscore_single_window_exchange(spark):
+    """t15: COUNT/SUM/SUMSQ must share ONE Window operator on ONE
+    key exchange — three separate frames would triple the sort."""
+    df = _specs()["t15_anomaly_zscore"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert count_exchanges(df) == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    """c64: the wedge join and closure check must stay equi/semi
+    joins — any CartesianProduct means the orientation rewrite
+    failed."""
+    df = _specs()["c64_triangle_count"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
