@@ -427,7 +427,80 @@ FROM v2
 """
 
 
+def quarantine_ingest(spark, sf_dir):
+    """src13: malformed-record quarantine — the production ingest
+    posture for 100 TB of crawled CSV, where a bad row must neither
+    kill the job (FAILFAST) nor silently vanish (DROPMALFORMED).
+    orders roundtrips through headerless CSV, a shard of injected
+    malformed lines (wrong arity, bad bigint, bad double — the fault
+    injection is the point of the test) rides along, and the schema'd
+    PERMISSIVE read routes every bad line into the corrupt-record
+    column while clean rows parse normally. Returns total/clean/
+    quarantined counts plus clean-side aggregates; the oracle is the
+    orders table + the injected-line constants. Scale: the parse and
+    the quarantine split are scan-side maps — no shuffle before the
+    final 1-row aggregate."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = tempfile.mkdtemp(prefix="dqps_badcsv_")
+    o.coalesce(2).write.mode("overwrite").csv(d)
+    with open(os.path.join(d, "part-injected.csv"), "w") as fh:
+        fh.write("not_a_key,O,1.00\n")       # bad bigint
+        fh.write("99999999,O\n")             # missing column
+        fh.write("12345,O,12.34,extra\n")    # extra column
+        fh.write("77,O,not_a_price\n")       # bad double
+    schema = (
+        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, "
+        "_bad STRING"
+    )
+    # text + from_csv rather than spark.read.csv: the csv source's
+    # corrupt-record column interacts with column pruning (a row bad
+    # only in an unreferenced column may not be flagged unless the
+    # DataFrame is cached — the documented caveat). from_csv always
+    # parses the full row, so the quarantine verdict is plan-stable.
+    df = spark.read.text(d).select(
+        F.from_csv(
+            F.col("value"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"},
+        ).alias("r")
+    ).select("r.*")
+    total = df.agg(F.count("*").alias("n_total"))
+    clean = df.filter(F.col("_bad").isNull()).agg(
+        F.count("*").alias("n_clean"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    return total.crossJoin(clean).select(
+        "n_total",
+        "n_clean",
+        (F.col("n_total") - F.col("n_clean")).alias("n_quarantined"),
+        "sum_price",
+        "min_key",
+        "max_key",
+    )
+
+
+_QUARANTINE_ORACLE = """
+SELECT COUNT(*) + 4 AS n_total, COUNT(*) AS n_clean,
+       CAST(4 AS BIGINT) AS n_quarantined,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders
+"""
+
+
 SPECS = [
+    QuerySpec("src13_quarantine_ingest", quarantine_ingest, _QUARANTINE_ORACLE,
+              "malformed-record quarantine: schema'd PERMISSIVE CSV read "
+              "routes injected bad lines to the corrupt-record column; "
+              "scan-side split, no shuffle before the 1-row aggregate"),
     QuerySpec("src12_time_travel", time_travel_snapshots, _TIME_TRAVEL_ORACLE,
               "manifest-versioned snapshots: immutable data files + "
               "per-version manifests; copy-on-write update + append in v2, "
