@@ -180,6 +180,63 @@ def decontaminate(
     )
 
 
+def jaccard_decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_pred: Column,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate decontamination: flag training documents whose
+    word n-gram Jaccard similarity with ANY benchmark document is
+    >= `threshold`. x19's any-shared-n-gram test catches verbatim
+    leakage; this catches paraphrase/template edits that dodge exact
+    long-gram overlap while staying set-similar. Returns every
+    non-benchmark row as (doc_id, max_bench_jaccard, contaminated).
+
+    EXACT, not LSH: banding at threshold 0.5 has ~0.65 recall (fine
+    for dedup where observed dups sit at >=0.9, unacceptable for a
+    leakage gate where a miss poisons an eval). Exact stays cheap
+    because the benchmark side is small by construction: its exploded
+    (gram, bench_id, set-size) index broadcasts, the training side
+    streams through one broadcast hash join, and the only shuffle is
+    the (doc, bench) shared-gram count — output-sensitive, like the
+    x04 inverted index. If the benchmark outgrows the broadcast
+    threshold, the same plan falls back to a gram-keyed shuffle join.
+    Per-pair Jaccard is one integer divide (engine-deterministic);
+    docs with fewer than n tokens have empty shingle sets and are
+    never flagged."""
+    g = df.select(
+        F.col(id_col).alias("doc_id"),
+        bench_pred.alias("is_bench"),
+        F.array_distinct(word_ngrams(tokens(text_col), n)).alias("grams"),
+    )
+    bench_ex = g.where("is_bench").select(
+        F.col("doc_id").alias("bench_id"),
+        F.size("grams").alias("nb"),
+        F.explode("grams").alias("gram"),
+    )
+    train_ex = g.where(~F.col("is_bench")).select(
+        "doc_id", F.size("grams").alias("nt"), F.explode("grams").alias("gram")
+    )
+    jac = F.col("shared") / (F.col("nt") + F.col("nb") - F.col("shared"))
+    best = (
+        train_ex.join(F.broadcast(bench_ex), "gram")
+        .groupBy("doc_id", "bench_id", "nt", "nb")
+        .agg(F.count("*").alias("shared"))
+        .where(jac >= threshold)
+        .groupBy("doc_id")
+        .agg(F.max(jac).alias("max_bench_jaccard"))
+    )
+    base = g.where(~F.col("is_bench")).select("doc_id")
+    return base.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("max_bench_jaccard", F.lit(0.0)).alias("max_bench_jaccard"),
+        F.col("max_bench_jaccard").isNotNull().alias("contaminated"),
+    )
+
+
 # --- cleaning gate -------------------------------------------------------
 
 

@@ -561,6 +561,37 @@ def corpus_decontaminate(spark, sf_dir):
     return CP.decontaminate(d, "doc_id", "text", F.col("doc_id") % 97 == 0, n=5)
 
 
+def corpus_fuzzy_decontaminate(spark, sf_dir):
+    """x52: near-dup decontamination — train docs with 3-gram Jaccard
+    >= 0.5 against ANY benchmark doc (doc_id % 97 == 0) are flagged.
+    Exact broadcast inverted-index form, not LSH: a leakage gate
+    cannot afford banding's mid-similarity recall loss
+    (operators/corpus.py:jaccard_decontaminate)."""
+    d = _t(spark, sf_dir, "documents")
+    return CP.jaccard_decontaminate(
+        d, "doc_id", "text", F.col("doc_id") % 97 == 0, threshold=0.5
+    )
+
+
+FUZZY_DECONTAM_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, doc_id % 97 = 0 AS is_bench, {GRAMS_SQL} AS grams FROM t),
+bex AS (SELECT doc_id AS bench_id, len(grams) AS nb, unnest(grams) AS gram
+        FROM g WHERE is_bench),
+tex AS (SELECT doc_id, len(grams) AS nt, unnest(grams) AS gram
+        FROM g WHERE NOT is_bench),
+shared AS (SELECT doc_id, bench_id, nt, nb, count(*) AS shared
+           FROM tex JOIN bex USING (gram) GROUP BY 1, 2, 3, 4),
+best AS (SELECT doc_id, max(shared / (nt + nb - shared)) AS mj
+         FROM shared WHERE shared / (nt + nb - shared) >= 0.5
+         GROUP BY doc_id)
+SELECT g.doc_id, coalesce(mj, 0.0) AS max_bench_jaccard,
+       mj IS NOT NULL AS contaminated
+FROM g LEFT JOIN best ON g.doc_id = best.doc_id
+WHERE NOT is_bench
+"""
+
+
 def corpus_chunks(spark, sf_dir):
     return CP.chunk_documents(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -1475,6 +1506,11 @@ SPECS = [
     QuerySpec("x19_decontaminate", corpus_decontaminate, DECONTAM_SQL,
               "benchmark decontamination: 5-gram overlap vs held-out slice "
               "via broadcast join"),
+    QuerySpec("x52_fuzzy_decontaminate", corpus_fuzzy_decontaminate,
+              FUZZY_DECONTAM_SQL,
+              "near-dup decontamination: exact 3-gram Jaccard vs the "
+              "benchmark via broadcast inverted index (LSH recall too low "
+              "for a leakage gate); output-sensitive pair aggregation"),
     QuerySpec("x20_doc_chunks", corpus_chunks, CHUNKS_SQL,
               "document chunking: overlapping 64-token windows, stride 48 "
               "(pretrain packing prep)"),

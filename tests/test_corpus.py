@@ -213,3 +213,29 @@ def test_pagerank_star_graph_hub_dominates_and_mass_conserved(spark):
     assert ranks[0] > max(leaf_ranks)
     assert PR_SCALE >= sum(ranks.values()) > PR_SCALE - PR_SCALE // 10
     assert sum(ranks.values()) <= PR_SCALE
+
+
+def test_jaccard_decontaminate_flags_paraphrase(spark):
+    """A light edit of a benchmark doc (high 3-gram Jaccard, but NOT
+    sharing any long verbatim run after the edit point) must be
+    flagged; an unrelated doc must not; benchmark rows are excluded
+    from the output."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.corpus import jaccard_decontaminate
+
+    bench = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = "the quick brown fox jumps over the lazy dog near the river shore"
+    far = "completely different content about spark query engines and tests"
+    df = spark.createDataFrame(
+        [(0, bench), (1, near), (2, far)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.contaminated, r.max_bench_jaccard)
+        for r in jaccard_decontaminate(
+            df, "doc_id", "text", F.col("doc_id") == 0, threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1][0] is True and out[1][1] > 0.5
+    assert out[2] == (False, 0.0)
