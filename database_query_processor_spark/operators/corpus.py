@@ -706,3 +706,46 @@ def weighted_reservoir(
         .orderBy(F.col("res_key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def token_drift(
+    df: DataFrame,
+    text_col: str,
+    slice_col: str,
+    slice_a: str,
+    slice_b: str,
+    k: int = 20,
+) -> DataFrame:
+    """Distribution drift between two corpus slices: per-token
+    KL-divergence contribution p_a * ln(p_a / p_b) with add-one
+    smoothing over the union vocabulary — the monitoring primitive
+    for "did this source/crawl change under me". Returns the top-k
+    drifting tokens as (token, count_a, count_b, drift_contrib).
+
+    One token-keyed shuffle builds both slices' counts in a single
+    conditional aggregate (no per-slice scans, no join); the totals
+    are a 1-row broadcast. Probabilities divide exact integers, so
+    cross-engine variance reduces to ln's last ulp — absorbed by the
+    shared ROUND(...,9) + token tie-break before the top-k cut,
+    which is TakeOrderedAndProject (no global sort)."""
+    toks = df.where(F.col(slice_col).isin([slice_a, slice_b])).select(
+        F.col(slice_col).alias("sl"), F.explode(tokens(text_col)).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("sl") == slice_a, 1).otherwise(0)).alias("count_a"),
+        F.sum(F.when(F.col("sl") == slice_b, 1).otherwise(0)).alias("count_b"),
+    )
+    totals = counts.agg(
+        F.sum("count_a").alias("na"),
+        F.sum("count_b").alias("nb"),
+        F.count("*").alias("v"),
+    )
+    p_a = (F.col("count_a") + 1) / (F.col("na") + F.col("v"))
+    p_b = (F.col("count_b") + 1) / (F.col("nb") + F.col("v"))
+    contrib = F.round(p_a * F.log(p_a / p_b), 9)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select("token", "count_a", "count_b", contrib.alias("drift_contrib"))
+        .orderBy(F.col("drift_contrib").desc(), F.col("token").asc())
+        .limit(k)
+    )

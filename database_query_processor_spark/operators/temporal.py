@@ -532,3 +532,37 @@ def rolling_zscore(
     return out.where(
         (F.col("_n") == n_window) & (F.abs(F.col("z")) > F.lit(z_thresh))
     ).drop("_n")
+
+
+def detect_gaps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_gap_us: int,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Outage / dead-air detection: every interval between
+    consecutive samples of a key that exceeds `min_gap_us`
+    microseconds — the monitoring complement of sessionize (t03
+    groups activity; this reports the silence between). Returns
+    (key, gap_start, gap_end, gap_us).
+
+    One hash exchange on the key; lag() streams within the sorted
+    partition, the threshold is a scan-side filter — cost identical
+    to sessionize's flag pass at any scale. A key's FIRST sample has
+    no predecessor and by definition opens no gap (lag is null)."""
+    order = [F.col(ts_col).asc()] + ([F.col(id_col).asc()] if id_col else [])
+    w = W.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    gap = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        prev.cast("timestamp")
+    )
+    return (
+        df.select(
+            F.col(key_col),
+            prev.alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            gap.alias("gap_us"),
+        )
+        .where(F.col("gap_us") > min_gap_us)
+    )

@@ -592,6 +592,36 @@ WHERE NOT is_bench
 """
 
 
+def corpus_token_drift(spark, sf_dir):
+    """x53: token-distribution drift between two document sources —
+    top-20 KL-divergence contributions of src0 vs src1 with add-one
+    smoothing (operators/corpus.py:token_drift). The "did this crawl
+    change under me" monitoring primitive."""
+    return CP.token_drift(
+        _t(spark, sf_dir, "documents"), "text", "source", "src0", "src1"
+    )
+
+
+TOKEN_DRIFT_SQL = f"""
+WITH t AS (SELECT source AS sl, unnest({TOKS_SQL}) AS token
+           FROM documents WHERE source IN ('src0', 'src1')),
+c AS (SELECT token,
+             CAST(SUM(CASE WHEN sl = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS count_a,
+             CAST(SUM(CASE WHEN sl = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS count_b
+      FROM t GROUP BY token),
+tot AS (SELECT CAST(SUM(count_a) AS BIGINT) AS na,
+               CAST(SUM(count_b) AS BIGINT) AS nb,
+               COUNT(*) AS v FROM c)
+SELECT token, count_a, count_b,
+       ROUND(((count_a + 1) / CAST(na + v AS DOUBLE))
+             * ln(((count_a + 1) / CAST(na + v AS DOUBLE))
+                  / ((count_b + 1) / CAST(nb + v AS DOUBLE))), 9) AS drift_contrib
+FROM c, tot
+ORDER BY drift_contrib DESC, token ASC
+LIMIT 20
+"""
+
+
 def corpus_chunks(spark, sf_dir):
     return CP.chunk_documents(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -1511,6 +1541,10 @@ SPECS = [
               "near-dup decontamination: exact 3-gram Jaccard vs the "
               "benchmark via broadcast inverted index (LSH recall too low "
               "for a leakage gate); output-sensitive pair aggregation"),
+    QuerySpec("x53_token_drift", corpus_token_drift, TOKEN_DRIFT_SQL,
+              "corpus drift monitor: per-token KL contributions between two "
+              "sources, one conditional aggregate + 1-row broadcast totals, "
+              "round-before-top-k contract"),
     QuerySpec("x20_doc_chunks", corpus_chunks, CHUNKS_SQL,
               "document chunking: overlapping 64-token windows, stride 48 "
               "(pretrain packing prep)"),

@@ -660,7 +660,32 @@ def _cdc_oracle():
     return _MERGE_ORACLE
 
 
+def gap_detect(spark, sf_dir):
+    """t16: outage detection — every silence longer than 24h between
+    a user's consecutive events (operators/temporal.py:detect_gaps).
+    One key exchange, lag window, scan-side threshold."""
+    return TMP.detect_gaps(
+        _events(spark, sf_dir),
+        key_col="user_id", ts_col="ts",
+        min_gap_us=24 * 3600 * 1_000_000, id_col="event_id",
+    )
+
+
+GAP_SQL = """
+WITH g AS (
+  SELECT user_id, lag(ts) OVER w AS gap_start, ts AS gap_end,
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+SELECT user_id, gap_start, gap_end, gap_us
+FROM g WHERE gap_us > CAST(24 AS BIGINT) * 3600 * 1000000
+"""
+
+
 SPECS = [
+    QuerySpec("t16_gap_detect", gap_detect, GAP_SQL,
+              "outage/dead-air detection: consecutive-sample silences over "
+              "a threshold — sessionize's monitoring complement, one "
+              "exchange + lag window + scan-side filter"),
     QuerySpec("s09_stream_cdc_apply", stream_cdc_apply, _cdc_oracle(),
               "REAL streaming CDC apply: changelog stream -> MERGE per "
               "micro-batch -> manifest snapshot per epoch (idempotent on "

@@ -251,3 +251,41 @@ def test_triangle_count_hand_graph(spark):
     r = triangle_count(df).collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (5, 7, 15, 4)
     assert abs(r.global_clustering - 12.0 / 15.0) < 1e-12
+
+
+def test_detect_gaps_first_sample_and_threshold(spark):
+    """The first sample of a key opens no gap; gaps strictly over the
+    threshold are reported with exact microsecond spans; keys are
+    isolated."""
+    from datetime import datetime as dt
+
+    from database_query_processor_spark.operators.temporal import detect_gaps
+
+    rows = [
+        (1, 1, dt(2020, 1, 1, 0, 0, 0)),
+        (2, 1, dt(2020, 1, 1, 0, 0, 10)),   # 10s gap -> reported
+        (3, 1, dt(2020, 1, 1, 0, 0, 15)),   # 5s gap -> exactly threshold, NOT reported
+        (4, 2, dt(2020, 1, 2, 0, 0, 0)),    # other key's first sample: no cross-key gap
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = detect_gaps(df, "user_id", "ts", min_gap_us=5_000_000, id_col="event_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.user_id, r.gap_us) == (1, 10_000_000)
+    assert r.gap_start == dt(2020, 1, 1, 0, 0, 0) and r.gap_end == dt(2020, 1, 1, 0, 0, 10)
+
+
+def test_token_drift_ranks_planted_token_first(spark):
+    """A token frequent in slice A and absent in B must top the KL
+    contributions; a token with identical counts contributes ~0."""
+    from database_query_processor_spark.operators.corpus import token_drift
+
+    rows = [(i, "spark " * 5 + "common text here", "a") for i in range(5)]
+    rows += [(10 + i, "filler " * 5 + "common text here", "b") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = token_drift(df, "text", "source", "a", "b", k=5).collect()
+    assert out[0].token == "spark" and out[0].count_b == 0
+    balanced = {r.token: r.drift_contrib for r in out}
+    for tok in ("common", "text", "here"):
+        if tok in balanced:
+            assert abs(balanced[tok]) < 0.01
