@@ -212,3 +212,75 @@ def merge_into(
     if not insert_when_missing:
         j = j.filter(F.col(key).isNotNull())
     return j
+
+
+def refresh_grouped_agg(
+    mv: DataFrame,
+    target: DataFrame,
+    changelog: DataFrame,
+    key: str,
+    group_col: str,
+    cnt_col: str,
+    sum_col: str,
+    val: Column,
+    delete_col: str = "is_delete",
+) -> DataFrame:
+    """Incremental materialized-view maintenance for a grouped
+    COUNT/SUM aggregate: given the current aggregate `mv`
+    (group, cnt, sum), the CURRENT base `target`, and a keyed
+    `changelog` (at most one op per key; rows carry the new column
+    values plus `delete_col`), produce the refreshed aggregate
+    WITHOUT rescanning the base table.
+
+    Delta algebra (the classic IVM form for distributive aggregates):
+      * every changelog key present in target retracts its OLD row:
+        (old group, -1, -old value) — this handles both updates
+        (group may migrate) and deletes;
+      * every non-delete changelog row asserts its NEW row:
+        (new group, +1, +new value);
+      * deltas aggregate per group and full-outer-combine with `mv`;
+        groups whose count reaches 0 disappear.
+
+    Cost: one key join of the changelog against the base (prunable to
+    affected partitions exactly like merge_into's rewrite) plus an
+    aggregate over O(|changelog|) delta rows and a join on O(affected
+    groups) — never a base rescan. Exactness: the caller passes `val`
+    under the exact-decimal contract, so retract-then-assert is
+    lossless; with raw floats, retraction would accumulate
+    cancellation error and the MV would drift from a recompute."""
+    old = target.select(
+        F.col(key).alias("_k"),
+        F.col(group_col).alias("_g_old"),
+        val.alias("_v_old"),
+    )
+    ch = changelog.alias("s").join(old, F.col(f"s.{key}") == F.col("_k"), "left")
+    retract = ch.where(F.col("_k").isNotNull()).select(
+        F.col("_g_old").alias(group_col),
+        F.lit(-1).cast("long").alias("_dc"),
+        (-F.col("_v_old")).alias("_dv"),
+    )
+    assert_ = ch.where(~F.col(f"s.{delete_col}")).select(
+        F.col(f"s.{group_col}").alias(group_col),
+        F.lit(1).cast("long").alias("_dc"),
+        val.alias("_dv"),
+    )
+    deltas = (
+        retract.unionByName(assert_)
+        .groupBy(group_col)
+        .agg(F.sum("_dc").alias("_dc"), F.sum("_dv").alias("_dv"))
+    )
+    m, d = mv.alias("m"), deltas.alias("d")
+    combined = m.join(
+        d, F.col(f"m.{group_col}") == F.col(f"d.{group_col}"), "full_outer"
+    ).select(
+        F.coalesce(F.col(f"m.{group_col}"), F.col(f"d.{group_col}")).alias(group_col),
+        (
+            F.coalesce(F.col(f"m.{cnt_col}"), F.lit(0))
+            + F.coalesce(F.col("_dc"), F.lit(0))
+        ).alias(cnt_col),
+        (
+            F.coalesce(F.col(f"m.{sum_col}"), F.lit(0).cast(mv.schema[sum_col].dataType))
+            + F.coalesce(F.col("_dv"), F.lit(0).cast(mv.schema[sum_col].dataType))
+        ).alias(sum_col),
+    )
+    return combined.where(F.col(cnt_col) > 0)

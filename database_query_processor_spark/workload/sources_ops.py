@@ -496,7 +496,65 @@ FROM orders
 """
 
 
+def incremental_agg_refresh(spark, sf_dir):
+    """src14: incremental materialized-view maintenance — the per-
+    status (count, revenue) aggregate refreshed under src11's
+    changelog by DELTA ALGEBRA (retract old row, assert new row),
+    never rescanning the base (operators/relational.py:
+    refresh_grouped_agg). Updates migrate groups (status flips to
+    'U'), deletes retract, inserts assert into a new 'N' group.
+    The oracle recomputes the aggregate from the fully-merged state —
+    incremental must equal recompute exactly (decimal contract makes
+    retract-then-assert lossless)."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.relational import (
+        refresh_grouped_agg,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    target = o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    # scale 3, not 2: updated prices are exact 3-decimal values (old
+    # price x 1.1) riding in a double; re-quantizing them to 2 decimals
+    # rounds a .xx5 boundary differently across engines, while the
+    # 3-decimal cast is exact for both the originals and the updates.
+    dec_price = F.col("o_totalprice").cast("decimal(13,3)")
+    mv = target.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"), F.sum(dec_price).alias("_sum")
+    )
+    refreshed = refresh_grouped_agg(
+        mv,
+        target,
+        orders_changelog(target),
+        key="o_orderkey",
+        group_col="o_orderstatus",
+        cnt_col="n_orders",
+        sum_col="_sum",
+        val=dec_price,
+    )
+    return refreshed.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("_sum").cast("double").alias("sum_price"),
+    )
+
+
+def _incremental_agg_oracle():
+    return f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(13,3))) AS DOUBLE) AS sum_price
+FROM ({_MERGE_ORACLE}) merged
+GROUP BY o_orderstatus
+"""
+
+
 SPECS = [
+    QuerySpec("src14_incremental_agg", incremental_agg_refresh,
+              _incremental_agg_oracle(),
+              "incremental MV maintenance: grouped COUNT/SUM refreshed by "
+              "delta algebra (retract/assert) under the changelog — "
+              "O(changelog + affected groups), no base rescan; equals the "
+              "full recompute exactly"),
     QuerySpec("src13_quarantine_ingest", quarantine_ingest, _QUARANTINE_ORACLE,
               "malformed-record quarantine: schema'd PERMISSIVE CSV read "
               "routes injected bad lines to the corrupt-record column; "

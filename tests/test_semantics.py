@@ -289,3 +289,41 @@ def test_token_drift_ranks_planted_token_first(spark):
     for tok in ("common", "text", "here"):
         if tok in balanced:
             assert abs(balanced[tok]) < 0.01
+
+
+def test_refresh_grouped_agg_delta_algebra(spark):
+    """IVM refresh must equal a full recompute: updates migrate
+    groups, deletes retract (a group emptied by deletes disappears),
+    inserts assert new groups."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.relational import (
+        merge_into,
+        refresh_grouped_agg,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "k long, g string, v double",
+    )
+    # 1: a->b migration, 3: delete (empties... no, b gains 1), 4: delete (c empties), 5: insert d
+    log = spark.createDataFrame(
+        [(1, "b", 11.0, False), (4, "c", 40.0, True), (5, "d", 50.0, False)],
+        "k long, g string, v double, is_delete boolean",
+    )
+    dec_v = F.col("v").cast("decimal(13,3)")
+    mv = target.groupBy("g").agg(F.count("*").alias("n"), F.sum(dec_v).alias("s"))
+    got = refresh_grouped_agg(
+        mv, target, log, key="k", group_col="g", cnt_col="n", sum_col="s", val=dec_v
+    )
+    merged = merge_into(
+        target, log, key="k",
+        matched_update={"g": F.col("s.g"), "v": F.col("s.v")},
+        matched_delete=F.col("s.is_delete"),
+    )
+    want = merged.groupBy("g").agg(F.count("*").alias("n"), F.sum(dec_v).alias("s"))
+    g = {r.g: (r.n, float(r.s)) for r in got.collect()}
+    w = {r.g: (r.n, float(r.s)) for r in want.collect()}
+    assert g == w
+    assert "c" not in g  # fully-deleted group disappears
+    assert g["b"] == (2, 41.0) and g["d"] == (1, 50.0)
