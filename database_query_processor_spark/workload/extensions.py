@@ -622,6 +622,47 @@ LIMIT 20
 """
 
 
+def corpus_profile(spark, sf_dir):
+    """x54: one-pass corpus profile (the dataset-card numbers): per-
+    language rows plus the all-corpus rollup row from a single scan —
+    doc/source counts, char/token volume, exact median/p95 lengths.
+    One shuffle (the rollup aggregate); percentiles use the same
+    exact interpolated form as c21."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang", "source", "n_chars", F.size(TX.tokens("text")).alias("_nt")
+        )
+        .rollup("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("_nt").alias("total_tokens"),
+            F.expr("percentile(n_chars, 0.5D)").alias("median_chars"),
+            F.expr("percentile(n_chars, 0.95D)").alias("p95_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "n_docs", "n_sources", "total_chars", "total_tokens",
+            "median_chars", "p95_chars",
+        )
+    )
+
+
+CORPUS_PROFILE_SQL = f"""
+SELECT coalesce(lang, '(all)') AS lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len({TOKS_SQL})) AS BIGINT) AS total_tokens,
+       quantile_cont(n_chars, 0.5) AS median_chars,
+       quantile_cont(n_chars, 0.95) AS p95_chars
+FROM documents
+GROUP BY ROLLUP(lang)
+"""
+
+
 def corpus_chunks(spark, sf_dir):
     return CP.chunk_documents(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -1545,6 +1586,10 @@ SPECS = [
               "corpus drift monitor: per-token KL contributions between two "
               "sources, one conditional aggregate + 1-row broadcast totals, "
               "round-before-top-k contract"),
+    QuerySpec("x54_corpus_profile", corpus_profile, CORPUS_PROFILE_SQL,
+              "one-pass corpus profile: per-lang + rollup dataset-card "
+              "stats (docs, sources, char/token volume, exact percentile "
+              "lengths) in a single scan + one shuffle"),
     QuerySpec("x20_doc_chunks", corpus_chunks, CHUNKS_SQL,
               "document chunking: overlapping 64-token windows, stride 48 "
               "(pretrain packing prep)"),
