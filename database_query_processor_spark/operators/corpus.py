@@ -749,3 +749,74 @@ def token_drift(
         .orderBy(F.col("drift_contrib").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_cond: Column,
+    n_buckets: int = 256,
+    k: int = 50,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how much its hashed-token feature distribution looks
+    like a small in-domain target slice, then keep the top scorers.
+    The per-doc importance weight is the log-likelihood ratio
+
+        score(d) = Σ_i ln( p_target(b(tok_i)) / p_raw(b(tok_i)) )
+
+    over hashed feature buckets b(tok) = int(md5(tok)[:2 hex]) in
+    [0, 256), with add-one smoothing on both distributions. Returns
+    the top-k non-target docs by (score DESC, doc_id) — rounded to 9
+    decimals BEFORE the cut (cross-engine contract).
+
+    Shape & scale: one token-bucket aggregate over the corpus
+    (map-side combinable, 256 result rows), broadcast back onto the
+    token stream (no big-side shuffle), one per-doc aggregate, then
+    TakeOrderedAndProject for the cut — no global sort. Per-token log
+    ratios fold in token-position order for bit-reproducibility
+    (see retrieval module docstring on ordered float reductions).
+
+    No reference analog (the reference has no text surface at all,
+    src/qp/parser/parser.cup:197-255)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        target_cond.alias("is_t"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    ).select(
+        "doc_id",
+        "is_t",
+        "pos",
+        (F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10).cast("long")).alias("bucket"),
+    )
+    stats = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).cast("long").alias("cr"),
+    )
+    tot = stats.agg(
+        F.sum("ct").cast("long").alias("nt"), F.sum("cr").cast("long").alias("nr")
+    )
+    lr = F.log((F.col("ct") + 1) / (F.col("nt") + n_buckets).cast("double")) - F.log(
+        (F.col("cr") + 1) / (F.col("nr") + n_buckets).cast("double")
+    )
+    ratios = stats.crossJoin(F.broadcast(tot)).select("bucket", lr.alias("lr"))
+    per = (
+        toks.filter(~F.col("is_t"))
+        .join(F.broadcast(ratios), "bucket")
+        .select("doc_id", F.struct("pos", "lr").alias("pl"))
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pl")).alias("arr"))
+        .select(
+            "doc_id",
+            F.size("arr").cast("long").alias("n_toks"),
+            F.round(
+                F.aggregate(F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["lr"]), 9
+            ).alias("dsir_score"),
+        )
+        .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+        .limit(k)
+    )

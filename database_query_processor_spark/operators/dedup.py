@@ -463,3 +463,64 @@ def editdistance_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def substring_dup_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Exact repeated-substring spans, suffix-array-style (the "dedup
+    long verbatim repeats" primitive of Lee et al. 2022, which removes
+    any substring of >= N tokens that appears more than once in the
+    corpus). A true distributed suffix array is overkill on Spark; the
+    standard scalable equivalent is k-gram chaining: a token position
+    is *duplicated* iff the k-gram starting there occurs >= 2 times
+    corpus-wide, and every maximal repeated substring of length
+    >= k is exactly a maximal run of consecutive duplicated positions
+    (a repeat of length L >= k duplicates its L-k+1 covering k-grams).
+    Returns one row per maximal duplicated span:
+    (doc_id, span_start 1-based token index, span_tokens).
+
+    Shape & scale: gram explode is a generator in the scan stage (no
+    shuffle); duplicated-gram marking is a COUNT window on the gram
+    partition (one exchange carrying (doc_id, pos) — the x33
+    boilerplate shape, same viral-gram caveat and same groupBy+join
+    fallback if a fat gram partition ever bites); run chaining is a
+    lag + running-sum window on the doc partition (second exchange)
+    followed by a per-(doc, run) aggregate that rides the same
+    partitioning. No join, no pair space — cost is linear in corpus
+    token count regardless of how much duplication exists.
+
+    No reference analog (the reference's only dedup is row-level
+    DISTINCT, src/qp/operators/Project.java:122-292)."""
+    from pyspark.sql.window import Window
+
+    # Optimizer fences (see corpus.clean_gate): keep the tokenize
+    # regex from being re-inlined into every gram slice.
+    toks_f = F.when(F.monotonically_increasing_id() >= -1, tokens(text_col))
+    grams_f = F.when(
+        F.monotonically_increasing_id() >= -1, word_ngrams(F.col("toks"), k)
+    )
+    g = (
+        df.select(F.col(id_col).alias("doc_id"), toks_f.alias("toks"))
+        .select("doc_id", grams_f.alias("grams"))
+        .select("doc_id", F.posexplode("grams").alias("pos0", "gram"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    dup = (
+        g.withColumn("cnt", F.count("*").over(Window.partitionBy("gram")))
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) == 1, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn("run", F.sum("brk").over(w))
+    return (
+        runs.groupBy("doc_id", "run")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("long").alias("span_tokens"),
+        )
+        .select("doc_id", "span_start", "span_tokens")
+    )

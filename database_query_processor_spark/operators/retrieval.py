@@ -360,3 +360,95 @@ SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
 FROM lexr l FULL JOIN denser d ON l.doc_id = d.doc_id
 ORDER BY rrf DESC, doc_id ASC LIMIT {k}
 """
+
+
+def nb_classifier_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    positive_cond,
+    train_pct: int = 80,
+) -> DataFrame:
+    """Train-and-apply a multinomial Naive-Bayes text classifier in
+    one plan — the fastText-style "quality classifier" gate every
+    large pretraining pipeline runs (e.g. GPT-3/LLaMA's
+    looks-like-wiki filters), reduced to its linear log-odds core so
+    both engines reproduce it bit-for-bit. Docs hash-gated into an
+    80/20 train/test split (the x43 deterministic gate); training
+    computes per-token log-odds with add-one smoothing
+
+        lo(tok) = ln((c_pos+1)/(N_pos+V)) − ln((c_neg+1)/(N_neg+V))
+
+    plus the doc-count prior ln(D_pos/D_neg); scoring folds each test
+    doc's token log-odds in position order and adds the prior.
+    Returns (doc_id, n_toks, score, pred, actual) for every test doc
+    with ≥1 token. Unseen test tokens get the smoothed zero-count
+    log-odds (coalesce, not dropped).
+
+    Shape & scale: ONE token-count shuffle over the train split
+    (map-side combined, one row per distinct token); vocabulary and
+    totals broadcast back onto the test token stream (the big side
+    never shuffles for the join); one per-doc aggregate. The model
+    IS a DataFrame — at 100 TB it spills to a shuffle join exactly
+    when a broadcast model would OOM, which is the right degradation.
+
+    No reference analog (no text surface in the reference,
+    src/qp/parser/parser.cup:197-255)."""
+    from database_query_processor_spark.operators.corpus import det_hash
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        (det_hash(F.col(id_col)) % 100 < train_pct).alias("is_train"),
+        positive_cond.alias("y"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    counts = (
+        base.filter("is_train")
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("cp"),
+            F.sum(F.when(~F.col("y"), 1).otherwise(0)).cast("long").alias("cn"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cn").cast("long").alias("nn"),
+        F.count("*").alias("v"),
+    )
+    priors = (
+        df.select(
+            (det_hash(F.col(id_col)) % 100 < train_pct).alias("is_train"),
+            positive_cond.alias("y"),
+        )
+        .filter("is_train")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("dp"),
+            F.sum(F.when(~F.col("y"), 1).otherwise(0)).cast("long").alias("dn"),
+        )
+    )
+    lo = F.log(
+        (F.coalesce(F.col("cp"), F.lit(0)) + 1) / (F.col("np") + F.col("v")).cast("double")
+    ) - F.log(
+        (F.coalesce(F.col("cn"), F.lit(0)) + 1) / (F.col("nn") + F.col("v")).cast("double")
+    )
+    scored = (
+        base.filter(~F.col("is_train"))
+        .join(F.broadcast(counts), "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "y", F.struct("pos", lo.alias("lo")).alias("pl"))
+        .groupBy("doc_id", "y")
+        .agg(F.sort_array(F.collect_list("pl")).alias("arr"))
+        .crossJoin(F.broadcast(priors))
+    )
+    score = F.round(
+        F.log(F.col("dp") / F.col("dn").cast("double"))
+        + F.aggregate(F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["lo"]),
+        9,
+    )
+    return scored.select(
+        "doc_id",
+        F.size("arr").cast("long").alias("n_toks"),
+        score.alias("score"),
+        (score > 0).alias("pred"),
+        F.col("y").alias("actual"),
+    )

@@ -1469,7 +1469,122 @@ FROM assign a
 """
 
 
+def substring_dedup(spark, sf_dir):
+    """x55: exact repeated-substring spans (suffix-array-style dedup,
+    Lee et al. 2022) — maximal runs of corpus-duplicated 8-gram start
+    positions per doc (operators/dedup.py:substring_dup_spans)."""
+    return DD.substring_dup_spans(_t(spark, sf_dir, "documents"), "doc_id", "text", k=8)
+
+
+SUBSTRING_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+gl AS (SELECT doc_id,
+              [array_to_string(list_slice(toks, i, i + 7), ' ')
+               for i in range(1, len(toks) - 6)] AS grams
+       FROM t),
+g AS (SELECT doc_id, unnest(grams) AS gram,
+             generate_subscripts(grams, 1) AS pos
+      FROM gl),
+c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+m AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),
+r AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM m),
+s AS (SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM r)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens
+FROM s GROUP BY doc_id, run
+"""
+
+
+def corpus_dsir_select(spark, sf_dir):
+    """x56: DSIR importance-resampling data selection — top-50 raw
+    docs by hashed-unigram log-likelihood ratio against the src0
+    target slice (operators/corpus.py:dsir_select)."""
+    d = _t(spark, sf_dir, "documents")
+    return CP.dsir_select(d, "doc_id", "text", F.col("source") == "src0", k=50)
+
+
+DSIR_SQL = f"""
+WITH toks AS (SELECT doc_id, source = 'src0' AS is_t, unnest({TOKS_SQL}) AS tok,
+                     generate_subscripts({TOKS_SQL}, 1) AS pos
+              FROM documents),
+f AS (SELECT doc_id, is_t, pos,
+             (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS bucket
+      FROM toks),
+s AS (SELECT bucket,
+             CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS cr
+      FROM f GROUP BY bucket),
+tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr FROM s),
+bl AS (SELECT bucket,
+              ln((ct + 1) / CAST(nt + 256 AS DOUBLE))
+              - ln((cr + 1) / CAST(nr + 256 AS DOUBLE)) AS lr
+       FROM s, tot),
+p AS (SELECT doc_id, pos, lr FROM f JOIN bl USING (bucket) WHERE NOT is_t)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+       round(list_sum(list(lr ORDER BY pos)), 9) AS dsir_score
+FROM p GROUP BY doc_id
+ORDER BY dsir_score DESC, doc_id ASC LIMIT 50
+"""
+
+
+def nb_quality_classifier(spark, sf_dir):
+    """x57: fastText-style quality classifier as multinomial Naive
+    Bayes — 80/20 hash split, lang='en' as the positive class,
+    smoothed log-odds scoring of the held-out docs
+    (operators/retrieval.py:nb_classifier_scores)."""
+    from database_query_processor_spark.operators import retrieval as RT
+
+    d = _t(spark, sf_dir, "documents")
+    return RT.nb_classifier_scores(d, "doc_id", "text", F.col("lang") == "en")
+
+
+NB_CLASSIFIER_SQL = f"""
+WITH base AS (SELECT doc_id, {CP.sql_det_hash('doc_id')} % 100 < 80 AS is_train,
+                     lang = 'en' AS y, unnest({TOKS_SQL}) AS tok,
+                     generate_subscripts({TOKS_SQL}, 1) AS pos
+              FROM documents),
+counts AS (SELECT tok,
+                  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                  CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cn
+           FROM base WHERE is_train GROUP BY tok),
+tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cn) AS BIGINT) AS nn,
+               COUNT(*) AS v FROM counts),
+priors AS (SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+                  CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS dn
+           FROM documents WHERE {CP.sql_det_hash('doc_id')} % 100 < 80),
+pt AS (SELECT b.doc_id, b.y, b.pos,
+              ln((coalesce(c.cp, 0) + 1) / CAST(t.np + t.v AS DOUBLE))
+              - ln((coalesce(c.cn, 0) + 1) / CAST(t.nn + t.v AS DOUBLE)) AS lo
+       FROM base b LEFT JOIN counts c USING (tok) CROSS JOIN tot t
+       WHERE NOT b.is_train),
+d AS (SELECT doc_id, y, CAST(COUNT(*) AS BIGINT) AS n_toks,
+             round(ln(p.dp / CAST(p.dn AS DOUBLE))
+                   + list_sum(list(lo ORDER BY pos)), 9) AS score
+      FROM pt CROSS JOIN priors p GROUP BY doc_id, y, p.dp, p.dn)
+SELECT doc_id, n_toks, score, score > 0 AS pred, y AS actual FROM d
+"""
+
+
 SPECS = [
+    QuerySpec("x55_substring_dedup", substring_dedup, SUBSTRING_DEDUP_SQL,
+              "exact repeated-substring spans (suffix-array-style dedup via "
+              "k-gram chaining): duplicated-gram COUNT window + consecutive-"
+              "position run chaining, linear cost, no pair space"),
+    QuerySpec("x56_dsir_select", corpus_dsir_select, DSIR_SQL,
+              "DSIR importance-resampling selection: hashed-unigram "
+              "log-likelihood ratio vs a target slice, 256-bucket broadcast "
+              "model, ordered fold, round-before-top-k"),
+    QuerySpec("x57_nb_quality_classifier", nb_quality_classifier, NB_CLASSIFIER_SQL,
+              "fastText-style quality classifier as multinomial Naive Bayes: "
+              "one train-split token-count shuffle, broadcast model applied "
+              "to held-out docs, smoothed log-odds + prior"),
     QuerySpec("x48_dedup_editdistance", dedup_editdistance, EDITDIST_SQL,
               "edit-distance near-dup pairs: prefix-blocked equi-join + "
               "Levenshtein verify on candidates only (threshold-arg "

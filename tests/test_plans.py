@@ -413,3 +413,35 @@ def test_triangle_count_no_cartesian(spark):
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_substring_dedup_no_join_two_exchanges(spark):
+    """x55: suffix-array-style span detection must be window-based —
+    no join anywhere (the dup marking is a COUNT window on the gram
+    partition, the run chaining rides ONE doc exchange that the final
+    (doc, run) aggregate reuses)."""
+    df = _specs()["x55_substring_dedup"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) == 2, plan
+
+
+def test_dsir_select_broadcast_model_topk(spark):
+    """x56: the 256-bucket model must broadcast back onto the token
+    stream (no big-side shuffle join) and the cut must be
+    TakeOrderedAndProject, never a global sort."""
+    df = _specs()["x56_dsir_select"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_nb_classifier_broadcast_model(spark):
+    """x57: the NB vocabulary join must broadcast (LeftOuter so
+    unseen test tokens keep smoothed zero counts) — the test token
+    stream never shuffles for the model join."""
+    df = _specs()["x57_nb_quality_classifier"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
