@@ -548,7 +548,66 @@ GROUP BY o_orderstatus
 """
 
 
+def bloom_filtered_scan(spark, sf_dir):
+    """src15: parquet bloom-filter data skipping — the point-lookup
+    complement of src10's Z-order range skipping. events is rewritten
+    hash-distributed on event_id (so user_id is scattered and min/max
+    footer stats are USELESS for it — every file spans the full user
+    range) with a split-block bloom filter on user_id; a reader
+    probing a handful of user_ids can then skip whole row groups the
+    bloom proves empty, which stats alone never could on this layout.
+    Correctness here = content preservation (oracle runs the same
+    predicate on the original table); bloom presence in the footer
+    and the negative-probe skip decision are gated via parquet-mr in
+    tests/test_layout.py::test_bloom_filter_written_and_skips.
+
+    At 100 TB this is the layout for "find these 50 ids in an
+    unclustered fact table": stats prune nothing, the bloom prunes
+    almost everything, and no re-sort of the table is needed."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    path = tempfile.mkdtemp(prefix="dqps_bloom_")
+    (
+        e.repartition(8, "event_id")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#user_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#user_id", "100000")
+        # parquet-mr drops the bloom when a chunk stays fully
+        # dictionary-encoded (the dictionary already IS an exact
+        # filter); disabling dict on the indexed column emulates the
+        # high-cardinality id case the bloom exists for.
+        .option("parquet.enable.dictionary#user_id", "false")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("user_id").isin(7, 42, 123))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+    )
+
+
+_BLOOM_ORACLE = """
+SELECT user_id, COUNT(*) AS n, MIN(event_id) AS min_event,
+       MAX(event_id) AS max_event
+FROM events WHERE user_id IN (7, 42, 123)
+GROUP BY user_id
+"""
+
+
 SPECS = [
+    QuerySpec("src15_bloom_skip", bloom_filtered_scan, _BLOOM_ORACLE,
+              "parquet bloom-filter indexing: point-lookup row-group "
+              "skipping on an unclustered column where footer min/max "
+              "stats prune nothing (presence + skip decision gated via "
+              "parquet-mr)"),
     QuerySpec("src14_incremental_agg", incremental_agg_refresh,
               _incremental_agg_oracle(),
               "incremental MV maintenance: grouped COUNT/SUM refreshed by "

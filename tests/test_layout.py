@@ -153,3 +153,69 @@ def test_zorder_skips_more_files_than_linear_sort_on_2d_box(spark, tmp_path):
     l_hit = overlapping(lpath, box_lo, box_hi)
     assert l_hit == n_files  # 1-D sort scatters user_id: no skipping
     assert z_hit < l_hit, (z_hit, l_hit)
+
+
+def test_bloom_filter_written_and_skips(spark, tmp_path):
+    """The data-skipping claim behind src15: on a layout where user_id
+    is scattered (hash-distributed on event_id), footer min/max stats
+    cannot prune a point lookup — every file's range contains the
+    probe — but the split-block bloom filter (a) exists for the
+    indexed column, (b) hits for a present key in at least one file,
+    and (c) proves absence of an out-of-domain key in EVERY file,
+    which is exactly the row-group skip decision parquet-mr's reader
+    makes. Probes hash the plain-encoded (little-endian int64) value,
+    matching the writer's hashing of INT64 columns."""
+    import glob
+    import struct
+
+    out = str(tmp_path / "bloom")
+    e = load_table(spark, SF, "events").select("event_id", "ts", "user_id", "value")
+    (
+        e.repartition(4, "event_id")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#user_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#user_id", "100000")
+        .option("parquet.enable.dictionary#user_id", "false")
+        .parquet(out)
+    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def probe(bf, v):
+        b = jvm.org.apache.parquet.io.api.Binary.fromConstantByteArray(
+            bytearray(struct.pack("<q", v))
+        )
+        return bf.findHash(bf.hash(b))
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4
+    present_hits, absent_hits, stat_prunable = 0, 0, 0
+    for f in files:
+        inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(f), conf
+        )
+        r = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+        try:
+            blocks = r.getFooter().getBlocks()
+            for bi in range(blocks.size()):
+                cols = blocks.get(bi).getColumns()
+                chunk = next(
+                    cols.get(ci)
+                    for ci in range(cols.size())
+                    if cols.get(ci).getPath().toDotString() == "user_id"
+                )
+                assert chunk.getBloomFilterOffset() >= 0, f
+                st = chunk.getStatistics()
+                mn, mx = st.genericGetMin(), st.genericGetMax()
+                if not (mn <= 7 <= mx):  # stats could prune the probe
+                    stat_prunable += 1
+                bf = r.readBloomFilter(chunk)
+                if probe(bf, 7):
+                    present_hits += 1
+                if probe(bf, 10**9 + 7):
+                    absent_hits += 1
+        finally:
+            r.close()
+    assert stat_prunable == 0  # min/max never helps on this layout
+    assert present_hits >= 1  # present key found
+    assert absent_hits == 0  # absent key: bloom skips every row group
