@@ -1,0 +1,202 @@
+"""Tokenizer training on the corpus: byte-pair-encoding merge
+learning (Sennrich et al. 2016), the vocabulary-construction step
+every LLM pretraining pipeline runs before tokenizing its data.
+
+No reference analog (the reference has no text surface at all,
+src/qp/parser/parser.cup:197-255).
+
+Each BPE round is pure relational algebra, so the whole multi-round
+learner stays ONE lazy DataFrame DAG — no driver-side loop state, no
+collect():
+
+  1. pair counting: explode each word type's adjacent symbol pairs,
+     weight by the word's corpus frequency, aggregate — one shuffle
+     keyed by (left, right), map-side combined. The frame is WORD
+     TYPES (Zipf-bounded vocabulary), not corpus tokens, so at 100 TB
+     the per-round cost is the one-off word-count aggregate plus
+     rounds over a small types table.
+  2. arg-max: orderBy(count DESC, pair ASC) LIMIT 1 compiles to
+     TakeOrderedAndProject, then broadcast-crossJoins back onto the
+     types frame (1 row — never a shuffle).
+  3. merge application: greedy leftmost non-overlapping replacement
+     of the winning pair inside each word's symbol list, as a single
+     ordered F.aggregate fold (JVM, exact — the accumulator carries
+     the pending unmerged symbol, so "aaa" + (a,a) correctly yields
+     ["aa","a"]).
+
+Rounds chain by building round r's types frame from round r-1's; the
+demo keeps rounds small (each extra round re-derives its ancestors,
+O(rounds²) over the types table — at production round counts,
+localCheckpoint each round's types frame to make it O(rounds)).
+
+The DuckDB oracle (sql_bpe_merges) reproduces the merge bit-for-bit
+with a different mechanism — position explode + run-parity windows
+(within a maximal run of consecutive matches, greedy-leftmost takes
+the odd positions) — which doubles as an independent check of the
+fold's greedy semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from database_query_processor_spark.functions.text import tokens
+
+PAIR_STRUCT = "array<struct<l:string,r:string>>"
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """Adjacent (l, r) symbol pairs of one word; empty for 1-symbol
+    words (guarded: sequence() would count DOWN for an empty range)."""
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("l"),
+                F.element_at(syms, i + 1).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast(PAIR_STRUCT))
+
+
+def _merge_pair(syms: Column, l: Column, r: Column) -> Column:
+    """Greedy leftmost non-overlapping merge of adjacent (l, r) into
+    l||r — the BPE apply step — as one ordered fold. The accumulator
+    holds (out, pending): pending is the last symbol not yet emitted,
+    so a merge consumes it and overlapping candidates ("aaa" with
+    (a,a)) merge left-first exactly like the reference algorithm."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit("").alias("pending")
+    )
+
+    def step(acc, s):
+        flush = F.when(acc["pending"] == "", acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pending"]))
+        )
+        return F.when(
+            (acc["pending"] == l) & (s == r),
+            F.struct(
+                F.concat(acc["out"], F.array(F.concat(l, r))).alias("out"),
+                F.lit("").alias("pending"),
+            ),
+        ).otherwise(F.struct(flush.alias("out"), s.alias("pending")))
+
+    def finish(acc):
+        return F.when(acc["pending"] == "", acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pending"]))
+        )
+
+    return F.aggregate(syms, init, step, finish)
+
+
+def bpe_learn_merges(
+    df: DataFrame, text_col: str, rounds: int = 3
+) -> DataFrame:
+    """Learn the first `rounds` BPE merges from the corpus. Returns
+    one row per round: (round, lsym, rsym, merged, pair_count) —
+    the merge table a tokenizer ships. Ties on pair_count break
+    lexicographically (lsym, rsym) in both engines."""
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            "word", "cnt", F.filter(F.split("word", ""), lambda c: F.length(c) > 0).alias("syms")
+        )
+    )
+    out_rounds = []
+    types = words
+    for rnd in range(1, rounds + 1):
+        pairs = (
+            types.select("cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy(F.col("p.l").alias("lsym"), F.col("p.r").alias("rsym"))
+            .agg(F.sum("cnt").cast("long").alias("pair_count"))
+        )
+        top = pairs.orderBy(
+            F.desc("pair_count"), F.asc("lsym"), F.asc("rsym")
+        ).limit(1)
+        out_rounds.append(
+            top.select(
+                F.lit(rnd).cast("long").alias("round"),
+                "lsym",
+                "rsym",
+                F.concat("lsym", "rsym").alias("merged"),
+                "pair_count",
+            )
+        )
+        types = (
+            types.crossJoin(F.broadcast(top))
+            .select(
+                "word",
+                "cnt",
+                _merge_pair(F.col("syms"), F.col("lsym"), F.col("rsym")).alias("syms"),
+            )
+        )
+    out = out_rounds[0]
+    for nxt in out_rounds[1:]:
+        out = out.unionByName(nxt)
+    return out
+
+
+def sql_bpe_merges(rounds: int = 3, toks_sql: str = "") -> str:
+    """DuckDB oracle mirroring bpe_learn_merges bit-for-bit via an
+    independent mechanism: per-round position explode + run-parity
+    windows (greedy leftmost = odd positions within each maximal run
+    of consecutive matches) instead of a sequential fold."""
+    ctes = [
+        f"""wt AS (SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({toks_sql}) AS tok FROM documents) GROUP BY tok)""",
+        """w0 AS (SELECT word, cnt,
+             [word[i] for i in range(1, len(word) + 1)] AS syms FROM wt)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""p{r} AS (SELECT pr[1] AS lsym, pr[2] AS rsym,
+             CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM (SELECT cnt,
+                   unnest([[syms[i], syms[i + 1]]
+                           for i in range(1, len(syms))]) AS pr
+            FROM w{p})
+      GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""top{r} AS (SELECT lsym, rsym, pair_count FROM p{r}
+         ORDER BY pair_count DESC, lsym ASC, rsym ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"""e{r} AS (SELECT word, cnt, syms, t.lsym, t.rsym,
+             unnest(syms) AS s, generate_subscripts(syms, 1) AS i
+      FROM w{p} CROSS JOIN top{r} t)"""
+        )
+        ctes.append(
+            f"""f{r} AS (SELECT *, (i < len(syms) AND s = lsym AND syms[i + 1] = rsym) AS m
+      FROM e{r})"""
+        )
+        ctes.append(
+            f"""g{r} AS (SELECT *, CASE WHEN m THEN i - row_number()
+             OVER (PARTITION BY word, m ORDER BY i) END AS rid FROM f{r})"""
+        )
+        ctes.append(
+            f"""h{r} AS (SELECT *, m AND ((row_number()
+             OVER (PARTITION BY word, rid ORDER BY i)) % 2 = 1) AS taken
+      FROM g{r})"""
+        )
+        ctes.append(
+            f"""k{r} AS (SELECT *, coalesce(lag(taken)
+             OVER (PARTITION BY word ORDER BY i), false) AS consumed FROM h{r})"""
+        )
+        ctes.append(
+            f"""w{r} AS (SELECT word, any_value(cnt) AS cnt,
+             list(CASE WHEN taken THEN s || syms[i + 1] ELSE s END ORDER BY i)
+               FILTER (WHERE NOT consumed) AS syms
+      FROM k{r} GROUP BY word)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, lsym, rsym, lsym || rsym AS merged, "
+        f"pair_count FROM top{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions

@@ -1572,7 +1572,28 @@ SELECT doc_id, n_toks, score, score > 0 AS pred, y AS actual FROM d
 """
 
 
+def bpe_merges(spark, sf_dir):
+    """x58: BPE tokenizer training — the first 3 learned merges over
+    the corpus word types (operators/tokenizer.py:bpe_learn_merges);
+    ties break lexicographically in both engines."""
+    from database_query_processor_spark.operators import tokenizer as TK
+
+    return TK.bpe_learn_merges(_t(spark, sf_dir, "documents"), "text", rounds=3)
+
+
+def _bpe_oracle():
+    from database_query_processor_spark.operators import tokenizer as TK
+
+    return TK.sql_bpe_merges(rounds=3, toks_sql=TOKS_SQL)
+
+
 SPECS = [
+    QuerySpec("x58_bpe_merges", bpe_merges, _bpe_oracle(),
+              "BPE tokenizer training: per-round pair-count shuffle over "
+              "word TYPES (not corpus tokens), TakeOrdered arg-max, greedy "
+              "leftmost merge as an ordered JVM fold — one lazy DAG, no "
+              "driver loop state; oracle re-derives the merge via "
+              "run-parity windows (independent mechanism)"),
     QuerySpec("x55_substring_dedup", substring_dedup, SUBSTRING_DEDUP_SQL,
               "exact repeated-substring spans (suffix-array-style dedup via "
               "k-gram chaining): duplicated-gram COUNT window + consecutive-"

@@ -445,3 +445,15 @@ def test_nb_classifier_broadcast_model(spark):
     plan = explain_str(df, "simple")
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bpe_argmax_is_take_ordered(spark):
+    """x58: each round's arg-max must be TakeOrderedAndProject (1-row
+    limit), the 1-row winner must broadcast back onto the types frame
+    (no shuffle join), and the whole learner stays JVM-side."""
+    df = _specs()["x58_bpe_merges"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

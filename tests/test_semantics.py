@@ -327,3 +327,37 @@ def test_refresh_grouped_agg_delta_algebra(spark):
     assert g == w
     assert "c" not in g  # fully-deleted group disappears
     assert g["b"] == (2, 41.0) and g["d"] == (1, 50.0)
+
+
+def test_bpe_merges_hand_corpus(spark):
+    """x58 semantics pinned on the classic BPE example: corpus where
+    'lo' dominates. 'low' x3 + 'lower' x2 + 'lowest' + 'slow':
+    pair (l,o) has weighted count 7 and wins round 1; round 2 then
+    sees ('lo','w') with count 7. Also pins tie-breaks
+    (lexicographic) implicitly via deterministic counts."""
+    from database_query_processor_spark.operators.tokenizer import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lower lowest slow")], ["doc_id", "text"]
+    )
+    rows = {r["round"]: r for r in bpe_learn_merges(docs, "text", rounds=2).collect()}
+    assert rows[1]["merged"] == "lo" and rows[1]["pair_count"] == 7
+    assert rows[2]["lsym"] == "lo" and rows[2]["rsym"] == "w"
+    assert rows[2]["merged"] == "low" and rows[2]["pair_count"] == 7
+
+
+def test_bpe_merge_overlapping_pairs_leftmost(spark):
+    """The greedy-apply step must merge leftmost-first on overlapping
+    candidates: 'aaa' under merge (a,a) becomes [aa, a] — never
+    [a, aa] and never a double-merge. Checked through a full learn
+    round on a corpus where (a,a) wins."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.tokenizer import _merge_pair
+
+    df = spark.createDataFrame([(["a", "a", "a"],), (["b", "a", "a", "b"],)], ["syms"])
+    got = df.select(
+        _merge_pair(F.col("syms"), F.lit("a"), F.lit("a")).alias("m")
+    ).collect()
+    assert got[0]["m"] == ["aa", "a"]
+    assert got[1]["m"] == ["b", "aa", "b"]
