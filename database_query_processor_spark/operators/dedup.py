@@ -193,6 +193,20 @@ def ngram_jaccard_pairs(
     corpus skew. The cap is deterministic, so the DuckDB oracle
     mirrors it exactly. ``df_cap=None`` disables the filter (plain
     exact Jaccard; oracle/recall testing only)."""
+    return (
+        _ngram_shared_counts(df, id_col, text_col, n, df_cap)
+        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _ngram_shared_counts(
+    df: DataFrame, id_col: str, text_col: str, n: int, df_cap: int | None
+) -> DataFrame:
+    """Shared machinery of the exact n-gram pair metrics: df-capped
+    inverted-index self-join yielding one row per candidate pair with
+    (shared, na, nb) over the capped shingle universe."""
     exploded = doc_shingles(df, id_col, text_col, n).select(
         "doc_id", F.explode("grams").alias("gram")
     )
@@ -217,12 +231,38 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return shared.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = NGRAM_DF_CAP,
+) -> DataFrame:
+    """Near-CONTAINMENT pairs: C(A,B) = |A∩B| / min(|A|, |B|) ≥
+    threshold over the df-capped shingle universe. The asymmetric
+    complement of `ngram_jaccard_pairs`: a short document quoted
+    verbatim inside a long one has high containment but LOW Jaccard
+    (|∩|/|∪| is diluted by the long side), so a Jaccard gate misses
+    exactly the quote/subset duplication this catches — the
+    containment-sketch use case (Broder's "containment" from the
+    original resemblance paper). Same single inverted-index
+    self-join, same df_cap skew bound; only the final metric differs
+    (min instead of union in the denominator — one exact int min +
+    one IEEE divide, bit-stable cross-engine). Also returns the
+    pair's jaccard so downstream can see the gap."""
+    base = _ngram_shared_counts(df, id_col, text_col, n, df_cap)
+    cont = F.col("shared") / F.least(F.col("na"), F.col("nb"))
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        base.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .withColumn(
+            "jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+        )
+        .select("id_a", "id_b", "containment", "jaccard")
     )
 
 

@@ -1572,6 +1572,62 @@ SELECT doc_id, n_toks, score, score > 0 AS pred, y AS actual FROM d
 """
 
 
+def quality_quantile_norm(spark, sf_dir):
+    """x59: per-source quantile normalization of quality scores — the
+    calibration step before mixing scores across domains (a raw 0.6
+    from a clean wiki crawl and from a noisy CC dump mean different
+    things; their within-source percentiles are comparable).
+    percent_rank = (rank-1)/(n-1) is one exact-int divide, and ties
+    in q get equal calibrated scores in both engines. One exchange
+    (the source partition); scan-side score math."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.select("doc_id", "source", TX.quality_score("text").alias("q"))
+    w = Window.partitionBy("source").orderBy("q")
+    return q.select(
+        "doc_id",
+        "source",
+        F.round("q", 9).alias("q_raw"),
+        F.round(F.percent_rank().over(w), 9).alias("q_cal"),
+    )
+
+
+QUANTILE_NORM_SQL = f"""
+WITH t AS (SELECT doc_id, source, text, {TOKS_SQL} AS toks FROM documents),
+s AS (SELECT doc_id, source, {_QUALITY_EXPR} AS q FROM t)
+SELECT doc_id, source, ROUND(q, 9) AS q_raw,
+       ROUND(percent_rank() OVER (PARTITION BY source ORDER BY q), 9) AS q_cal
+FROM s
+"""
+
+
+def dedup_containment(spark, sf_dir):
+    """x60: near-containment pairs — |∩|/min(|A|,|B|) ≥ 0.8 over the
+    df-capped 3-gram universe (operators/dedup.py:
+    ngram_containment_pairs). Catches quote/subset duplication that
+    the x04 Jaccard gate structurally misses."""
+    return DD.ngram_containment_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+CONTAINMENT_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, {GRAMS_SQL} AS grams FROM t),
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) <= {DD.NGRAM_DF_CAP}),
+idx AS (SELECT doc_id, gram FROM ex JOIN rare USING (gram)),
+sizes AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),
+shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           FROM idx a JOIN idx b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b, shared / least(sa.n, sb.n) AS containment,
+       shared / (sa.n + sb.n - shared) AS jaccard
+FROM shared JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+WHERE shared / least(sa.n, sb.n) >= 0.8
+"""
+
+
 def bpe_merges(spark, sf_dir):
     """x58: BPE tokenizer training — the first 3 learned merges over
     the corpus word types (operators/tokenizer.py:bpe_learn_merges);
@@ -1588,6 +1644,14 @@ def _bpe_oracle():
 
 
 SPECS = [
+    QuerySpec("x59_quality_quantile_norm", quality_quantile_norm, QUANTILE_NORM_SQL,
+              "per-source quantile normalization of quality scores "
+              "(cross-domain score calibration): percent_rank on one "
+              "source exchange, exact-int rank math"),
+    QuerySpec("x60_dedup_containment", dedup_containment, CONTAINMENT_SQL,
+              "near-containment pairs |∩|/min(|A|,|B|): the asymmetric "
+              "quote/subset-duplication gate Jaccard misses; same df-capped "
+              "inverted-index join as x04, different final metric"),
     QuerySpec("x58_bpe_merges", bpe_merges, _bpe_oracle(),
               "BPE tokenizer training: per-round pair-count shuffle over "
               "word TYPES (not corpus tokens), TakeOrdered arg-max, greedy "
