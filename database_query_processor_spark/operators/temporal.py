@@ -566,3 +566,84 @@ def detect_gaps(
         )
         .where(F.col("gap_us") > min_gap_us)
     )
+
+
+def nearest_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_val: str,
+    tolerance_us: int,
+) -> DataFrame:
+    """Nearest-in-time as-of join (pandas merge_asof
+    direction='nearest'): for each left row, the right row of the same
+    key minimizing |right_ts - left_ts|, only if that distance is
+    within tolerance_us; equal forward/backward distance prefers the
+    earlier (backward) row, and an equal-timestamp right row is a
+    backward match at distance 0. Right side must be unique per
+    (key, ts). Output: left columns + matched_val, matched_ts,
+    dist_us.
+
+    Same union-merge shape as `as_of_join` — ONE shuffle on the key —
+    but with BOTH direction scans: the backward candidate is
+    last(ignorenulls) over the preceding frame, the forward candidate
+    first(ignorenulls) over the following frame, and both windows
+    share one partitioning+ordering, so Catalyst plans one Exchange +
+    one Sort (the second Window operator reuses them). The global
+    nearest within tolerance is necessarily one of the two candidates,
+    so the pick is a scan-side CASE — the inequality pair space is
+    never built."""
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast(right.schema[right_val].dataType).alias("_rv"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
+        F.col(right_val).alias("_rv"),
+        F.col(right_ts).alias("_rts"),
+    )
+    order = [F.col("_ts").asc(), F.col("_tag").asc()]
+    w_back = (
+        W.partitionBy("_k").orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("_k").orderBy(*order).rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    merged = l_tag.unionByName(r_tag).select(
+        "_tag",
+        "_l",
+        "_ts",
+        F.last("_rv", ignorenulls=True).over(w_back).alias("_bv"),
+        F.last("_rts", ignorenulls=True).over(w_back).alias("_bts"),
+        F.first("_rv", ignorenulls=True).over(w_fwd).alias("_fv"),
+        F.first("_rts", ignorenulls=True).over(w_fwd).alias("_fts"),
+    )
+    bd = F.unix_micros(F.col("_ts").cast("timestamp")) - F.unix_micros(
+        F.col("_bts").cast("timestamp")
+    )
+    fd = F.unix_micros(F.col("_fts").cast("timestamp")) - F.unix_micros(
+        F.col("_ts").cast("timestamp")
+    )
+    b_ok = F.col("_bts").isNotNull() & (bd <= tolerance_us)
+    f_ok = F.col("_fts").isNotNull() & (fd <= tolerance_us)
+    take_back = b_ok & (~f_ok | (bd <= fd))
+    picked = (
+        merged.filter(F.col("_tag") == 1)
+        .select(
+            "_l",
+            F.when(take_back, F.col("_bv")).otherwise(F.col("_fv")).alias("matched_val"),
+            F.when(take_back, F.col("_bts")).otherwise(F.col("_fts")).alias("matched_ts"),
+            F.when(take_back, bd).otherwise(fd).alias("dist_us"),
+            (b_ok | f_ok).alias("_hit"),
+        )
+    )
+    return picked.filter("_hit").select("_l.*", "matched_val", "matched_ts", "dist_us")

@@ -681,7 +681,51 @@ FROM g WHERE gap_us > CAST(24 AS BIGINT) * 3600 * 1000000
 """
 
 
+def nearest_asof(spark, sf_dir):
+    """t17: for each purchase, the NEAREST click of the same user
+    within 1 hour either direction (ties prefer the earlier click) —
+    pandas merge_asof direction='nearest' semantics
+    (operators/temporal.py:nearest_asof_join). The oracle re-derives
+    the match by a range join + rank, an independent mechanism."""
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = TMP.nearest_asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_val="click_id", tolerance_us=3_600_000_000,
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("matched_val").alias("click_id"),
+        F.col("matched_ts").alias("click_ts"),
+        "dist_us",
+    )
+
+
+NEAREST_ASOF_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, p.ts, c.click_id, c.ts AS click_ts,
+       abs(epoch_us(c.ts) - epoch_us(p.ts)) AS dist_us
+FROM p JOIN c ON p.user_id = c.user_id
+ AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 3600000000
+QUALIFY row_number() OVER (PARTITION BY p.event_id
+          ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts) = 1
+"""
+
+
 SPECS = [
+    QuerySpec("t17_nearest_asof", nearest_asof, NEAREST_ASOF_SQL,
+              "nearest-in-time as-of join with tolerance (merge_asof "
+              "'nearest'): both direction scans share ONE exchange + sort "
+              "in the union-merge frame; pick is a scan-side CASE"),
     QuerySpec("t16_gap_detect", gap_detect, GAP_SQL,
               "outage/dead-air detection: consecutive-sample silences over "
               "a threshold — sessionize's monitoring complement, one "

@@ -457,3 +457,13 @@ def test_bpe_argmax_is_take_ordered(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_nearest_asof_one_window_one_sort(spark):
+    """t17: both direction scans must share ONE Window operator and
+    ONE sort on the key exchange — a second exchange/sort for the
+    forward frame would double the cost of the union-merge."""
+    df = _specs()["t17_nearest_asof"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert plan.count("Window [") == 1, plan
+    assert "Join" not in plan, plan

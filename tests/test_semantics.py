@@ -361,3 +361,39 @@ def test_bpe_merge_overlapping_pairs_leftmost(spark):
     ).collect()
     assert got[0]["m"] == ["aa", "a"]
     assert got[1]["m"] == ["b", "aa", "b"]
+
+
+def test_nearest_asof_tie_tolerance_and_directions(spark):
+    """t17 semantics pinned by hand: backward match when nearer,
+    forward when nearer, backward preferred on an exact distance tie,
+    equal-timestamp right is a distance-0 backward match, and a left
+    row with no right row within tolerance drops out."""
+    import datetime as dt
+
+    from database_query_processor_spark.operators.temporal import nearest_asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 10, T(30)),   # clicks at 20 & 50: back d=10 < fwd d=20 -> 20
+         (2, 10, T(48)),   # back d=28, fwd d=2 -> 50
+         (3, 10, T(35)),   # back 20 d=15, fwd 50 d=15: TIE -> earlier (20)
+         (4, 20, T(10)),   # right at T(10): distance 0 backward
+         (5, 30, T(10))],  # right at T(59): d=49s > 20s tolerance -> dropped
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(10, T(20), 100), (10, T(50), 101), (20, T(10), 102), (30, T(59), 103)],
+        ["user_id", "ts", "click_id"],
+    )
+    got = {
+        r["event_id"]: (r["matched_val"], r["dist_us"])
+        for r in nearest_asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            right_val="click_id", tolerance_us=20_000_000,
+        ).collect()
+    }
+    assert got[1] == (100, 10_000_000)
+    assert got[2] == (101, 2_000_000)
+    assert got[3] == (100, 15_000_000)  # tie -> backward
+    assert got[4] == (102, 0)
+    assert 5 not in got
