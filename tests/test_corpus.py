@@ -11,8 +11,11 @@ import json
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
+from database_query_processor_spark.catalog import load_table
 from database_query_processor_spark.operators import corpus as CP
 from database_query_processor_spark.plans.inspect import explain_str
+
+SF = "/root/testdata/sf0.001"
 
 
 def test_connected_components_chain(spark):
@@ -239,3 +242,62 @@ def test_jaccard_decontaminate_flags_paraphrase(spark):
     assert set(out) == {1, 2}
     assert out[1][0] is True and out[1][1] > 0.5
     assert out[2] == (False, 0.0)
+
+
+def test_substring_spans_maximal_and_min_length(spark):
+    """x55 invariants on real data: every span is >= k tokens, starts
+    at a positive position, and two spans of the same doc never touch
+    or overlap (maximality: touching runs would have been one run)."""
+    from database_query_processor_spark.operators.dedup import substring_dup_spans
+
+    docs = load_table(spark, SF, "documents")
+    spans = substring_dup_spans(docs, "doc_id", "text", k=8).collect()
+    assert spans, "planted near-dups must produce at least one span"
+    by_doc = {}
+    for s in spans:
+        assert s["span_tokens"] >= 8
+        assert s["span_start"] >= 1
+        by_doc.setdefault(s["doc_id"], []).append((s["span_start"], s["span_tokens"]))
+    for doc, ss in by_doc.items():
+        ss.sort()
+        for (a, la), (b, _) in zip(ss, ss[1:]):
+            # next span must start at least 2 past this span's last
+            # covered START position (a+la-8); start+1 would have
+            # chained into the same run
+            assert b > a + la - 8 + 1, (doc, ss)
+
+
+def test_containment_dominates_jaccard(spark):
+    """x60 invariant: containment >= jaccard for every pair (min of
+    the set sizes is never larger than the union), and every x04
+    Jaccard pair at 0.5 also clears containment 0.5."""
+    from database_query_processor_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    cont = ngram_containment_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    assert cont
+    for r in cont:
+        assert r["containment"] >= r["jaccard"] - 1e-12
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    cpairs = {(r["id_a"], r["id_b"]) for r in cont}
+    assert jac <= cpairs
+
+
+def test_nb_classifier_split_and_pred_consistency(spark):
+    """x57 invariants: scored docs are exactly the hash-gated 20%
+    test split (with >= 1 token), and pred == (score > 0) row-wise."""
+    from database_query_processor_spark.operators.retrieval import nb_classifier_scores
+    from database_query_processor_spark.operators.corpus import HASH_MOD, HASH_MULT
+
+    docs = load_table(spark, SF, "documents")
+    got = nb_classifier_scores(docs, "doc_id", "text", F.col("lang") == "en").collect()
+    assert got
+    for r in got:
+        assert (r["doc_id"] % HASH_MOD) * HASH_MULT % HASH_MOD % 100 >= 80
+        assert r["pred"] == (r["score"] > 0)
