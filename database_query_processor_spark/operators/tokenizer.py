@@ -1,6 +1,7 @@
 """Tokenizer training on the corpus: byte-pair-encoding merge
-learning (Sennrich et al. 2016), the vocabulary-construction step
-every LLM pretraining pipeline runs before tokenizing its data.
+learning and application (Sennrich et al. 2016), the
+vocabulary-construction step every LLM pretraining pipeline runs
+before tokenizing its data.
 
 No reference analog (the reference has no text surface at all,
 src/qp/parser/parser.cup:197-255).
@@ -91,6 +92,44 @@ def _merge_pair(syms: Column, l: Column, r: Column) -> Column:
     return F.aggregate(syms, init, step, finish)
 
 
+def _word_types(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt, syms): word types with corpus occurrence counts and
+    their initial character-symbol lists."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.filter(F.split("word", ""), lambda c: F.length(c) > 0).alias("syms"),
+        )
+    )
+
+
+def _merge_chain(
+    types: DataFrame, rounds: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run `rounds` learn+apply BPE rounds over the types frame.
+    Returns (per-round 1-row winner frames, the fully-merged types
+    frame)."""
+    tops = []
+    for _ in range(rounds):
+        pairs = (
+            types.select("cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy(F.col("p.l").alias("lsym"), F.col("p.r").alias("rsym"))
+            .agg(F.sum("cnt").cast("long").alias("pair_count"))
+        )
+        top = pairs.orderBy(F.desc("pair_count"), F.asc("lsym"), F.asc("rsym")).limit(1)
+        tops.append(top)
+        types = types.crossJoin(F.broadcast(top)).select(
+            "word",
+            "cnt",
+            _merge_pair(F.col("syms"), F.col("lsym"), F.col("rsym")).alias("syms"),
+        )
+    return tops, types
+
+
 def bpe_learn_merges(
     df: DataFrame, text_col: str, rounds: int = 3
 ) -> DataFrame:
@@ -98,46 +137,45 @@ def bpe_learn_merges(
     one row per round: (round, lsym, rsym, merged, pair_count) —
     the merge table a tokenizer ships. Ties on pair_count break
     lexicographically (lsym, rsym) in both engines."""
-    words = (
-        df.select(F.explode(tokens(text_col)).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .select(
-            "word", "cnt", F.filter(F.split("word", ""), lambda c: F.length(c) > 0).alias("syms")
+    tops, _ = _merge_chain(_word_types(df, text_col), rounds)
+    out_rounds = [
+        top.select(
+            F.lit(rnd).cast("long").alias("round"),
+            "lsym",
+            "rsym",
+            F.concat("lsym", "rsym").alias("merged"),
+            "pair_count",
         )
-    )
-    out_rounds = []
-    types = words
-    for rnd in range(1, rounds + 1):
-        pairs = (
-            types.select("cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
-            .groupBy(F.col("p.l").alias("lsym"), F.col("p.r").alias("rsym"))
-            .agg(F.sum("cnt").cast("long").alias("pair_count"))
-        )
-        top = pairs.orderBy(
-            F.desc("pair_count"), F.asc("lsym"), F.asc("rsym")
-        ).limit(1)
-        out_rounds.append(
-            top.select(
-                F.lit(rnd).cast("long").alias("round"),
-                "lsym",
-                "rsym",
-                F.concat("lsym", "rsym").alias("merged"),
-                "pair_count",
-            )
-        )
-        types = (
-            types.crossJoin(F.broadcast(top))
-            .select(
-                "word",
-                "cnt",
-                _merge_pair(F.col("syms"), F.col("lsym"), F.col("rsym")).alias("syms"),
-            )
-        )
+        for rnd, top in enumerate(tops, start=1)
+    ]
     out = out_rounds[0]
     for nxt in out_rounds[1:]:
         out = out.unionByName(nxt)
     return out
+
+
+def bpe_tokenize_vocab(
+    df: DataFrame, text_col: str, rounds: int = 3, k: int = 20
+) -> DataFrame:
+    """Apply the first `rounds` learned BPE merges back to the corpus
+    and report the resulting top-k symbol vocabulary with OCCURRENCE
+    counts (token-weighted, not type-weighted) — the train+apply
+    round trip a tokenizer pipeline ships. Ranking: count DESC,
+    symbol ASC; all-integer counts, so the cut is exact.
+
+    Scale shape: the learn chain's cost notes apply; the apply step
+    is per-word array algebra on the TYPES table, then one
+    (symbol)-keyed count aggregate and TakeOrderedAndProject for the
+    cut — the corpus itself is touched only by the initial word-count
+    aggregate."""
+    _, merged = _merge_chain(_word_types(df, text_col), rounds)
+    return (
+        merged.select(F.explode("syms").alias("symbol"), "cnt")
+        .groupBy("symbol")
+        .agg(F.sum("cnt").cast("long").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("symbol"))
+        .limit(k)
+    )
 
 
 def sql_bpe_merges(rounds: int = 3, toks_sql: str = "") -> str:
@@ -145,6 +183,31 @@ def sql_bpe_merges(rounds: int = 3, toks_sql: str = "") -> str:
     independent mechanism: per-round position explode + run-parity
     windows (greedy leftmost = odd positions within each maximal run
     of consecutive matches) instead of a sequential fold."""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, lsym, rsym, lsym || rsym AS merged, "
+        f"pair_count FROM top{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(_sql_chain_ctes(rounds, toks_sql)) + "\n" + unions
+
+
+def sql_bpe_tokenize_vocab(rounds: int = 3, k: int = 20, toks_sql: str = "") -> str:
+    """DuckDB oracle mirroring bpe_tokenize_vocab: the same CTE chain
+    as sql_bpe_merges up to w{rounds}, then the symbol count."""
+    return (
+        "WITH "
+        + ",\n".join(_sql_chain_ctes(rounds, toks_sql))
+        + f"""
+SELECT symbol, CAST(SUM(cnt) AS BIGINT) AS n_occ
+FROM (SELECT unnest(syms) AS symbol, cnt FROM w{rounds})
+GROUP BY symbol ORDER BY n_occ DESC, symbol ASC LIMIT {k}
+"""
+    )
+
+
+def _sql_chain_ctes(rounds: int, toks_sql: str) -> list[str]:
+    """The shared CTE chain: word types w0, then per round r the pair
+    counts p{r}, winner top{r}, and merged types w{r}."""
     ctes = [
         f"""wt AS (SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM (SELECT unnest({toks_sql}) AS tok FROM documents) GROUP BY tok)""",
@@ -194,9 +257,4 @@ def sql_bpe_merges(rounds: int = 3, toks_sql: str = "") -> str:
                FILTER (WHERE NOT consumed) AS syms
       FROM k{r} GROUP BY word)"""
         )
-    unions = "\nUNION ALL\n".join(
-        f"SELECT CAST({r} AS BIGINT) AS round, lsym, rsym, lsym || rsym AS merged, "
-        f"pair_count FROM top{r}"
-        for r in range(1, rounds + 1)
-    )
-    return "WITH " + ",\n".join(ctes) + "\n" + unions
+    return ctes

@@ -1643,7 +1643,27 @@ def _bpe_oracle():
     return TK.sql_bpe_merges(rounds=3, toks_sql=TOKS_SQL)
 
 
+def bpe_tokenize(spark, sf_dir):
+    """x61: BPE apply — tokenize the corpus with the 3 learned merges
+    and report the top-20 resulting symbol vocabulary by occurrence
+    count (operators/tokenizer.py:bpe_tokenize_vocab) — the train+
+    apply round trip."""
+    from database_query_processor_spark.operators import tokenizer as TK
+
+    return TK.bpe_tokenize_vocab(_t(spark, sf_dir, "documents"), "text", rounds=3, k=20)
+
+
+def _bpe_vocab_oracle():
+    from database_query_processor_spark.operators import tokenizer as TK
+
+    return TK.sql_bpe_tokenize_vocab(rounds=3, k=20, toks_sql=TOKS_SQL)
+
+
 SPECS = [
+    QuerySpec("x61_bpe_tokenize", bpe_tokenize, _bpe_vocab_oracle(),
+              "BPE apply: segment the corpus with the learned merges and "
+              "report the resulting symbol vocabulary — train+apply round "
+              "trip; symbol count is one keyed aggregate + TakeOrdered"),
     QuerySpec("x59_quality_quantile_norm", quality_quantile_norm, QUANTILE_NORM_SQL,
               "per-source quantile normalization of quality scores "
               "(cross-domain score calibration): percent_rank on one "

@@ -267,3 +267,62 @@ def window_query(draw) -> str:
 def test_window_spark_matches_duckdb(views, sql):
     probs = compare(views.sql(sql), duckdb_run(sql, SF))
     assert not probs, f"{sql}\n{probs}"
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=20
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=0, max_size=20
+    ),
+    tol=st.integers(1, 200),
+)
+def test_nearest_asof_matches_bruteforce(spark, lefts, rights, tol):
+    """t17's union-merge nearest pick vs an O(n·m) reference on random
+    per-key event sets: same match, same distance, same drop set —
+    including the tie rule (equal distance → earlier right row)."""
+    import datetime as dt
+
+    from database_query_processor_spark.operators.temporal import nearest_asof_join
+
+    T0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: T0 + dt.timedelta(seconds=sec)
+    rights = list({(k, ts) for k, ts in rights})  # unique per (key, ts)
+    ldf = spark.createDataFrame(
+        [(i, k, s(ts)) for i, (k, ts) in enumerate(lefts)], ["lid", "k", "ts"]
+    )
+    rdf = (
+        spark.createDataFrame(
+            [(k, s(ts), 1000 + i) for i, (k, ts) in enumerate(rights)],
+            ["k", "ts", "rid"],
+        )
+        if rights
+        else spark.createDataFrame([], "k INT, ts TIMESTAMP, rid INT")
+    )
+    got = {
+        r["lid"]: (r["matched_val"], r["dist_us"])
+        for r in nearest_asof_join(
+            ldf, rdf, key="k", left_ts="ts", right_ts="ts",
+            right_val="rid", tolerance_us=tol * 1_000_000,
+        ).collect()
+    }
+    rmap = {}
+    for i, (k, ts) in enumerate(rights):
+        rmap.setdefault(k, []).append((ts, 1000 + i))
+    for i, (k, lts) in enumerate(lefts):
+        cands = [
+            (abs(rts - lts), rts, rid)
+            for rts, rid in rmap.get(k, [])
+            if abs(rts - lts) <= tol
+        ]
+        if not cands:
+            assert i not in got, (i, got.get(i))
+        else:
+            d, _, rid = min(cands)  # min dist, then earliest rts
+            assert got[i] == (rid, d * 1_000_000), (i, got[i], cands)

@@ -129,3 +129,21 @@ def test_editdistance_pairs_planted_template_edits(spark):
     assert pairs[(0, 1)] == 2
     assert pairs[(0, 2)] == 5
     assert all(3 not in p for p in pairs)
+
+
+def test_substring_spans_verbatim_dup_flood(spark):
+    """x55 under the worst skew: 60 verbatim copies of one document
+    make every gram's global count 60 (one fat partition per gram in
+    the COUNT window). The operator must complete and report each
+    copy's full token range as ONE maximal span."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.dedup import substring_dup_spans
+
+    text = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"), F.lit(text).alias("text")
+    )
+    spans = substring_dup_spans(docs, "doc_id", "text", k=8).collect()
+    assert len(spans) == 60
+    assert all(s["span_start"] == 1 and s["span_tokens"] == 40 for s in spans)
