@@ -75,11 +75,15 @@ def punct_ratio(text: Column | str) -> Column:
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
-    """Share of token OCCURRENCES that are stopwords."""
+    """Share of token OCCURRENCES that are stopwords. Zero-token docs
+    (punctuation-only text) score 0, not NULL — the denominator is
+    guarded exactly like the oracles' greatest(len(toks), 1)."""
     c = F.col(text) if isinstance(text, str) else text
     toks = tokens(c)
     arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))) / F.size(toks)
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
 
 
 def quality_score(text: Column | str) -> Column:

@@ -751,12 +751,17 @@ def token_drift(
     )
 
 
+# DSIR feature space: the bucket is the first 2 md5 hex chars, so the
+# bucket count is structurally 16² — a constant, not a knob (a knob
+# that didn't change the bucketing would silently skew the smoothing).
+DSIR_BUCKETS = 256
+
+
 def dsir_select(
     df: DataFrame,
     id_col: str,
     text_col: str,
     target_cond: Column,
-    n_buckets: int = 256,
     k: int = 50,
 ) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, "Data Selection for
@@ -798,8 +803,8 @@ def dsir_select(
     tot = stats.agg(
         F.sum("ct").cast("long").alias("nt"), F.sum("cr").cast("long").alias("nr")
     )
-    lr = F.log((F.col("ct") + 1) / (F.col("nt") + n_buckets).cast("double")) - F.log(
-        (F.col("cr") + 1) / (F.col("nr") + n_buckets).cast("double")
+    lr = F.log((F.col("ct") + 1) / (F.col("nt") + DSIR_BUCKETS).cast("double")) - F.log(
+        (F.col("cr") + 1) / (F.col("nr") + DSIR_BUCKETS).cast("double")
     )
     ratios = stats.crossJoin(F.broadcast(tot)).select("bucket", lr.alias("lr"))
     per = (

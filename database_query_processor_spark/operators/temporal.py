@@ -35,7 +35,11 @@ def as_of_join(
     right_ts <= left_ts (ties: right row sorts first, so an equal
     timestamp matches). Right side must be unique per (key, ts) —
     pre-aggregate if not. Output: left columns + matched right_val
-    (+ matched right_ts)."""
+    (+ matched right_ts). NULL keys never match (equi-join
+    semantics — window partitioning would otherwise group the NULL
+    rows together and "match" them)."""
+    left = left.filter(F.col(key).isNotNull())
+    right = right.filter(F.col(key).isNotNull())
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
@@ -594,7 +598,10 @@ def nearest_asof_join(
     one Sort (the second Window operator reuses them). The global
     nearest within tolerance is necessarily one of the two candidates,
     so the pick is a scan-side CASE — the inequality pair space is
-    never built."""
+    never built. NULL keys never match (equi-join semantics, same
+    guard as `as_of_join`)."""
+    left = left.filter(F.col(key).isNotNull())
+    right = right.filter(F.col(key).isNotNull())
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),

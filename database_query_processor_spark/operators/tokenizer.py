@@ -137,6 +137,8 @@ def bpe_learn_merges(
     one row per round: (round, lsym, rsym, merged, pair_count) —
     the merge table a tokenizer ships. Ties on pair_count break
     lexicographically (lsym, rsym) in both engines."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
     tops, _ = _merge_chain(_word_types(df, text_col), rounds)
     out_rounds = [
         top.select(
@@ -168,6 +170,8 @@ def bpe_tokenize_vocab(
     (symbol)-keyed count aggregate and TakeOrderedAndProject for the
     cut — the corpus itself is touched only by the initial word-count
     aggregate."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
     _, merged = _merge_chain(_word_types(df, text_col), rounds)
     return (
         merged.select(F.explode("syms").alias("symbol"), "cnt")

@@ -397,3 +397,49 @@ def test_nearest_asof_tie_tolerance_and_directions(spark):
     assert got[3] == (100, 15_000_000)  # tie -> backward
     assert got[4] == (102, 0)
     assert 5 not in got
+
+
+def test_quality_score_zero_token_doc_is_zero_not_null(spark):
+    """Punctuation-only text has length > 0 but zero tokens; the
+    stopword ratio's guarded denominator must yield quality 0.0 (the
+    oracles' greatest(len(toks), 1) contract), never NULL."""
+    from database_query_processor_spark.functions.text import quality_score
+
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.createDataFrame([("!!! ...",), ("the cat sat",)], ["text"])
+        .select(quality_score("text").alias("q"))
+        .collect()
+    )
+    assert got[0]["q"] == 0.0
+    assert got[1]["q"] is not None and got[1]["q"] > 0
+
+
+def test_asof_joins_never_match_null_keys(spark):
+    """Equi-join semantics: a NULL-key left row matches nothing in
+    either as-of variant (window partitioning would otherwise group
+    the NULL rows together and 'match' them)."""
+    import datetime as dt
+
+    from database_query_processor_spark.operators.temporal import (
+        as_of_join,
+        nearest_asof_join,
+    )
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, None, T(30)), (2, 7, T(30))], "lid INT, k INT, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [(None, T(20), 100), (7, T(20), 101)], "k INT, ts TIMESTAMP, rid INT"
+    )
+    a = as_of_join(left, right, key="k", left_ts="ts", right_ts="ts", right_val="rid")
+    got_a = {r["lid"]: r["matched_val"] for r in a.collect()}
+    assert got_a == {2: 101}
+    n = nearest_asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts", right_val="rid",
+        tolerance_us=60_000_000,
+    )
+    got_n = {r["lid"]: r["matched_val"] for r in n.collect()}
+    assert got_n == {2: 101}
