@@ -654,3 +654,66 @@ def nearest_asof_join(
         )
     )
     return picked.filter("_hit").select("_l.*", "matched_val", "matched_ts", "dist_us")
+
+
+def value_bars(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    val_col: str,
+    threshold_us: int,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Threshold bars ("dollar bars" / "volume bars", López de Prado):
+    slice the GLOBAL (ts, id)-ordered event stream into bars that each
+    accumulate ~threshold of value — the information-driven resample
+    quant pipelines prefer over fixed time windows. Event e belongs to
+    bar floor(cum_value_before(e) / threshold). Returns one row per
+    bar: (bar_id, n_events, start_ts, end_ts, bar_value_us).
+
+    Cross-engine exactness: values are quantized ONCE to
+    DECIMAL(18,6) micro-units (an exact integral decimal → BIGINT in
+    both engines), so every cumulative sum is integer arithmetic —
+    associative, order-insensitive, bit-identical — and the bar
+    boundary is an integer division (values are non-negative, so
+    trunc-vs-floor division semantics cannot diverge).
+
+    Scale shape: a global ordered prefix sum done the distributed way
+    (the budget_select/train_order pattern) — range-repartition on
+    (ts, id), per-partition totals (one tiny row each) collected and
+    broadcast back as exclusive offsets, within-partition ordered
+    window completes the global cumsum; the final per-bar aggregate
+    is one more keyed shuffle. No single-partition global window
+    anywhere."""
+    from pyspark import StorageLevel
+
+    from database_query_processor_spark.operators.corpus import _prefix_offsets
+
+    v_us = (
+        (F.col(val_col).cast("decimal(18,6)") * 1000000).cast("long").alias("v_us")
+    )
+    keyed = df.select(
+        F.col(ts_col).alias("_ts"), F.col(id_col).alias("_id"), v_us
+    ).repartitionByRange(num_partitions, F.col("_ts").asc(), F.col("_id").asc())
+    keyed = keyed.withColumn("pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    totals = {
+        r["pid"]: r["t"]
+        for r in keyed.groupBy("pid").agg(F.sum("v_us").alias("t")).collect()
+    }
+    offsets = _prefix_offsets(keyed.sparkSession, totals)
+    w = W.partitionBy("pid").orderBy(F.col("_ts").asc(), F.col("_id").asc())
+    cum_before = F.sum("v_us").over(w) - F.col("v_us") + F.col("_offset")
+    return (
+        keyed.join(F.broadcast(offsets), "pid")
+        .select("_ts", "v_us", cum_before.alias("_cumb"))
+        .select("_ts", "v_us", F.expr(f"_cumb DIV {threshold_us}").alias("bar_id"))
+        .groupBy("bar_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("_ts").alias("start_ts"),
+            F.max("_ts").alias("end_ts"),
+            F.sum("v_us").cast("long").alias("bar_value_us"),
+        )
+    )

@@ -70,3 +70,55 @@ def parse_stat(text: str, columns: list[str]) -> TableStats:
             f"{len(columns)} columns"
         )
     return TableStats(row_count=row_count, distinct_counts=dict(zip(columns, distincts)))
+
+
+def schema_drift_audit(
+    spark: SparkSession, path_v1: str, path_v2: str
+) -> DataFrame:
+    """Schema + null-profile drift between two dataset versions — the
+    "did the upstream crawl change shape under me" audit every
+    scheduled ingest should run before appending: per column (union
+    of both versions), whether it was kept / added / removed, its
+    type in each version, and its null count in each version (type
+    changes and null-rate spikes are the classic silent breakages).
+
+    Output: (column_name, status, type_v1, type_v2, n_null_v1,
+    n_null_v2) — counts are NULL for a version the column is absent
+    from, BIGINT otherwise.
+
+    Scale shape: the schema half is parquet-footer METADATA (driver-
+    side, no data read); the null profile is ONE aggregate scan per
+    version producing a single row (every per-column SUM rides the
+    same partial-agg pass), unpivoted via stack() and joined to the
+    tiny metadata frame — two scans total, no shuffle of data rows."""
+    df1, df2 = spark.read.parquet(path_v1), spark.read.parquet(path_v2)
+    t1 = {f.name: f.dataType.simpleString() for f in df1.schema.fields}
+    t2 = {f.name: f.dataType.simpleString() for f in df2.schema.fields}
+    meta = spark.createDataFrame(
+        [
+            (
+                c,
+                "kept" if c in t1 and c in t2 else ("removed" if c in t1 else "added"),
+                t1.get(c),
+                t2.get(c),
+            )
+            for c in sorted(set(t1) | set(t2))
+        ],
+        "column_name string, status string, type_v1 string, type_v2 string",
+    )
+
+    def null_counts(df: DataFrame, alias: str) -> DataFrame:
+        aggs = [
+            F.sum(F.when(F.col(f.name).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f.name)
+            for f in df.schema.fields
+        ]
+        cols = ", ".join(f"'{c}', `{c}`" for c in df.columns)
+        return df.agg(*aggs).select(
+            F.expr(f"stack({len(df.columns)}, {cols}) AS (column_name, {alias})")
+        )
+
+    return meta.join(
+        F.broadcast(null_counts(df1, "n_null_v1")), "column_name", "left"
+    ).join(F.broadcast(null_counts(df2, "n_null_v2")), "column_name", "left")

@@ -1126,7 +1126,54 @@ def _triangle_oracle():
     )
 
 
+def sliding_distinct_users(spark, sf_dir):
+    """c65: trailing-3-day distinct active users per day — the DAU/
+    WAU-style sliding COUNT(DISTINCT) no built-in window frame
+    computes scalably. A collect_set window would buffer every user
+    per frame on ONE partition; instead each (day, user) pair
+    EXPLODES to the 3 window-end days it contributes to and a plain
+    countDistinct groupBy does the rest (the s02 sliding-window
+    rewrite applied to distinct aggregation): pre-dedup to (day,
+    user), 3× fan-out of the deduped pairs, one hash shuffle keyed by
+    window day — fully parallel at any scale."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    fan = daily.select(
+        F.explode(
+            F.array(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 1 DAY"),
+                F.col("day") + F.expr("INTERVAL 2 DAY"),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    days = daily.select("day").distinct()
+    return (
+        fan.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_active_3d"))
+    )
+
+
+SLIDING_DISTINCT_SQL = """
+WITH d AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+x AS (SELECT day + i * INTERVAL 1 DAY AS day, user_id
+      FROM d, unnest([0, 1, 2]) AS t(i)),
+days AS (SELECT DISTINCT day FROM d)
+SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_3d
+FROM x JOIN days USING (day)
+GROUP BY 1
+"""
+
+
 SPECS = [
+    QuerySpec("c65_sliding_distinct", sliding_distinct_users, SLIDING_DISTINCT_SQL,
+              "trailing-3-day distinct users per day: explode-to-window-"
+              "ends rewrite of sliding COUNT(DISTINCT) — no global "
+              "collect_set window, one hash shuffle"),
     QuerySpec("c64_triangle_count", triangle_copurchase_graph, _triangle_oracle(),
               "triangle count + global clustering coefficient: degree-"
               "ordered orientation (out-degree O(sqrt m)) caps the wedge "

@@ -602,7 +602,58 @@ GROUP BY user_id
 """
 
 
+def schema_drift_query(spark, sf_dir):
+    """src16: schema + null-profile drift audit between two dataset
+    versions (sources/stats.py:schema_drift_audit). v2 drops
+    o_custkey, adds o_orderstatus and o_flag, and NULLs o_totalprice
+    on every key ≡0 (mod 7) — the audit must surface all four
+    drifts with exact null counts."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.sources.stats import schema_drift_audit
+
+    o = load_table(spark, sf_dir, "orders")
+    d1 = tempfile.mkdtemp(prefix="dqps_drift1_")
+    d2 = tempfile.mkdtemp(prefix="dqps_drift2_")
+    o.select("o_orderkey", "o_custkey", "o_totalprice").write.mode("overwrite").parquet(d1)
+    (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 7 != 0, F.col("o_totalprice")).alias(
+                "o_totalprice"
+            ),
+            (F.col("o_orderkey") % 2 == 0).alias("o_flag"),
+        )
+        .write.mode("overwrite")
+        .parquet(d2)
+    )
+    return schema_drift_audit(spark, d1, d2)
+
+
+_DRIFT_ORACLE = """
+SELECT 'o_custkey' AS column_name, 'removed' AS status,
+       'bigint' AS type_v1, CAST(NULL AS VARCHAR) AS type_v2,
+       CAST(0 AS BIGINT) AS n_null_v1, CAST(NULL AS BIGINT) AS n_null_v2
+UNION ALL
+SELECT 'o_flag', 'added', NULL, 'boolean', NULL, CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'o_orderkey', 'kept', 'bigint', 'bigint',
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'o_orderstatus', 'added', NULL, 'string', NULL, CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'o_totalprice', 'kept', 'double', 'double', CAST(0 AS BIGINT),
+       (SELECT CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders)
+"""
+
+
 SPECS = [
+    QuerySpec("src16_schema_drift", schema_drift_query, _DRIFT_ORACLE,
+              "schema + null-profile drift audit between dataset versions: "
+              "footer-metadata schema diff + ONE single-row aggregate scan "
+              "per version for exact null counts (stack-unpivoted)"),
     QuerySpec("src15_bloom_skip", bloom_filtered_scan, _BLOOM_ORACLE,
               "parquet bloom-filter indexing: point-lookup row-group "
               "skipping on an unclustered column where footer min/max "

@@ -721,7 +721,41 @@ QUALIFY row_number() OVER (PARTITION BY p.event_id
 """
 
 
+def value_bars_query(spark, sf_dir):
+    """t18: threshold ("dollar") bars — the event stream sliced into
+    bars of ~10k value each in global (ts, event_id) order
+    (operators/temporal.py:value_bars). Distributed two-pass prefix
+    sum; micro-unit integer arithmetic keeps the running total
+    bit-identical across engines."""
+    e = _events(spark, sf_dir)
+    return TMP.value_bars(
+        e, ts_col="ts", id_col="event_id", val_col="value",
+        threshold_us=10_000_000_000,
+    )
+
+
+VALUE_BARS_SQL = """
+WITH e AS (SELECT event_id, ts,
+                  CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_us
+           FROM events),
+c AS (SELECT ts, v_us,
+             CAST(SUM(v_us) OVER (ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - v_us AS cumb
+      FROM e)
+SELECT cumb // 10000000000 AS bar_id, COUNT(*) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       CAST(SUM(v_us) AS BIGINT) AS bar_value_us
+FROM c GROUP BY 1
+"""
+
+
 SPECS = [
+    QuerySpec("t18_value_bars", value_bars_query, VALUE_BARS_SQL,
+              "threshold/dollar bars: global ordered prefix sum done the "
+              "distributed two-pass way (range partition + broadcast "
+              "offsets), exact micro-unit integer cumsum, no "
+              "single-partition window"),
     QuerySpec("t17_nearest_asof", nearest_asof, NEAREST_ASOF_SQL,
               "nearest-in-time as-of join with tolerance (merge_asof "
               "'nearest'): both direction scans share ONE exchange + sort "

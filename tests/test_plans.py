@@ -467,3 +467,22 @@ def test_nearest_asof_one_window_one_sort(spark):
     plan = explain_str(df, "simple")
     assert plan.count("Window [") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_value_bars_no_single_partition_window(spark):
+    """t18: the global cumsum must be the two-pass range-partitioned
+    form — no Exchange SinglePartition anywhere (the naive global
+    ORDER BY window would collapse the stream onto one task)."""
+    df = _specs()["t18_value_bars"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan, plan
+
+
+def test_sliding_distinct_no_window_operator(spark):
+    """c65: sliding COUNT(DISTINCT) must compile to the explode +
+    groupBy rewrite — no Window operator (a collect_set frame would
+    buffer every user of every frame)."""
+    df = _specs()["c65_sliding_distinct"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "Window" not in plan, plan

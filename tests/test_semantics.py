@@ -443,3 +443,32 @@ def test_asof_joins_never_match_null_keys(spark):
     )
     got_n = {r["lid"]: r["matched_val"] for r in n.collect()}
     assert got_n == {2: 101}
+
+
+def test_value_bars_boundary_assignment(spark):
+    """t18 semantics by hand: values [4, 4, 4, 6, 10, 1] with
+    threshold 10 — cumulative-before values [0,4,8,12,18,28] put
+    events in bars [0,0,0,1,1,2]: an event STRADDLING the boundary
+    stays in the bar its first unit lands in; an event starting
+    exactly ON a boundary (cum_before=28 would be bar 2 with thr 10
+    ... 28//10=2) opens the next bar."""
+    import datetime as dt
+
+    from database_query_processor_spark.operators.temporal import value_bars
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    df = spark.createDataFrame(
+        [(i, T(i), float(v)) for i, v in enumerate([4, 4, 4, 6, 10, 1])],
+        "event_id INT, ts TIMESTAMP, value DOUBLE",
+    )
+    bars = {
+        r["bar_id"]: (r["n_events"], r["bar_value_us"])
+        for r in value_bars(
+            df, "ts", "event_id", "value", threshold_us=10_000_000
+        ).collect()
+    }
+    assert bars == {
+        0: (3, 12_000_000),
+        1: (2, 16_000_000),
+        2: (1, 1_000_000),
+    }
