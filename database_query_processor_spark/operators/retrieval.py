@@ -452,3 +452,93 @@ def nb_classifier_scores(
         (score > 0).alias("pred"),
         F.col("y").alias("actual"),
     )
+
+
+def bm25_hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_cond,
+    k: int = 3,
+    dup_threshold: float = 0.5,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for
+    every query document (rows matching ``query_cond``), the top-k
+    BM25-scored corpus documents that are NOT near-duplicates of the
+    benchmark — lexically close enough to be hard, but screened so no
+    unlabeled positive (a near-dup) is ever used as a negative. The
+    standard BM25-negatives recipe (e.g. DPR/SBERT training data),
+    with the x52 decontamination gate fused in.
+
+    Output: (query_id, neg_id, score, rank) with rank 1..k per query,
+    score rounded to 9 decimals BEFORE the cut (cross-engine
+    contract; per-term scores fold in term order).
+
+    Scale shape: corpus stats and tf come from one token-count
+    shuffle over the CORPUS side, prefiltered to tokens that appear
+    in any query (a semi-join against the query vocabulary — the
+    shuffle carries query-relevant terms only); the scoring join
+    fans out one row per (query, doc, shared term); the dup screen
+    reuses jaccard_decontaminate's broadcast inverted index. At
+    production query-set sizes, df-cap the query vocabulary first
+    (drop stop-terms) exactly like x04 — the pair space is bounded by
+    Σ_t df(t)·qf(t) and stop-terms dominate it."""
+    from database_query_processor_spark.operators.corpus import jaccard_decontaminate
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        query_cond.alias("is_q"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    cand = toks.filter(~F.col("is_q"))
+    dl = cand.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), (F.sum("dl") / F.count("*")).alias("avgdl")
+    )
+    qterms = (
+        toks.filter("is_q")
+        .select(F.col("doc_id").alias("query_id"), "tok")
+        .distinct()
+    )
+    tf = (
+        cand.join(F.broadcast(qterms.select("tok").distinct()), "tok", "leftsemi")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tscore = (
+        idf
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    ts = (
+        qterms.join(tf, "tok")
+        .join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("query_id", "doc_id", F.struct(F.col("tok"), tscore.alias("s")).alias("ts"))
+    )
+    scored = (
+        ts.groupBy("query_id", "doc_id")
+        .agg(F.sort_array(F.collect_list("ts")).alias("arr"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.aggregate(F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["s"]), 9
+            ).alias("score"),
+        )
+    )
+    contam = jaccard_decontaminate(
+        df, id_col, text_col, query_cond, threshold=dup_threshold
+    ).filter("contaminated").select(F.col("doc_id"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(contam, "doc_id", "left_anti")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("doc_id").alias("neg_id"), "score", "rank")
+    )

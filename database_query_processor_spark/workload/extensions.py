@@ -1628,6 +1628,50 @@ WHERE shared / least(sa.n, sb.n) >= 0.8
 """
 
 
+def bm25_hard_negatives_query(spark, sf_dir):
+    """x62: hard-negative mining — for each benchmark doc (doc_id %
+    97 == 0, the x19/x52 query slice), the top-3 BM25-scored corpus
+    docs that are not near-dups of the benchmark
+    (operators/retrieval.py:bm25_hard_negatives)."""
+    from database_query_processor_spark.operators import retrieval as RT
+
+    d = _t(spark, sf_dir, "documents")
+    return RT.bm25_hard_negatives(d, "doc_id", "text", F.col("doc_id") % 97 == 0, k=3)
+
+
+def _hardneg_oracle():
+    from database_query_processor_spark.operators import retrieval as RT
+
+    return f"""
+WITH toksall AS (SELECT doc_id, doc_id % 97 = 0 AS is_q, unnest({TOKS_SQL}) AS tok
+                 FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toksall WHERE NOT is_q GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n_docs,
+                  cast(sum(dl) AS double) / count(*) AS avgdl FROM dl),
+qterms AS (SELECT DISTINCT doc_id AS query_id, tok FROM toksall WHERE is_q),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toksall
+       WHERE NOT is_q AND tok IN (SELECT DISTINCT tok FROM qterms)
+       GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+ts AS (SELECT q.query_id, tf.doc_id, tf.tok,
+              ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+              * (tf * ({RT.BM25_K1} + 1.0))
+              / (tf + {RT.BM25_K1} * (1.0 - {RT.BM25_B}
+                 + {RT.BM25_B} * dl / avgdl)) AS s
+       FROM qterms q JOIN tf USING (tok) JOIN dfreq USING (tok)
+            JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus),
+scored AS (SELECT query_id, doc_id,
+                  round(list_sum(list(s ORDER BY tok)), 9) AS score
+           FROM ts GROUP BY query_id, doc_id),
+contam AS (SELECT doc_id FROM ({FUZZY_DECONTAM_SQL}) WHERE contaminated)
+SELECT query_id, doc_id AS neg_id, score, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id ASC) AS rn
+      FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+WHERE rn <= 3
+"""
+
+
 def bpe_merges(spark, sf_dir):
     """x58: BPE tokenizer training — the first 3 learned merges over
     the corpus word types (operators/tokenizer.py:bpe_learn_merges);
@@ -1660,6 +1704,10 @@ def _bpe_vocab_oracle():
 
 
 SPECS = [
+    QuerySpec("x62_hard_negatives", bm25_hard_negatives_query, _hardneg_oracle(),
+              "hard-negative mining: batch BM25 (query-vocabulary-"
+              "prefiltered term shuffle) anti-joined against the near-dup "
+              "decontamination gate — top-3 safe negatives per query"),
     QuerySpec("x61_bpe_tokenize", bpe_tokenize, _bpe_vocab_oracle(),
               "BPE apply: segment the corpus with the learned merges and "
               "report the resulting symbol vocabulary — train+apply round "

@@ -472,3 +472,34 @@ def test_value_bars_boundary_assignment(spark):
         1: (2, 16_000_000),
         2: (1, 1_000_000),
     }
+
+
+def test_hard_negatives_exclude_near_dups(spark):
+    """x62 semantics: the highest-BM25 candidate is a verbatim
+    near-dup of the query doc — it must be screened out, and the
+    returned negatives must be (a) non-query docs, (b) ranked 1..k
+    by rounded score."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.retrieval import bm25_hard_negatives
+
+    q = "zebra quokka lantern harvest moonlight sonata quartz"
+    docs = spark.createDataFrame(
+        [
+            (0, q),                                     # the query (cond: id == 0)
+            (1, q + " extra"),                          # near-dup: BM25-top but unsafe
+            (2, "zebra quokka lantern in the field"),   # hard negative
+            (3, "harvest moonlight over the quartz"),   # hard negative
+            (4, "completely unrelated text about cats"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = bm25_hard_negatives(
+        docs, "doc_id", "text", F.col("doc_id") == 0, k=2
+    ).collect()
+    neg_ids = {r["neg_id"] for r in got}
+    assert 1 not in neg_ids  # near-dup screened
+    assert 0 not in neg_ids  # query never its own negative
+    assert neg_ids <= {2, 3, 4} and len(got) == 2
+    ranks = sorted(r["rank"] for r in got)
+    assert ranks == [1, 2]
