@@ -326,3 +326,89 @@ def test_nearest_asof_matches_bruteforce(spark, lefts, rights, tol):
         else:
             d, _, rid = min(cands)  # min dist, then earliest rts
             assert got[i] == (rid, d * 1_000_000), (i, got[i], cands)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_substring_spans_match_bruteforce(spark, docs):
+    """x55's window/run-chaining formulation vs an O(n²) reference on
+    random tiny-alphabet corpora (small alphabet → dense collisions,
+    exercising run merging, whole-doc spans, and same-doc repeats)."""
+    from collections import Counter
+
+    k = 3
+
+    from database_query_processor_spark.operators.dedup import substring_dup_spans
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_tokens"])
+        for r in substring_dup_spans(df, "doc_id", "text", k=k).collect()
+    }
+    counts = Counter(
+        tuple(toks[i : i + k]) for toks in docs for i in range(len(toks) - k + 1)
+    )
+    want = set()
+    for d, toks in enumerate(docs):
+        dup = [i for i in range(len(toks) - k + 1) if counts[tuple(toks[i : i + k])] >= 2]
+        run_start = None
+        for j, p in enumerate(dup):
+            if run_start is None:
+                run_start = p
+            if j + 1 == len(dup) or dup[j + 1] != p + 1:
+                want.add((d, run_start + 1, p - run_start + k))
+                run_start = None
+    assert got == want, (sorted(got), sorted(want))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cents=st.lists(st.integers(0, 5000), min_size=1, max_size=40),
+    thr_units=st.integers(1, 50),
+)
+def test_value_bars_match_bruteforce(spark, cents, thr_units):
+    """t18's two-pass distributed prefix sum vs a sequential reference
+    on random value streams (zero values, threshold-straddling events,
+    thresholds smaller and larger than single events)."""
+    import datetime as dt
+
+    from database_query_processor_spark.operators.temporal import value_bars
+
+    thr_us = thr_units * 1_000_000
+    T0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, T0 + dt.timedelta(seconds=i), c / 100.0)
+            for i, c in enumerate(cents)
+        ],
+        "event_id INT, ts TIMESTAMP, value DOUBLE",
+    )
+    got = {
+        r["bar_id"]: (r["n_events"], r["bar_value_us"])
+        for r in value_bars(df, "ts", "event_id", "value", thr_us).collect()
+    }
+    want = {}
+    cum = 0
+    for c in cents:
+        v_us = c * 10_000  # cents -> micro-units, exact
+        bar = cum // thr_us
+        n, t = want.get(bar, (0, 0))
+        want[bar] = (n + 1, t + v_us)
+        cum += v_us
+    assert got == want, (got, want)
