@@ -262,3 +262,56 @@ def _sql_chain_ctes(rounds: int, toks_sql: str) -> list[str]:
       FROM k{r} GROUP BY word)"""
         )
     return ctes
+
+
+def bpe_compression_curve(
+    df: DataFrame, text_col: str, rounds: int = 3
+) -> DataFrame:
+    """The merge-count planning curve: after r = 0..rounds merges, how
+    many symbol occurrences does the corpus tokenize to, and how many
+    characters does each symbol carry on average — the statistic that
+    answers "how big a merge table do I need" before committing to a
+    vocabulary size. Returns one row per r:
+    (round, total_chars, n_symbols, chars_per_symbol).
+
+    total_chars is merge-invariant (sanity anchor); n_symbols
+    decreases by exactly the number of merge applications each round.
+    All counts are exact integers; chars_per_symbol is one IEEE
+    divide of exact ints (engine-deterministic, no rounding needed).
+    Scale notes as bpe_learn_merges — everything after the initial
+    word-count aggregate runs over word TYPES."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    types = _word_types(df, text_col)
+    chain = [types]
+    t = types
+    for _ in range(rounds):
+        _, t = _merge_chain(t, 1)
+        chain.append(t)
+    out = None
+    for r, t in enumerate(chain):
+        row = t.agg(
+            F.lit(r).cast("long").alias("round"),
+            F.sum(F.col("cnt") * F.length("word")).cast("long").alias("total_chars"),
+            F.sum(F.col("cnt") * F.size("syms")).cast("long").alias("n_symbols"),
+            (
+                F.sum(F.col("cnt") * F.length("word"))
+                / F.sum(F.col("cnt") * F.size("syms")).cast("double")
+            ).alias("chars_per_symbol"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def sql_bpe_compression_curve(rounds: int = 3, toks_sql: str = "") -> str:
+    """DuckDB oracle mirroring bpe_compression_curve over the shared
+    CTE chain."""
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round,"
+        f" CAST(SUM(cnt * len(word)) AS BIGINT) AS total_chars,"
+        f" CAST(SUM(cnt * len(syms)) AS BIGINT) AS n_symbols,"
+        f" SUM(cnt * len(word)) / CAST(SUM(cnt * len(syms)) AS DOUBLE)"
+        f" AS chars_per_symbol FROM w{r}"
+        for r in range(rounds + 1)
+    )
+    return "WITH " + ",\n".join(_sql_chain_ctes(rounds, toks_sql)) + "\n" + selects

@@ -1703,7 +1703,26 @@ def _bpe_vocab_oracle():
     return TK.sql_bpe_tokenize_vocab(rounds=3, k=20, toks_sql=TOKS_SQL)
 
 
+def bpe_compression(spark, sf_dir):
+    """x63: the merge-count planning curve — corpus symbol count and
+    chars-per-symbol after 0..3 BPE merges
+    (operators/tokenizer.py:bpe_compression_curve)."""
+    from database_query_processor_spark.operators import tokenizer as TK
+
+    return TK.bpe_compression_curve(_t(spark, sf_dir, "documents"), "text", rounds=3)
+
+
+def _bpe_curve_oracle():
+    from database_query_processor_spark.operators import tokenizer as TK
+
+    return TK.sql_bpe_compression_curve(rounds=3, toks_sql=TOKS_SQL)
+
+
 SPECS = [
+    QuerySpec("x63_bpe_compression", bpe_compression, _bpe_curve_oracle(),
+              "BPE merge-count planning curve: exact corpus symbol count "
+              "and chars-per-symbol after 0..3 merges (merge-invariant "
+              "total_chars as the sanity anchor)"),
     QuerySpec("x62_hard_negatives", bm25_hard_negatives_query, _hardneg_oracle(),
               "hard-negative mining: batch BM25 (query-vocabulary-"
               "prefiltered term shuffle) anti-joined against the near-dup "
