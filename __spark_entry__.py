@@ -63,6 +63,12 @@ def _sweep_order() -> list[QuerySpec]:
     green = _latest_green()
 
     def risk(s: QuerySpec) -> int:
+        # Rows-only-by-design queries (no oracle) can never turn green,
+        # so they sort LAST in the front block: a permanent rows-only
+        # check must not displace a convertible query from the
+        # driver's bounded verification budget.
+        if s.oracle is None:
+            return len(_RISK_PREFIXES) + 1
         for i, pre in enumerate(_RISK_PREFIXES):
             if s.name.startswith(pre):
                 return i

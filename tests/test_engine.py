@@ -51,5 +51,12 @@ def test_sweep_order_policy():
         unverified = [n for n in order if n not in green]
         # contiguous prefix: every unverified name precedes every green one
         assert order[: len(unverified)] == unverified
+        # rows-only-by-design queries (no oracle → can never turn green)
+        # sort last within the front block: a permanent rows-only check
+        # must not displace convertible queries from the budget
+        oracles = e.oracle_sql()
+        no_oracle = [n for n in unverified if n not in oracles]
+        if no_oracle:
+            assert unverified[-len(no_oracle):] == no_oracle
     # deterministic across calls
     assert order == list(e.queries())
