@@ -182,9 +182,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             "n_edges",
             "n_wedges",
             "n_triangles",
-            (F.lit(3) * F.col("n_triangles") / F.col("n_wedges")).alias(
-                "global_clustering"
-            ),
+            # NULL (not NaN/div-by-zero) on wedge-less graphs, guarded
+            # identically in the oracle so degenerate inputs agree
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3) * F.col("n_triangles") / F.col("n_wedges"),
+            ).alias("global_clustering"),
         )
     )
 
@@ -212,6 +215,7 @@ stats AS (SELECT count(*) AS n_nodes,
                  CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
 ecnt AS (SELECT count(*) AS n_edges FROM und)
 SELECT n_nodes, n_edges, n_wedges, n_triangles,
-       3 * n_triangles / CAST(n_wedges AS DOUBLE) AS global_clustering
+       CASE WHEN n_wedges > 0
+            THEN 3 * n_triangles / CAST(n_wedges AS DOUBLE) END AS global_clustering
 FROM stats, ecnt, tri
 """

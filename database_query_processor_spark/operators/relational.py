@@ -168,6 +168,7 @@ def merge_into(
     matched_update: dict[str, Column],
     matched_delete: Column | None = None,
     insert_when_missing: bool = True,
+    insert_condition: Column | None = None,
 ) -> DataFrame:
     """MERGE INTO semantics (the Delta/Iceberg upsert surface) over
     plain DataFrames: one FULL OUTER join on ``key``, then per-row
@@ -177,7 +178,11 @@ def merge_into(
         expressions overwrite the named target columns
       * target-only                             → row kept verbatim
       * source-only (``insert_when_missing``)   → row inserted from
-        the source's columns (source must carry the target schema)
+        the source's columns (source must carry the target schema);
+        ``insert_condition`` (WHEN NOT MATCHED AND <cond> THEN
+        INSERT) further gates the insert per row — a CDC changelog
+        passes ``~is_delete`` here so a delete for a key absent from
+        the target stays a no-op instead of resurrecting the record
 
     Returns the merged relation; persisting it is the caller's
     copy-on-write rewrite (pair with sources/layout.py:compact for
@@ -198,7 +203,10 @@ def merge_into(
     matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
     t_only = F.col(f"s.{key}").isNull()
     if matched_delete is not None:
-        j = j.filter(~(matched & matched_delete))
+        j = j.filter(~(matched & F.coalesce(matched_delete, F.lit(False))))
+    if insert_condition is not None:
+        s_only = F.col(f"t.{key}").isNull() & F.col(f"s.{key}").isNotNull()
+        j = j.filter(~(s_only & ~F.coalesce(insert_condition, F.lit(False))))
     out_cols = []
     for c in target.columns:
         upd = matched_update.get(c, F.col(f"t.{c}"))
@@ -259,7 +267,11 @@ def refresh_grouped_agg(
         F.lit(-1).cast("long").alias("_dc"),
         (-F.col("_v_old")).alias("_dv"),
     )
-    assert_ = ch.where(~F.col(f"s.{delete_col}")).select(
+    # NULL delete flag means NOT a delete: without the coalesce,
+    # ~NULL = NULL would drop the row from the assert branch while
+    # the retract still applies, silently shrinking the aggregate on
+    # malformed changelogs.
+    assert_ = ch.where(~F.coalesce(F.col(f"s.{delete_col}"), F.lit(False))).select(
         F.col(f"s.{group_col}").alias(group_col),
         F.lit(1).cast("long").alias("_dc"),
         val.alias("_dv"),

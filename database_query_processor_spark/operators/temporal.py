@@ -35,10 +35,13 @@ def as_of_join(
     right_ts <= left_ts (ties: right row sorts first, so an equal
     timestamp matches). Right side must be unique per (key, ts) —
     pre-aggregate if not. Output: left columns + matched right_val
-    (+ matched right_ts). NULL keys never match (equi-join
-    semantics — window partitioning would otherwise group the NULL
-    rows together and "match" them)."""
-    left = left.filter(F.col(key).isNotNull())
+    (+ matched right_ts). Left-join contract: EVERY left row is
+    emitted; rows with no match — including NULL-key rows — carry
+    NULL matched_val/matched_ts. NULL keys never match (equi-join
+    semantics): the right side's NULL-key rows are removed before
+    the merge, so although window partitioning groups the left
+    NULL-key rows together, their partition holds no right rows and
+    the carried-forward match is NULL."""
     right = right.filter(F.col(key).isNotNull())
     l_tag = left.select(
         F.col(key).alias("_k"),

@@ -31,12 +31,27 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def _manifest(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, f"manifest_v{version}.json")
+
+
+def _referenced(table_dir: str, upto_version: int, name: str) -> bool:
+    """Whether any published manifest v1..upto_version lists `name` —
+    if so the data dir is immutable history; if not it is an orphan
+    from a crashed commit and safe to replace."""
+    for v in range(1, upto_version + 1):
+        path = _manifest(table_dir, v)
+        if not os.path.exists(path):
+            continue
+        with open(path) as fh:
+            if name in json.load(fh)["files"]:
+                return True
+    return False
 
 
 def latest_version(table_dir: str) -> int:
@@ -70,9 +85,24 @@ def commit(
     if dup:
         raise ValueError(f"data files are immutable, cannot re-add: {sorted(dup)}")
     for name, df in adds.items():
-        df.coalesce(1).write.mode("errorifexists").parquet(
-            os.path.join(table_dir, "data", name)
-        )
+        dest = os.path.join(table_dir, "data", name)
+        if os.path.exists(dest):
+            # A data dir with no manifest referencing it is an orphan
+            # from a commit that crashed between the data write and
+            # the manifest publish (the publish rename is the commit
+            # point). It was never visible to any reader, so retrying
+            # the commit may discard and re-write it — this is what
+            # makes redelivery (e.g. foreachBatch re-running an epoch)
+            # idempotent instead of wedging on errorifexists. A dir
+            # that IS referenced by any published manifest — even a
+            # since-dropped one — stays immutable: time travel reads
+            # old manifests.
+            if _referenced(table_dir, prev, name):
+                raise ValueError(
+                    f"data files are immutable, cannot re-add: ['{name}']"
+                )
+            shutil.rmtree(dest)
+        df.coalesce(1).write.mode("errorifexists").parquet(dest)
     new_files = [f for f in files if f not in drops] + sorted(adds)
     version = prev + 1
     tmp = _manifest(table_dir, version) + ".tmp"

@@ -14,7 +14,12 @@ batch_id; data files are named by epoch, and an epoch whose file is
 already in the live manifest is skipped — at-least-once delivery ×
 idempotent commit = each change applied once (same contract as
 streaming/sinks.py, upgraded from append-only files to versioned
-MERGE).
+MERGE). The crash window between the data write and the manifest
+publish is covered too: a redelivered epoch whose data dir exists
+but was never referenced by a manifest is an unpublished orphan, and
+snapshots.commit discards and re-writes it instead of failing on
+the existing path — the manifest rename remains the single commit
+point.
 
 Scale: each epoch here rewrites the whole table (one output file) —
 correct and simplest for the test corpus. At 100 TB the same loop
@@ -67,6 +72,10 @@ def apply_cdc_epoch(
         key=key,
         matched_update={c: F.col(f"s.{c}") for c in update_cols},
         matched_delete=F.col(f"s.{delete_col}"),
+        # a delete for a key absent from the snapshot must stay a
+        # no-op — without this gate WHEN NOT MATCHED would insert the
+        # tombstone as a live row
+        insert_condition=~F.coalesce(F.col(f"s.{delete_col}"), F.lit(False)),
     )
     SNAP.commit(table, {name: merged}, drops=tuple(live))
     return True

@@ -419,7 +419,10 @@ def test_quality_score_zero_token_doc_is_zero_not_null(spark):
 def test_asof_joins_never_match_null_keys(spark):
     """Equi-join semantics: a NULL-key left row matches nothing in
     either as-of variant (window partitioning would otherwise group
-    the NULL rows together and 'match' them)."""
+    the NULL rows together and 'match' them). as_of_join keeps the
+    unmatched left row with NULL matched_val (left-join contract);
+    nearest_asof_join drops it (inner-tolerance contract: ALL
+    unmatched rows drop)."""
     import datetime as dt
 
     from database_query_processor_spark.operators.temporal import (
@@ -436,7 +439,7 @@ def test_asof_joins_never_match_null_keys(spark):
     )
     a = as_of_join(left, right, key="k", left_ts="ts", right_ts="ts", right_val="rid")
     got_a = {r["lid"]: r["matched_val"] for r in a.collect()}
-    assert got_a == {2: 101}
+    assert got_a == {1: None, 2: 101}
     n = nearest_asof_join(
         left, right, key="k", left_ts="ts", right_ts="ts", right_val="rid",
         tolerance_us=60_000_000,
@@ -503,3 +506,88 @@ def test_hard_negatives_exclude_near_dups(spark):
     assert neg_ids <= {2, 3, 4} and len(got) == 2
     ranks = sorted(r["rank"] for r in got)
     assert ranks == [1, 2]
+
+
+def test_merge_and_refresh_treat_null_delete_flag_as_not_delete(spark):
+    """Malformed changelogs with a NULL delete flag: three-valued
+    logic must not silently turn NULL into a delete. merge_into keeps
+    (and updates) the matched row; merge_into's insert_condition gate
+    treats NULL as not-insertable only when the condition itself is
+    NULL; refresh_grouped_agg must assert the row's new value, not
+    just retract the old one."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.relational import (
+        merge_into,
+        refresh_grouped_agg,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g1", 20.0)], "k long, g string, v double"
+    )
+    # NULL flag on an update of key 1; real delete of key 2
+    changelog = spark.createDataFrame(
+        [(1, "g1", 11.0, None), (2, "g1", 20.0, True)],
+        "k long, g string, v double, is_delete boolean",
+    )
+    merged = merge_into(
+        target, changelog, "k",
+        matched_update={"g": F.col("s.g"), "v": F.col("s.v")},
+        matched_delete=F.col("s.is_delete"),
+    )
+    assert {(r.k, r.v) for r in merged.collect()} == {(1, 11.0)}
+
+    mv = spark.createDataFrame([("g1", 2, 30.0)], "g string, cnt long, total double")
+    refreshed = refresh_grouped_agg(
+        mv, target, changelog, key="k", group_col="g",
+        cnt_col="cnt", sum_col="total", val=F.col("v"),
+    )
+    # key 1: retract 10, assert 11 (NULL flag != delete); key 2: retract 20
+    assert [(r.g, r.cnt, r.total) for r in refreshed.collect()] == [("g1", 1, 11.0)]
+
+
+def test_merge_into_insert_condition_gates_source_only_rows(spark):
+    """WHEN NOT MATCHED AND <cond> THEN INSERT: source-only rows
+    failing the condition (or with a NULL condition) are dropped;
+    matched rows are unaffected by the gate."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.relational import merge_into
+
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    source = spark.createDataFrame(
+        [(1, "a2", False), (8, "ins", False), (9, "ghost", True), (10, "nul", None)],
+        "k long, v string, is_delete boolean",
+    )
+    out = merge_into(
+        target, source, "k",
+        matched_update={"v": F.col("s.v")},
+        matched_delete=F.col("s.is_delete"),
+        insert_condition=~F.coalesce(F.col("s.is_delete"), F.lit(False)),
+    )
+    got = {(r.k, r.v) for r in out.collect()}
+    assert got == {(1, "a2"), (8, "ins"), (10, "nul")}  # 9's tombstone not resurrected
+
+
+def test_global_clustering_null_on_wedgeless_graph(spark):
+    """Zero-wedge graphs (no node with degree >= 2): the clustering
+    coefficient is NULL in BOTH engines, not NaN/div-by-zero."""
+    import duckdb
+
+    from database_query_processor_spark.operators.graph import (
+        sql_triangle_count,
+        triangle_count,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    row = triangle_count(edges).collect()[0]
+    assert row.n_wedges == 0 and row.global_clustering is None
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges_t (id_a BIGINT, id_b BIGINT)")
+    con.execute("INSERT INTO edges_t VALUES (1, 2), (3, 4)")
+    orc = con.execute(
+        sql_triangle_count("SELECT id_a, id_b FROM edges_t")
+    ).fetchone()
+    # same column order: ..., n_wedges, n_triangles, global_clustering
+    assert orc[2] == 0 and orc[4] is None

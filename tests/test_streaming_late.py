@@ -187,3 +187,77 @@ def test_cdc_epoch_redelivery_idempotent(spark, tmp_path):
         key="k", update_cols=["s", "v"],
     )
     assert redo is False and SNAP.latest_version(table) == v_before
+
+
+def test_cdc_delete_of_absent_key_is_noop(spark, tmp_path):
+    """A changelog delete for a key the snapshot doesn't hold must NOT
+    resurrect the record via WHEN NOT MATCHED insert — the CDC path
+    gates source-only rows on ~is_delete."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from database_query_processor_spark.streaming.cdc import run_cdc_apply
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0)], "k long, s string, v double"
+    )
+    # delete of absent key 99, plus a real insert and a real delete
+    log = spark.createDataFrame(
+        [(99, "ghost", 0.0, True), (2, "b", 20.0, False), (1, "a", 10.0, True)],
+        "k long, s string, v double, is_delete boolean",
+    )
+    table = str(tmp_path / "tbl")
+    (tmp_path / "tbl").mkdir()
+    final = run_cdc_apply(
+        spark, target, log, key="k", update_cols=["s", "v"],
+        log_files=1, table_dir=table,
+    )
+    assert {(r.k, r.s) for r in final.collect()} == {(2, "b")}
+
+
+def test_cdc_crash_between_data_write_and_publish_recovers(spark, tmp_path):
+    """The exactly-once crash window: an epoch that wrote its data dir
+    but died before the manifest rename leaves an unpublished orphan.
+    Redelivery must discard the orphan and commit cleanly instead of
+    wedging on mode('errorifexists')."""
+    from database_query_processor_spark.sources import snapshots as SNAP
+    from database_query_processor_spark.streaming.cdc import apply_cdc_epoch
+
+    target = spark.createDataFrame([(1, "a", 10.0)], "k long, s string, v double")
+    table = str(tmp_path / "tbl")
+    (tmp_path / "tbl").mkdir()
+    SNAP.commit(table, {"base": target})
+
+    # simulate the crash: epoch 0's data dir exists, no manifest names it
+    orphan = spark.createDataFrame([(1, "STALE", -1.0)], "k long, s string, v double")
+    orphan.coalesce(1).write.parquet(str(tmp_path / "tbl" / "data" / "merged_epoch_0"))
+    assert SNAP.latest_version(table) == 1
+
+    batch = spark.createDataFrame(
+        [(1, "a2", 11.0, False)], "k long, s string, v double, is_delete boolean"
+    )
+    assert apply_cdc_epoch(
+        spark, table, batch, batch_id=0, key="k", update_cols=["s", "v"]
+    ) is True
+    final = {(r.k, r.s, r.v) for r in SNAP.read_version(spark, table).collect()}
+    assert final == {(1, "a2", 11.0)}  # orphan bytes replaced, not read
+
+
+def test_snapshot_commit_never_overwrites_published_history(spark, tmp_path):
+    """A name referenced by ANY published manifest — even one whose
+    file was since dropped from the live snapshot — is immutable
+    history (time travel reads old manifests), so re-adding it must
+    raise rather than overwrite."""
+    import pytest
+
+    from database_query_processor_spark.sources import snapshots as SNAP
+
+    df1 = spark.createDataFrame([(1,)], "k long")
+    df2 = spark.createDataFrame([(2,)], "k long")
+    table = str(tmp_path / "tbl")
+    (tmp_path / "tbl").mkdir()
+    SNAP.commit(table, {"base": df1})
+    SNAP.commit(table, {"v2": df2}, drops=("base",))  # base now historical
+    with pytest.raises(ValueError, match="immutable"):
+        SNAP.commit(table, {"base": df2})
+    # v1 stays readable after the refused overwrite
+    assert [r.k for r in SNAP.read_version(spark, table, 1).collect()] == [1]
