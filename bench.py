@@ -40,6 +40,49 @@ from database_query_processor_spark.workload import all_specs
 WARM_RUNS = 2
 TIMED_RUNS = 5
 
+# Ratio above the suite's median host-variance ratio at which a query
+# counts as an outlier (plan-regression suspect) rather than VM noise.
+# Host effects scale every query near-uniformly (BASELINE.md's
+# host-variance note), so a query drifting 30%+ past that uniform
+# band is the signature of a changed plan, not a slow VM.
+OUTLIER_OVER_BAND = 1.30
+
+
+def _baseline_mins(path: str = "BASELINE.md") -> dict[str, float]:
+    """Parse the re-recorded min-of-5 table out of BASELINE.md — the
+    designated round-over-round reference. Returns {} if the file or
+    table is missing so the bench never fails on a fresh checkout."""
+    import re
+
+    try:
+        with open(os.path.join(os.path.dirname(__file__) or ".", path)) as fh:
+            text = fh.read()
+    except OSError:
+        return {}
+    out: dict[str, float] = {}
+    for m in re.finditer(r"^\| (\w+) \| ([0-9.]+) \| [0-9.]+ \|$", text, re.M):
+        out[m.group(1)] = float(m.group(2))
+    return out
+
+
+def _variance_report(timings: dict[str, float]) -> dict:
+    """Per-query ratio vs the recorded baseline, the suite's median
+    ratio (the uniform host-variance band), and the queries sitting
+    far enough above the band to be plan-regression suspects."""
+    base = _baseline_mins()
+    ratios = {
+        name: round(t / base[name], 2)
+        for name, t in timings.items()
+        if t >= 0 and base.get(name, 0) > 0
+    }
+    if not ratios:
+        return {}
+    band = round(statistics.median(ratios.values()), 2)
+    outliers = sorted(
+        name for name, r in ratios.items() if r > band * OUTLIER_OVER_BAND
+    )
+    return {"ratios": ratios, "host_band": band, "outliers": outliers}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,7 +119,7 @@ def main() -> None:
             timings[spec.name] = -1.0
             print(f"  {spec.name}: FAILED {type(ex).__name__}: {ex}", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "headline_query_wall_clock_total",
         "value": round(sum(t for t in timings.values() if t >= 0), 3),
         "unit": "sec",
@@ -86,7 +129,12 @@ def main() -> None:
         "raw_runs": raw,
         "methodology": f"min of {TIMED_RUNS} after {WARM_RUNS} warm; clearCache+System.gc barrier",
         "sf": float(sf),
-    }))
+    }
+    if sf == "0.1":  # the baseline table's scale — ratios only apply there
+        vs = _variance_report(timings)
+        if vs:
+            out["vs_baseline"] = vs
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
