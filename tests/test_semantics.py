@@ -591,3 +591,36 @@ def test_global_clustering_null_on_wedgeless_graph(spark):
     ).fetchone()
     # same column order: ..., n_wedges, n_triangles, global_clustering
     assert orc[2] == 0 and orc[4] is None
+
+
+def test_bpe_checkpointed_chain_matches_and_stays_bounded(spark):
+    """checkpoint_every truncates the merge chain's lineage without
+    changing a single value: rounds=6 gives identical merge tables
+    with and without it, and a rounds=12 run with checkpoint_every=4
+    completes inside a wall-clock bound the O(rounds²) lazy chain's
+    plan-re-derivation would blow through as rounds grow."""
+    import time
+
+    from database_query_processor_spark.operators.tokenizer import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog banana bandana " * 3)
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    lazy = [tuple(r) for r in bpe_learn_merges(docs, "text", rounds=6).collect()]
+    ckpt = [
+        tuple(r)
+        for r in bpe_learn_merges(
+            docs, "text", rounds=6, checkpoint_every=2
+        ).collect()
+    ]
+    assert lazy == ckpt and len(lazy) == 6
+
+    t0 = time.perf_counter()
+    deep = bpe_learn_merges(docs, "text", rounds=12, checkpoint_every=4).collect()
+    elapsed = time.perf_counter() - t0
+    assert len(deep) == 12
+    # generous bound: each checkpointed segment re-derives <= 4 rounds,
+    # so 12 rounds stay well under a minute on the fixture corpus
+    assert elapsed < 60, f"rounds=12 took {elapsed:.1f}s — lineage not truncated?"
