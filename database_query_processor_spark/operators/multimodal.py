@@ -12,10 +12,13 @@ demonstrates is the real one for 100 TB image/audio/video pipelines:
     zero-copy batch of payloads, Python only at the edges;
   * decode is partition-parallel and stateless → linear scale-out.
 
-The actual image/audio codecs are NOT in this container, so
-`decode_image_batch` STUBS the codec behind a deterministic fake
-(documented below); the Spark-side plumbing — schema, batching,
-partitioning, UDF signature — is real and tested.
+Two codec paths coexist: `decode_image_batch` keeps a deterministic
+FAKE codec (SQL-expressible, so the whole pipeline carries a value
+oracle), while `decode_media_batch`/`real_decode` run a REAL
+dependency-free decode — pixel-accurate PNG (stdlib zlib + scanline
+unfilter) and WAV header probing via functions/codecs.py. The
+Spark-side plumbing — schema, batching, partitioning, UDF signature —
+is identical in both.
 """
 
 from __future__ import annotations
@@ -51,13 +54,62 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return 64 + n % 512, 64 + (n * 7) % 512, 1 + n % 8
 
 
-def real_decode(payload: bytes):  # pragma: no cover - documented stub
-    """Real codec entry point — image/audio libraries are not available
-    in this environment."""
-    raise NotImplementedError(
-        "image/audio codecs unavailable in this container; "
-        "swap _fake_decode for PIL.Image.open / av.open in deployment"
-    )
+def real_decode(payload: bytes) -> dict:
+    """REAL codec entry point, dependency-free: dispatches on magic
+    bytes to the stdlib-only codecs in functions/codecs.py — PNG gets
+    a pixel-accurate DEFLATE + unfilter decode, WAV a header probe.
+    Returns a uniform media dict; unknown formats raise ValueError
+    (route to quarantine in production, the src13 pattern). A
+    deployment adding JPEG/video swaps in PIL/libav behind the same
+    dispatch without touching the Arrow plumbing."""
+    from database_query_processor_spark.functions import codecs
+
+    if codecs.is_png(payload):
+        w, h, ch, px = codecs.decode_png(payload)
+        return {
+            "kind": "image", "width": w, "height": h, "channels": ch,
+            "n_frames": 1, "sample_rate": None,
+            "mean_val": sum(px) / len(px) if px else 0.0,
+        }
+    if codecs.is_wav(payload):
+        ch, rate, frames, _width = codecs.decode_wav(payload)
+        return {
+            "kind": "audio", "width": None, "height": None, "channels": ch,
+            "n_frames": frames, "sample_rate": rate, "mean_val": None,
+        }
+    raise ValueError("unsupported media format (not PNG or WAV)")
+
+
+MEDIA_SCHEMA = (
+    "doc_id long, kind string, width long, height long, channels long, "
+    "n_frames long, sample_rate long, mean_val double"
+)
+
+
+def decode_media_batch(df_bin: DataFrame) -> DataFrame:
+    """mapInPandas over REAL payload bytes (PNG pixels, WAV frames):
+    the same Arrow-batched, partition-parallel, shuffle-free shape as
+    decode_image_batch, with real_decode as the per-payload body —
+    the fake-codec path beside it keeps the SQL-expressible oracle,
+    this one decodes actual media."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = pdf["payload"].map(real_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": media.map(lambda m: m["kind"]),
+                    "width": media.map(lambda m: m["width"]).astype("Int64"),
+                    "height": media.map(lambda m: m["height"]).astype("Int64"),
+                    "channels": media.map(lambda m: m["channels"]).astype("Int64"),
+                    "n_frames": media.map(lambda m: m["n_frames"]).astype("Int64"),
+                    "sample_rate": media.map(lambda m: m["sample_rate"]).astype("Int64"),
+                    "mean_val": media.map(lambda m: m["mean_val"]).astype("float64"),
+                }
+            )
+
+    return df_bin.select("doc_id", "payload").mapInPandas(decode, MEDIA_SCHEMA)
 
 
 def decode_image_batch(df_bin: DataFrame) -> DataFrame:
