@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Round-4 10x scale probe (SCALE.md): time the pair-space-risk
+family at sf0.1 vs the 10x probe corpus (50k docs / 20k vecs,
+artifacts/gen_probe10x.py), and demonstrate the embedding-LSH /
+SemDeDup resolution knobs restoring near-linear growth where the
+demo-sized defaults go quadratic. min of 2 after 1 warm (Spark side
+only — this is a perf probe, correctness is the sweeps' job).
+Writes artifacts/PROBE10X_r04.json. Run:
+  PYTHONPATH=/root/repo python -u artifacts/run_probe10x.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from database_query_processor_spark.session import get_spark
+from database_query_processor_spark.workload import all_specs
+
+DOC_OPS = [
+    "x02_dedup_minhash", "x04_dedup_ngram_jaccard", "x60_dedup_containment",
+    "x55_substring_dedup",
+]
+SF01 = "/root/testdata/sf0.1"
+PROBE = os.path.join(os.path.dirname(__file__), "probe10x")
+OUT = os.path.join(os.path.dirname(__file__), "PROBE10X_r04.json")
+
+
+def timed(spark, build, runs=2):
+    build().write.format("noop").mode("overwrite").save()  # warm
+    ts = []
+    for _ in range(runs):
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        ts.append(time.perf_counter() - t0)
+    return round(min(ts), 2)
+
+
+def main() -> None:
+    spark = get_spark(app_name="probe10x", driver_memory="64g")
+    out: dict[str, dict] = {}
+
+    specs = {s.name: s for s in all_specs() if s.name in DOC_OPS}
+    for name in DOC_OPS:
+        row = {}
+        for label, d in (("sf0.1", SF01), ("10x", PROBE)):
+            row[label] = timed(spark, lambda: specs[name].build(spark, d))
+        row["ratio"] = round(row["10x"] / row["sf0.1"], 1)
+        out[name] = row
+        print(name, row, flush=True)
+
+    # embedding family: resolution knobs vs corpus size
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.similarity import (
+        embedding_dup_pairs,
+        semantic_dedup,
+    )
+
+    emb_small = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    emb_big = spark.read.parquet(f"{PROBE}/embeddings.parquet")
+    emb_mid = emb_big.filter(F.col("vec_id") < 10_000)
+
+    def dup(df, planes, bands):
+        return embedding_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.9,
+            num_planes=planes, bands=bands,
+        )
+
+    x05 = {
+        "sf0.1_default(6p/3b)": timed(spark, lambda: dup(emb_small, 6, 3)),
+        "10k_default(6p/3b)": timed(spark, lambda: dup(emb_mid, 6, 3), runs=1),
+        "10k_scaled(24p/3b)": timed(spark, lambda: dup(emb_mid, 24, 3)),
+        "20k_scaled(24p/3b)": timed(spark, lambda: dup(emb_big, 24, 3)),
+    }
+    out["x05_embedding_dup"] = x05
+    print("x05_embedding_dup", x05, flush=True)
+
+    x49 = {
+        "sf0.1_cells8": timed(
+            spark, lambda: semantic_dedup(emb_small, "vec_id", "embedding", cells=8)
+        ),
+        "10k_cells8": timed(
+            spark,
+            lambda: semantic_dedup(emb_mid, "vec_id", "embedding", cells=8),
+            runs=1,
+        ),
+        "20k_cells141": timed(
+            spark,
+            lambda: semantic_dedup(
+                emb_big, "vec_id", "embedding", cells=141, codebook="kmeans"
+            ),
+        ),
+    }
+    out["x49_semantic_dedup"] = x49
+    print("x49_semantic_dedup", x49, flush=True)
+
+    with open(OUT, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print("wrote", OUT, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,10 +60,10 @@ def _lit_vec(v: list[float]) -> Column:
     return F.array(*[F.lit(x) for x in v])
 
 
-def hyperplane_bucket(vec: Column) -> Column:
+def hyperplane_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
     """LSH bucket id: bit j = sign(vec · hyperplane_j)."""
     bucket = F.lit(0)
-    for j, h in enumerate(HYPERPLANES):
+    for j, h in enumerate(planes if planes is not None else HYPERPLANES):
         bucket = bucket + F.when(dot_d(vec, _lit_vec(h)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
 
@@ -227,18 +227,32 @@ def embedding_dup_pairs(
     vec_col: str,
     threshold: float = 0.5,
     exact: bool = False,
+    num_planes: int = NUM_HYPERPLANES,
+    bands: int = DUP_BANDS,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold.
 
-    Default path is LSH-banded blocking: the 6 hyperplane sign bits are
-    split into 3 bands of 2 bits; two vectors are candidates iff they
-    agree on at least one band, and candidates get an exact cosine
-    verify. The join key is (band, band_value) — an equi-join that
-    shuffles on a real key, so the pair space is Σ_bucket |bucket|²
-    instead of n²: this is the 100 TB path. Banding is deterministic
-    (fixed seeded hyperplanes, double math), so the DuckDB oracle
-    reproduces the candidate set exactly. Recall < 1 by construction
-    (a near-dup pair disagreeing on every band is missed).
+    Default path is LSH-banded blocking: ``num_planes`` hyperplane
+    sign bits split into ``bands`` bands of num_planes/bands bits;
+    two vectors are candidates iff they agree on at least one band,
+    and candidates get an exact cosine verify. The join key is
+    (band, band_value) — an equi-join that shuffles on a real key, so
+    the pair space is Σ_bucket |bucket|² instead of n²: this is the
+    100 TB path. Banding is deterministic (fixed seeded hyperplanes,
+    double math), so the DuckDB oracle reproduces the candidate set
+    exactly. Recall < 1 by construction (a near-dup pair disagreeing
+    on every band is missed).
+
+    SIZING (measured, SCALE.md 10x probe): bucket count per band is
+    2^(num_planes/bands), a CONSTANT — so expected bucket size grows
+    linearly with the corpus and the within-bucket pair space
+    quadratically. The demo default (6 planes → 4 buckets/band) is
+    right for the sf0.01 oracle corpus and wrong at 10x+; size
+    bits-per-band ≈ log2(n / target_bucket) (target a few hundred),
+    i.e. planes grow with log n. More bits per band also sharpens
+    the match probability curve (fewer false candidates, lower
+    per-band recall) — compensate with more bands, which adds a
+    linear factor, never a quadratic one.
 
     ``exact=True`` keeps the all-pairs O(n²) form — the recall oracle
     for tests, never the production path."""
@@ -250,11 +264,21 @@ def embedding_dup_pairs(
             .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
             .filter(F.col("cos") >= threshold)
         )
-    mask = (1 << _BITS_PER_BAND) - 1
+    if num_planes % bands:
+        raise ValueError("num_planes must divide evenly into bands")
+    if num_planes > 30:
+        raise ValueError("num_planes > 30 overflows the int bucket id")
+    bits_per_band = num_planes // bands
+    planes = (
+        HYPERPLANES
+        if num_planes == NUM_HYPERPLANES
+        else _hyperplanes(num=num_planes)
+    )
+    mask = (1 << bits_per_band) - 1
     # per-vector norms hoisted ABOVE the pair join: each candidate pair
     # then costs one dot product instead of three (the hoisted form is
     # bit-identical — same ops, same order, just computed once)
-    bands = df.select(
+    bands_df = df.select(
         F.col(id_col),
         F.col(vec_col),
         F.sqrt(dot_d(F.col(vec_col), F.col(vec_col))).alias("nrm"),
@@ -263,20 +287,23 @@ def embedding_dup_pairs(
                 *[
                     F.struct(
                         F.lit(j).alias("band"),
-                        F.shiftright(hyperplane_bucket(F.col(vec_col)), _BITS_PER_BAND * j)
+                        F.shiftright(
+                            hyperplane_bucket(F.col(vec_col), planes),
+                            bits_per_band * j,
+                        )
                         .bitwiseAND(mask)
                         .alias("bval"),
                     )
-                    for j in range(DUP_BANDS)
+                    for j in range(bands)
                 ]
             )
         ).alias("bk"),
     ).select(F.col(id_col), F.col(vec_col), "nrm", F.col("bk.band"), F.col("bk.bval"))
-    a = bands.select(
+    a = bands_df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na"),
         "band", "bval",
     )
-    b = bands.select(
+    b = bands_df.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"),
         "band", "bval",
     )
@@ -400,7 +427,12 @@ def semantic_dedup(
     the only shuffle is the cell-keyed self-join. Within-cell cost
     is O(size²): production uses enough cells to bound sizes
     (√n rule) via ``codebook="kmeans"`` — the same knob as IVF; the
-    "ids" codebook keeps the DuckDB oracle exact."""
+    "ids" codebook keeps the DuckDB oracle exact. Measured (SCALE.md
+    10x probe): cells=8 at 10k vectors is 232s (quadratic within
+    cells), cells=√n at 20k is 142s and linear — dominated by the
+    assignment argmax, which is O(cells·dim) per row; past ~hundreds
+    of cells flip the literal argmax to a broadcast-join of the
+    codebook + per-row window-min so the expression stays bounded."""
     if codebook == "kmeans":
         cents = _kmeans_codebook(df.select(vec_col), vec_col, cells)
     elif codebook == "ids":

@@ -113,3 +113,39 @@ def test_semantic_dedup_drops_planted_twins_keeps_singletons(planted):
             lowest[r.cell] = vid
     for cell, vid in lowest.items():
         assert rows[vid].kept, (cell, vid)
+
+
+def test_banded_dedup_scaled_resolution_recall(planted):
+    """The production-scale banding (more planes per band, measured in
+    SCALE.md's 10x probe — the demo default's 4 buckets/band goes
+    quadratic past ~10x) must keep the same recall contract: subset
+    of exact, >= 95% of planted pairs recovered. 24 planes / 3 bands
+    = 256 buckets per band."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_dup_pairs(
+            planted, "vec_id", "embedding", threshold=0.9, exact=True
+        ).collect()
+    }
+    scaled = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_dup_pairs(
+            planted, "vec_id", "embedding", threshold=0.9,
+            num_planes=24, bands=3,
+        ).collect()
+    }
+    assert scaled <= exact
+    assert len(scaled & exact) / len(exact) >= 0.95
+
+
+def test_banded_dedup_resolution_validation(planted):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide"):
+        SIM.embedding_dup_pairs(
+            planted, "vec_id", "embedding", num_planes=7, bands=3
+        )
+    with _pytest.raises(ValueError, match="overflow"):
+        SIM.embedding_dup_pairs(
+            planted, "vec_id", "embedding", num_planes=33, bands=3
+        )
