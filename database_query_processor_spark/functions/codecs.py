@@ -82,7 +82,10 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length  # length + type + data + crc
     if width is None or not idat:
         raise ValueError("truncated PNG (missing IHDR or IDAT)")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # corrupt DEFLATE stream inside valid chunks
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
@@ -135,7 +138,10 @@ def encode_png(
     all five filters lets the decoder's unfilter paths be exercised
     one by one; real encoders pick per-row, which decode handles the
     same way."""
-    color = {1: 0, 3: 2, 4: 6}[channels]
+    try:
+        color = {1: 0, 3: 2, 4: 6}[channels]
+    except KeyError:
+        raise ValueError(f"unsupported channel count {channels}") from None
     stride = width * channels
     if len(pixels) != height * stride:
         raise ValueError("pixel buffer length mismatch")
@@ -176,8 +182,16 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
     sample_width_bytes) via the stdlib wave reader."""
     if not is_wav(payload):
         raise ValueError("not a WAV payload")
-    with wave.open(io.BytesIO(payload)) as w:
-        return w.getnchannels(), w.getframerate(), w.getnframes(), w.getsampwidth()
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            return (
+                w.getnchannels(),
+                w.getframerate(),
+                w.getnframes(),
+                w.getsampwidth(),
+            )
+    except (wave.Error, EOFError, struct.error) as e:  # malformed chunks
+        raise ValueError(f"corrupt WAV payload: {e}") from e
 
 
 def encode_wav(

@@ -197,18 +197,30 @@ def merge_into(
     untouched (the same partition-pruning machinery as
     src04/test_layout.py). Update expressions reference source
     columns via ``F.col("s.<name>")``, target via ``F.col("t.<name>")``.
+
+    Row classification uses presence markers, not key nullability, so
+    NULL-key rows get exact SQL MERGE semantics: a NULL-key ON
+    predicate is never true, so a NULL-key source row is NOT MATCHED
+    (inserted, subject to ``insert_condition``) and a NULL-key target
+    row is kept verbatim — neither collapses into an all-NULL row.
     """
-    t, s = target.alias("t"), source.alias("s")
+    out_columns = list(target.columns)
+    t = target.withColumn("__t_present", F.lit(True)).alias("t")
+    s = source.withColumn("__s_present", F.lit(True)).alias("s")
     j = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
-    matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
-    t_only = F.col(f"s.{key}").isNull()
+    t_present = F.col("t.__t_present").isNotNull()
+    s_present = F.col("s.__s_present").isNotNull()
+    matched = t_present & s_present
+    t_only = t_present & ~s_present
+    s_only = s_present & ~t_present
     if matched_delete is not None:
         j = j.filter(~(matched & F.coalesce(matched_delete, F.lit(False))))
     if insert_condition is not None:
-        s_only = F.col(f"t.{key}").isNull() & F.col(f"s.{key}").isNotNull()
         j = j.filter(~(s_only & ~F.coalesce(insert_condition, F.lit(False))))
+    if not insert_when_missing:
+        j = j.filter(~s_only)
     out_cols = []
-    for c in target.columns:
+    for c in out_columns:
         upd = matched_update.get(c, F.col(f"t.{c}"))
         val = (
             F.when(t_only, F.col(f"t.{c}"))
@@ -216,10 +228,7 @@ def merge_into(
             .otherwise(F.col(f"s.{c}") if insert_when_missing else F.lit(None))
         )
         out_cols.append(val.alias(c))
-    j = j.select(*out_cols)
-    if not insert_when_missing:
-        j = j.filter(F.col(key).isNotNull())
-    return j
+    return j.select(*out_cols)
 
 
 def refresh_grouped_agg(

@@ -277,20 +277,28 @@ def embedding_dup_pairs(
     mask = (1 << bits_per_band) - 1
     # per-vector norms hoisted ABOVE the pair join: each candidate pair
     # then costs one dot product instead of three (the hoisted form is
-    # bit-identical — same ops, same order, just computed once)
+    # bit-identical — same ops, same order, just computed once). The
+    # full num_planes projection is likewise materialized ONCE per row
+    # (`_hb`) and bit-sliced per band — inlining hyperplane_bucket
+    # inside the explode array would evaluate all num_planes dot
+    # products `bands` times per row, and CollapseProject keeps a
+    # multiply-referenced non-cheap alias as its own projection, so
+    # the hoist survives optimization.
     bands_df = df.select(
         F.col(id_col),
         F.col(vec_col),
         F.sqrt(dot_d(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("_hb"),
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "nrm",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(j).alias("band"),
-                        F.shiftright(
-                            hyperplane_bucket(F.col(vec_col), planes),
-                            bits_per_band * j,
-                        )
+                        F.shiftright(F.col("_hb"), bits_per_band * j)
                         .bitwiseAND(mask)
                         .alias("bval"),
                     )

@@ -39,12 +39,17 @@ def as_of_join(
     emitted; rows with no match — including NULL-key rows — carry
     NULL matched_val/matched_ts. NULL keys never match (equi-join
     semantics): the right side's NULL-key rows are removed before
-    the merge, so although window partitioning groups the left
-    NULL-key rows together, their partition holds no right rows and
-    the carried-forward match is NULL."""
+    the merge, and each left NULL-key row gets a row-unique salt in
+    the window partition key, so NULL-key rows land in singleton
+    partitions (trivially matching nothing) instead of piling into
+    one _k=NULL partition — a NULL-heavy left input (common in event
+    data) would otherwise funnel into a single straggler task."""
     right = right.filter(F.col(key).isNotNull())
     l_tag = left.select(
         F.col(key).alias("_k"),
+        F.when(F.col(key).isNull(), F.monotonically_increasing_id())
+        .otherwise(F.lit(0))
+        .alias("_salt"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
         F.struct(*left.columns).alias("_l"),
@@ -53,15 +58,16 @@ def as_of_join(
     )
     r_tag = right.select(
         F.col(key).alias("_k"),
+        F.lit(0).cast("long").alias("_salt"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
         F.col(right_val).alias("_rv"),
         F.col(right_ts).alias("_rts"),
     )
-    w = W.partitionBy("_k").orderBy(F.col("_ts").asc(), F.col("_tag").asc()).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
+    w = W.partitionBy("_k", "_salt").orderBy(
+        F.col("_ts").asc(), F.col("_tag").asc()
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
     merged = l_tag.unionByName(r_tag).select(
         "_tag",
         "_l",

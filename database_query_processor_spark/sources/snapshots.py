@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -84,25 +85,44 @@ def commit(
     dup = set(adds) & (set(files) - set(drops))
     if dup:
         raise ValueError(f"data files are immutable, cannot re-add: {sorted(dup)}")
+    # Each add is written under a commit-unique STAGING name and only
+    # renamed to its final name at promote time. A data dir at the
+    # final name with no manifest referencing it is an orphan from a
+    # commit that crashed between the data write and the manifest
+    # publish (the publish rename is the commit point). It was never
+    # visible to any reader, so the promote may discard and replace
+    # it — this is what makes redelivery (e.g. foreachBatch
+    # re-running an epoch) idempotent instead of wedging on
+    # errorifexists. A dir that IS referenced by any published
+    # manifest — even a since-dropped one — stays immutable: time
+    # travel reads old manifests. Staging keeps the orphan-replace
+    # window to a directory rename rather than a whole Spark write;
+    # concurrent commits to the SAME table are still outside the
+    # contract (single writer per table, the usual
+    # manifest-without-a-lock-service model — crashed-writer RETRIES
+    # are safe, two live writers racing the same name are not).
+    # Leftover .staging-* dirs from crashed commits are invisible to
+    # readers (read_version opens manifest-listed names only) and may
+    # be garbage-collected at leisure.
+    token = uuid.uuid4().hex
+    staged: list[tuple[str, str]] = []
     for name, df in adds.items():
         dest = os.path.join(table_dir, "data", name)
+        if os.path.exists(dest) and _referenced(table_dir, prev, name):
+            raise ValueError(f"data files are immutable, cannot re-add: ['{name}']")
+        staging = f"{dest}.staging-{token}"
+        df.coalesce(1).write.mode("errorifexists").parquet(staging)
+        staged.append((staging, dest))
+    for staging, dest in staged:
         if os.path.exists(dest):
-            # A data dir with no manifest referencing it is an orphan
-            # from a commit that crashed between the data write and
-            # the manifest publish (the publish rename is the commit
-            # point). It was never visible to any reader, so retrying
-            # the commit may discard and re-write it — this is what
-            # makes redelivery (e.g. foreachBatch re-running an epoch)
-            # idempotent instead of wedging on errorifexists. A dir
-            # that IS referenced by any published manifest — even a
-            # since-dropped one — stays immutable: time travel reads
-            # old manifests.
-            if _referenced(table_dir, prev, name):
+            if _referenced(table_dir, prev, os.path.basename(dest)):
+                shutil.rmtree(staging)
                 raise ValueError(
-                    f"data files are immutable, cannot re-add: ['{name}']"
+                    f"data files are immutable, cannot re-add: "
+                    f"['{os.path.basename(dest)}']"
                 )
-            shutil.rmtree(dest)
-        df.coalesce(1).write.mode("errorifexists").parquet(dest)
+            shutil.rmtree(dest)  # unpublished orphan — replaceable
+        os.rename(staging, dest)
     new_files = [f for f in files if f not in drops] + sorted(adds)
     version = prev + 1
     tmp = _manifest(table_dir, version) + ".tmp"

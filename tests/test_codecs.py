@@ -130,3 +130,22 @@ def test_decode_media_batch_real_payloads(spark):
     )
     assert rows[2].kind == "audio"
     assert (rows[2].channels, rows[2].sample_rate, rows[2].n_frames) == (1, 8000, 4)
+
+
+def test_corrupt_payloads_raise_value_error_not_codec_errors():
+    """The quarantine contract: magic-valid but corrupt payloads must
+    raise ValueError (routable, the src13 pattern), never leak
+    zlib.error / wave.Error and kill the task."""
+    good = codecs.encode_png(4, 4, 3, bytes(48))
+    # corrupt the IDAT DEFLATE bytes in place, keeping chunk framing
+    idat_at = good.index(b"IDAT") + 4
+    bad_png = good[:idat_at] + bytes(8) + good[idat_at + 8 :]
+    with pytest.raises(ValueError, match="IDAT"):
+        codecs.decode_png(bad_png)
+    # RIFF/WAVE magic with a garbage body
+    bad_wav = b"RIFF" + b"\x10\x00\x00\x00" + b"WAVE" + b"\x00" * 32
+    with pytest.raises(ValueError, match="WAV"):
+        codecs.decode_wav(bad_wav)
+    # unsupported channel count is a ValueError, not a KeyError
+    with pytest.raises(ValueError, match="channel"):
+        codecs.encode_png(2, 2, 2, bytes(8))

@@ -624,3 +624,43 @@ def test_bpe_checkpointed_chain_matches_and_stays_bounded(spark):
     # generous bound: each checkpointed segment re-derives <= 4 rounds,
     # so 12 rounds stay well under a minute on the fixture corpus
     assert elapsed < 60, f"rounds=12 took {elapsed:.1f}s — lineage not truncated?"
+
+
+def test_merge_into_null_key_rows_keep_sql_merge_semantics(spark):
+    """NULL-key rows classify by PRESENCE, not key nullability: a
+    NULL-key ON predicate is never true, so a NULL-key source row is
+    NOT MATCHED (inserted, unless the insert gate drops it) and a
+    NULL-key target row is kept verbatim — neither may collapse into
+    an all-NULL output row (the t_only-by-s.key-IS-NULL bug)."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.relational import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a"), (None, "tnull")], "k long, v string"
+    )
+    source = spark.createDataFrame(
+        [(1, "a2", False), (None, "ghost", True), (None, "snull", False)],
+        "k long, v string, is_delete boolean",
+    )
+    out = merge_into(
+        target, source, "k",
+        matched_update={"v": F.col("s.v")},
+        matched_delete=F.col("s.is_delete"),
+        insert_condition=~F.coalesce(F.col("s.is_delete"), F.lit(False)),
+    )
+    got = sorted([(r.k, r.v) for r in out.collect()], key=str)
+    # NULL-key target row survives untouched; NULL-key tombstone is a
+    # no-op; NULL-key non-delete source row inserts (SQL MERGE: NOT
+    # MATCHED); crucially no (None, None) row exists.
+    assert got == sorted([(1, "a2"), (None, "tnull"), (None, "snull")], key=str)
+
+    # insert_when_missing=False must keep the NULL-key TARGET row
+    # (the old key-IS-NOT-NULL output filter dropped it)
+    no_ins = merge_into(
+        target, source, "k",
+        matched_update={"v": F.col("s.v")},
+        insert_when_missing=False,
+    )
+    got2 = sorted([(r.k, r.v) for r in no_ins.collect()], key=str)
+    assert got2 == sorted([(1, "a2"), (None, "tnull")], key=str)

@@ -261,3 +261,31 @@ def test_snapshot_commit_never_overwrites_published_history(spark, tmp_path):
         SNAP.commit(table, {"base": df2})
     # v1 stays readable after the refused overwrite
     assert [r.k for r in SNAP.read_version(spark, table, 1).collect()] == [1]
+
+
+def test_commit_ignores_stale_staging_debris(spark, tmp_path):
+    """A .staging-* dir left by a commit that crashed mid-write is
+    invisible to readers and must not block a retry of the same name
+    (the retry stages under a fresh token and promotes over the
+    never-published name)."""
+    from database_query_processor_spark.sources import snapshots as SNAP
+
+    table = str(tmp_path / "tbl")
+    (tmp_path / "tbl" / "data").mkdir(parents=True)
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    # crashed attempt: staging dir written, never promoted
+    df.coalesce(1).write.parquet(
+        str(tmp_path / "tbl" / "data" / "snap.staging-deadbeef")
+    )
+    v = SNAP.commit(table, {"snap": df})
+    assert v == 1
+    assert [tuple(r) for r in SNAP.read_version(spark, table, 1).collect()] == [
+        (1, "a")
+    ]
+    # debris is still on disk (gc is out of band) but never read
+    import os
+
+    assert any(
+        name.startswith("snap.staging-")
+        for name in os.listdir(tmp_path / "tbl" / "data")
+    )
