@@ -221,11 +221,15 @@ def jaccard_decontaminate(
         "doc_id", F.size("grams").alias("nt"), F.explode("grams").alias("gram")
     )
     jac = F.col("shared") / (F.col("nt") + F.col("nb") - F.col("shared"))
+    # max is taken over ALL gram-sharing pairs, not just those >=
+    # threshold: Jaccard > 0 ⟺ the pair shares an n-gram, so this IS
+    # the true max similarity against any benchmark doc — a
+    # threshold-first filter would report 0.0 for near-miss docs and
+    # mislead anyone tuning the threshold from the output.
     best = (
         train_ex.join(F.broadcast(bench_ex), "gram")
         .groupBy("doc_id", "bench_id", "nt", "nb")
         .agg(F.count("*").alias("shared"))
-        .where(jac >= threshold)
         .groupBy("doc_id")
         .agg(F.max(jac).alias("max_bench_jaccard"))
     )
@@ -233,7 +237,9 @@ def jaccard_decontaminate(
     return base.join(best, "doc_id", "left").select(
         "doc_id",
         F.coalesce("max_bench_jaccard", F.lit(0.0)).alias("max_bench_jaccard"),
-        F.col("max_bench_jaccard").isNotNull().alias("contaminated"),
+        (F.coalesce("max_bench_jaccard", F.lit(0.0)) >= threshold).alias(
+            "contaminated"
+        ),
     )
 
 
@@ -345,12 +351,23 @@ HASH_MULT = 2654435761  # Knuth multiplicative constant
 
 
 def det_hash(id_col: Column) -> Column:
-    """Deterministic pseudo-random value in [0, HASH_MOD)."""
-    return (id_col % HASH_MOD) * HASH_MULT % HASH_MOD
+    """Deterministic pseudo-random value in [0, HASH_MOD).
+
+    pmod semantics throughout: both Spark's % and DuckDB's % keep the
+    dividend's sign, so a plain `id % m` would go NEGATIVE for
+    negative ids (e.g. ids minted by signed xxhash64) — every
+    downstream `gate < pct` comparison would then pass
+    unconditionally, silently routing ~half the corpus into
+    val/test/sample. The double-pmod keeps the range [0, HASH_MOD)
+    for the full signed-64 id domain, identically in both engines."""
+    return F.pmod(F.pmod(id_col, HASH_MOD) * HASH_MULT, HASH_MOD)
 
 
 def sql_det_hash(expr: str) -> str:
-    return f"(({expr}) % {HASH_MOD}) * {HASH_MULT} % {HASH_MOD}"
+    return (
+        f"(((({expr}) % {HASH_MOD} + {HASH_MOD}) % {HASH_MOD})"
+        f" * {HASH_MULT}) % {HASH_MOD}"
+    )
 
 
 def train_val_test_split(
@@ -373,15 +390,25 @@ def train_val_test_split(
 
 
 def stratified_sample(
-    df: DataFrame, id_col: str, stratum: Column, rates: dict[str, int]
+    df: DataFrame,
+    id_col: str,
+    stratum: Column,
+    rates: dict[str, int],
+    default_rate: int = 0,
 ) -> DataFrame:
     """Keep a deterministic per-stratum percentage of rows:
     row kept iff det_hash(id) % 100 < rates[stratum]. Reproducible
     across runs, retries, and cluster sizes — unlike df.sample(),
     whose per-partition RNG changes under speculative re-execution
-    and repartitioning."""
+    and repartitioning.
+
+    Strata ABSENT from `rates` (including a NULL stratum) get
+    `default_rate` percent — the default 0 DROPS them, so a typo'd
+    or incomplete rates mapping silently loses those strata; pass
+    default_rate=100 to keep unlisted strata whole, or audit with a
+    stratum groupBy count before sampling."""
     gate = det_hash(F.col(id_col)) % 100
-    rate = F.lit(None)
+    rate = F.lit(default_rate)
     for name, pct in rates.items():
         rate = F.when(stratum == name, F.lit(pct)).otherwise(rate)
     return df.withColumn("stratum", stratum).where(gate < rate)
@@ -408,9 +435,16 @@ def train_order(df: DataFrame, id_col: str, num_partitions: int = 32) -> DataFra
     keyed = df.select(
         F.col(id_col), det_hash(F.col(id_col)).alias("shuffle_key")
     ).repartitionByRange(num_partitions, "shuffle_key", id_col)
-    keyed = keyed.withColumn("pid", F.spark_partition_id()).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    keyed = keyed.withColumn("pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    # localCheckpoint (not persist): the pid column must be read by BOTH
+    # the counts collect and the final join from the SAME materialized
+    # partitioning. A merely-persisted frame is recomputable — cache
+    # eviction or executor loss re-runs the range shuffle, and
+    # shuffle-fetch order nondeterminism (SPARK-23207) could land rows
+    # in different pids than were counted, silently corrupting global
+    # positions. Checkpointed blocks cannot be recomputed: losing one
+    # fails the job loudly instead (re-run, or use reliable
+    # checkpoint() on a cluster). Blocks free on GC of the frame.
     counts = {
         r["pid"]: r["n"]
         for r in keyed.groupBy("pid").agg(F.count("*").alias("n")).collect()
@@ -452,9 +486,16 @@ def pack_sequences(
         F.col(ntok_col).alias("n_tokens"),
         det_hash(F.col(id_col)).alias("ord_key"),
     ).repartitionByRange(num_partitions, "ord_key", "doc_id")
-    keyed = keyed.withColumn("pid", F.spark_partition_id()).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    keyed = keyed.withColumn("pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    # localCheckpoint (not persist): the pid column must be read by BOTH
+    # the counts collect and the final join from the SAME materialized
+    # partitioning. A merely-persisted frame is recomputable — cache
+    # eviction or executor loss re-runs the range shuffle, and
+    # shuffle-fetch order nondeterminism (SPARK-23207) could land rows
+    # in different pids than were counted, silently corrupting global
+    # positions. Checkpointed blocks cannot be recomputed: losing one
+    # fails the job loudly instead (re-run, or use reliable
+    # checkpoint() on a cluster). Blocks free on GC of the frame.
     totals = {
         r["pid"]: r["t"]
         for r in keyed.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect()
@@ -479,14 +520,36 @@ def pack_sequences(
 # --- JSONL serialization -------------------------------------------------
 
 
+# Control chars that need \u00XX form (RFC 8259 forbids ALL raw
+# controls < 0x20 in strings; \n, \r, \t get their short escapes).
+_JSON_CTRL = [cc for cc in range(0x20) if cc not in (0x09, 0x0A, 0x0D)]
+
+
 def json_escape(col: Column) -> Column:
-    """Minimal JSON string escaping (backslash first, then quote and
-    control characters) — chain shared verbatim with the DuckDB
-    oracle so serialized lines are byte-identical."""
+    """Full JSON string escaping (backslash first, then quote, the
+    short control escapes, then every remaining char < 0x20 as
+    \\u00XX — RFC 8259 forbids raw controls, and crawled text does
+    contain form-feeds/vertical-tabs) — chain shared verbatim with
+    the DuckDB oracle (sql_json_escape) so serialized lines are
+    byte-identical AND parse in any strict JSON reader."""
     c = col
     for raw, esc in [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")]:
         c = F.replace(c, F.lit(raw), F.lit(esc))
+    for cc in _JSON_CTRL:
+        c = F.replace(c, F.lit(chr(cc)), F.lit(f"\\u{cc:04x}"))
     return c
+
+
+def sql_json_escape(expr: str) -> str:
+    """DuckDB replace-chain mirroring json_escape byte-for-byte."""
+    s = (
+        f"replace(replace(replace(replace(replace({expr}, "
+        "'\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'), "
+        "chr(13), '\\r'), chr(9), '\\t')"
+    )
+    for cc in _JSON_CTRL:
+        s = f"replace({s}, chr({cc}), '\\u{cc:04x}')"
+    return s
 
 
 def to_jsonl(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -658,9 +721,16 @@ def budget_select(
         F.col(ntok_col).alias("n_tokens"),
         score_col.alias("score"),
     ).repartitionByRange(num_partitions, F.col("score").desc(), F.col(id_col).asc())
-    keyed = keyed.withColumn("pid", F.spark_partition_id()).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    keyed = keyed.withColumn("pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    # localCheckpoint (not persist): the pid column must be read by BOTH
+    # the counts collect and the final join from the SAME materialized
+    # partitioning. A merely-persisted frame is recomputable — cache
+    # eviction or executor loss re-runs the range shuffle, and
+    # shuffle-fetch order nondeterminism (SPARK-23207) could land rows
+    # in different pids than were counted, silently corrupting global
+    # positions. Checkpointed blocks cannot be recomputed: losing one
+    # fails the job loudly instead (re-run, or use reliable
+    # checkpoint() on a cluster). Blocks free on GC of the frame.
     totals = {
         r["pid"]: r["t"]
         for r in keyed.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect()
@@ -696,13 +766,20 @@ def weighted_reservoir(
 
     Scale: orderBy(...).limit(k) compiles to TakeOrderedAndProject —
     per-partition top-k heaps merged on the driver, O(k·P) driver
-    work, NO global sort shuffle. The plan gate pins that shape."""
+    work, NO global sort shuffle. The plan gate pins that shape.
+
+    Non-positive weights are excluded up front: A-ES is defined for
+    w > 0 only — w = 0 makes the exponent +Inf (and u = 1.0 would
+    yield key 1.0, ranking a never-sample row FIRST), and w < 0
+    gives keys > 1 that always win. "Weight zero" must mean "never
+    sampled", so those rows are filtered, not keyed."""
     u = (det_hash(F.col(id_col)) + F.lit(1)) / F.lit(HASH_MOD)
     key = F.round(
         F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
     )
     return (
-        df.select("*", key.alias("res_key"))
+        df.filter(F.col(weight_col) > 0)
+        .select("*", key.alias("res_key"))
         .orderBy(F.col("res_key").desc(), F.col(id_col).asc())
         .limit(k)
     )

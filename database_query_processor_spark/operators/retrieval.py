@@ -27,13 +27,27 @@ both engines bit-correct.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from database_query_processor_spark.functions.text import tokens
 
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+
+def _bm25_term_score() -> Column:
+    """The shared per-term Okapi BM25 score expression over columns
+    (tf, df, dl, n_docs, avgdl): idf(t) * tf*(k1+1) / (tf + k1*(1 - b
+    + b*dl/avgdl)) with RSJ idf = ln((N - df + 0.5)/(df + 0.5) + 1).
+    One definition keeps bm25_topk, bm25_hard_negatives, and their
+    DuckDB oracles from drifting apart on the formula or K1/B."""
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    return (
+        idf
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
 
 
 def bm25_topk(
@@ -61,12 +75,7 @@ def bm25_topk(
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    tscore = (
-        idf
-        * (F.col("tf") * (BM25_K1 + 1.0))
-        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
-    )
+    tscore = _bm25_term_score()
     per_term = (
         tf.join(F.broadcast(dfreq), "tok")
         .join(dl, "doc_id")
@@ -195,11 +204,17 @@ def bigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFram
     docstring on ordered float reductions)."""
     ta = tokens(text_col)
     n = F.size(ta)
-    bg = F.zip_with(
-        F.slice(ta, 1, n - 1),
-        F.slice(ta, 2, n - 1),
-        lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
-    )
+    # n == 0 would make the slice length -1 (a runtime error, not an
+    # empty slice): gate on n >= 2 so zero- and one-token docs yield
+    # an empty bigram array and drop out, as documented.
+    bg = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(ta, 1, n - 1),
+            F.slice(ta, 2, n - 1),
+            lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
     bgs = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(bg).alias("pos", "b"),
@@ -506,12 +521,7 @@ def bm25_hard_negatives(
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    tscore = (
-        idf
-        * (F.col("tf") * (BM25_K1 + 1.0))
-        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
-    )
+    tscore = _bm25_term_score()
     ts = (
         qterms.join(tf, "tok")
         .join(F.broadcast(dfreq), "tok")

@@ -704,9 +704,16 @@ def value_bars(
     keyed = df.select(
         F.col(ts_col).alias("_ts"), F.col(id_col).alias("_id"), v_us
     ).repartitionByRange(num_partitions, F.col("_ts").asc(), F.col("_id").asc())
-    keyed = keyed.withColumn("pid", F.spark_partition_id()).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    keyed = keyed.withColumn("pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    # localCheckpoint (not persist): the pid column must be read by BOTH
+    # the counts collect and the final join from the SAME materialized
+    # partitioning. A merely-persisted frame is recomputable — cache
+    # eviction or executor loss re-runs the range shuffle, and
+    # shuffle-fetch order nondeterminism (SPARK-23207) could land rows
+    # in different pids than were counted, silently corrupting global
+    # positions. Checkpointed blocks cannot be recomputed: losing one
+    # fails the job loudly instead (re-run, or use reliable
+    # checkpoint() on a cluster). Blocks free on GC of the frame.
     totals = {
         r["pid"]: r["t"]
         for r in keyed.groupBy("pid").agg(F.sum("v_us").alias("t")).collect()

@@ -133,7 +133,16 @@ def _merge_chain(
         )
         top = pairs.orderBy(F.desc("pair_count"), F.asc("lsym"), F.asc("rsym")).limit(1)
         tops.append(top)
-        types = types.crossJoin(F.broadcast(top)).select(
+        # Exhausted-merge guard: once no adjacent pair remains (every
+        # word fully merged), `top` is EMPTY — a crossJoin against it
+        # would annihilate the whole types table. Left-joining the
+        # winner onto a 1-row anchor instead yields NULL merge symbols,
+        # and _merge_pair's match condition is never true on NULL, so
+        # the round becomes a no-op rather than data loss. (The DuckDB
+        # oracle chain mirrors this with LEFT JOIN ON TRUE.)
+        anchor = types.sparkSession.range(1)
+        top1 = anchor.join(F.broadcast(top), F.lit(True), "left").drop("id")
+        types = types.crossJoin(F.broadcast(top1)).select(
             "word",
             "cnt",
             _merge_pair(F.col("syms"), F.col("lsym"), F.col("rsym")).alias("syms"),
@@ -255,7 +264,7 @@ def _sql_chain_ctes(rounds: int, toks_sql: str) -> list[str]:
         ctes.append(
             f"""e{r} AS (SELECT word, cnt, syms, t.lsym, t.rsym,
              unnest(syms) AS s, generate_subscripts(syms, 1) AS i
-      FROM w{p} CROSS JOIN top{r} t)"""
+      FROM w{p} LEFT JOIN top{r} t ON TRUE)"""
         )
         ctes.append(
             f"""f{r} AS (SELECT *, (i < len(syms) AND s = lsym AND syms[i + 1] = rsym) AS m

@@ -442,8 +442,7 @@ _WS_COUNT_SQL = "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x
 JSONL_SQL = f"""
 SELECT doc_id,
        '{{"doc_id":' || doc_id || ',"n_tokens":' || {_WS_COUNT_SQL} || ',"text":"' ||
-       replace(replace(replace(replace(replace(text,
-           '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')
+       {CP.sql_json_escape('text')}
        || '"}}' AS json_line
 FROM documents
 """
@@ -583,10 +582,9 @@ tex AS (SELECT doc_id, len(grams) AS nt, unnest(grams) AS gram
 shared AS (SELECT doc_id, bench_id, nt, nb, count(*) AS shared
            FROM tex JOIN bex USING (gram) GROUP BY 1, 2, 3, 4),
 best AS (SELECT doc_id, max(shared / (nt + nb - shared)) AS mj
-         FROM shared WHERE shared / (nt + nb - shared) >= 0.5
-         GROUP BY doc_id)
+         FROM shared GROUP BY doc_id)
 SELECT g.doc_id, coalesce(mj, 0.0) AS max_bench_jaccard,
-       mj IS NOT NULL AS contaminated
+       coalesce(mj, 0.0) >= 0.5 AS contaminated
 FROM g LEFT JOIN best ON g.doc_id = best.doc_id
 WHERE NOT is_bench
 """
@@ -892,6 +890,7 @@ SELECT doc_id, lang, n_chars,
        ROUND(pow((({CP.sql_det_hash('doc_id')}) + 1) / {CP.HASH_MOD},
                  1.0 / n_chars), 9) AS res_key
 FROM documents
+WHERE n_chars > 0
 ORDER BY res_key DESC, doc_id ASC
 LIMIT 50
 """

@@ -1,0 +1,187 @@
+"""Regression tests for the round-4 deep-review findings on the
+round-2/3 operator surface: edge-domain crashes (empty token arrays,
+exhausted BPE merges), silent data corruption (zero/negative sample
+weights, negative ids, unlisted strata), and contract gaps (true max
+Jaccard, RFC 8259 control-char escaping)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bigram_scores_survive_zero_and_one_token_docs(spark):
+    """A punctuation-only doc tokenizes to an EMPTY array; the bigram
+    slice must yield no bigrams (not a negative-length slice error),
+    and 0/1-token docs drop out per the docstring."""
+    from database_query_processor_spark.operators.retrieval import (
+        bigram_logprob_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "!!! ..."), (3, "word")],
+        "doc_id long, text string",
+    )
+    rows = bigram_logprob_scores(df, "doc_id", "text").collect()
+    assert sorted(r.doc_id for r in rows) == [1]
+
+
+def test_bpe_exhausted_merges_are_noops_not_data_loss(spark):
+    """Once every word is fully merged, further rounds must be no-ops:
+    the learner emits only the merges that exist, the vocab keeps the
+    corpus symbols, and the curve plateaus — none of them may return
+    empty/NULL because a crossJoin hit an empty winner frame."""
+    from database_query_processor_spark.operators.tokenizer import (
+        bpe_compression_curve,
+        bpe_learn_merges,
+        bpe_tokenize_vocab,
+    )
+
+    docs = spark.createDataFrame([(1, "ab ab cd")], "doc_id long, text string")
+    merges = bpe_learn_merges(docs, "text", rounds=4).collect()
+    assert [(r["round"], r.merged) for r in merges] == [(1, "ab"), (2, "cd")]
+    vocab = sorted(
+        (r.symbol, r.n_occ)
+        for r in bpe_tokenize_vocab(docs, "text", rounds=4, k=10).collect()
+    )
+    assert vocab == [("ab", 2), ("cd", 1)]
+    curve = {
+        r["round"]: r.n_symbols
+        for r in bpe_compression_curve(docs, "text", rounds=4).collect()
+    }
+    assert curve == {0: 6, 1: 4, 2: 3, 3: 3, 4: 3}  # plateau, not NULL
+
+
+def test_weighted_reservoir_excludes_nonpositive_weights(spark):
+    """A-ES is defined for w > 0 only: w = 0 must mean 'never
+    sampled' (not 'key 1.0 ranks first' via pow(u, inf)) and
+    negative weights must not produce always-winning keys > 1."""
+    from database_query_processor_spark.operators.corpus import weighted_reservoir
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(1, 21)] + [(100, 0), (101, -5)],
+        "doc_id long, w long",
+    )
+    got = {r.doc_id for r in weighted_reservoir(df, "doc_id", "w", k=22).collect()}
+    assert 100 not in got and 101 not in got
+    assert len(got) == 20
+
+
+def test_json_escape_control_chars_parse_as_strict_json(spark):
+    """RFC 8259 forbids raw chars < 0x20 in strings: form-feed,
+    vertical-tab, backspace etc. must come out as \\u00XX so any
+    strict JSON reader can parse the shard line."""
+    from database_query_processor_spark.operators.corpus import to_jsonl
+
+    nasty = "a\x0cb\x0bc\x08d\ttab\nnl"
+    df = spark.createDataFrame([(1, nasty)], "doc_id long, text string")
+    line = to_jsonl(df, "doc_id", "text").collect()[0].json_line
+    parsed = json.loads(line)  # raises on raw control chars
+    assert parsed["text"] == nasty
+    assert parsed["doc_id"] == 1
+
+
+def test_json_escape_matches_duckdb_byte_for_byte():
+    import duckdb
+
+    from database_query_processor_spark.operators.corpus import sql_json_escape
+
+    nasty = "q\x0c\x0b\x08\x00x \\ \" \n\r\t end"
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {sql_json_escape('?')} AS e", [nasty]
+    ).fetchone()[0]
+    assert json.loads(f'"{got}"') == nasty
+
+
+def test_det_hash_nonnegative_for_negative_ids(spark):
+    """Ids minted by signed 64-bit hashes are negative ~half the
+    time; det_hash must stay in [0, HASH_MOD) (pmod) or every
+    `gate < pct` sampling comparison passes unconditionally."""
+    import duckdb
+
+    from database_query_processor_spark.operators.corpus import (
+        HASH_MOD,
+        det_hash,
+        sql_det_hash,
+        train_val_test_split,
+    )
+
+    ids = [-(2**62), -1000003, -999, -1, 0, 1, 999, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    hashes = {
+        r.doc_id: r.h
+        for r in df.select("doc_id", det_hash(F.col("doc_id")).alias("h")).collect()
+    }
+    assert all(0 <= h < HASH_MOD for h in hashes.values()), hashes
+    # cross-engine: DuckDB mirror produces identical values
+    con = duckdb.connect()
+    for i in ids:
+        (oh,) = con.execute(f"SELECT {sql_det_hash(str(i))}").fetchone()
+        assert oh == hashes[i], (i, oh, hashes[i])
+    # and the split gate routes negative ids like any other row, not
+    # all-to-test
+    split = train_val_test_split(df, "doc_id", val_pct=5, test_pct=5)
+    by_split = {r.doc_id: r.split for r in split.collect()}
+    assert not all(
+        by_split[i] == "test" for i in ids if i < 0
+    ), by_split
+
+
+def test_stratified_sample_default_rate_for_unlisted_strata(spark):
+    from database_query_processor_spark.operators.corpus import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(100)] + [(i + 1000, "code") for i in range(50)],
+        "doc_id long, src string",
+    )
+    # default: unlisted stratum 'code' drops (documented)
+    kept = stratified_sample(df, "doc_id", F.col("src"), {"web": 100})
+    assert {r.stratum for r in kept.collect()} == {"web"}
+    # default_rate=100 keeps it whole
+    kept_all = stratified_sample(
+        df, "doc_id", F.col("src"), {"web": 100}, default_rate=100
+    )
+    counts = {
+        r.stratum: r.n
+        for r in kept_all.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"web": 100, "code": 50}
+
+
+def test_jaccard_decontaminate_reports_true_max_for_near_misses(spark):
+    """max_bench_jaccard is the TRUE max similarity against any
+    benchmark doc — a near-miss below threshold must report its real
+    value (for threshold tuning/audit), not 0.0, while contaminated
+    still follows the threshold."""
+    from database_query_processor_spark.operators.corpus import (
+        jaccard_decontaminate,
+    )
+
+    bench = "alpha beta gamma delta epsilon zeta"
+    near = "alpha beta gamma delta other words here now"  # some shared 3-grams
+    far = "completely unrelated text with nothing shared"
+    df = spark.createDataFrame(
+        [(0, bench), (1, near), (2, far)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.max_bench_jaccard, r.contaminated)
+        for r in jaccard_decontaminate(
+            df, "doc_id", "text", F.col("doc_id") == 0, threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    mj, flagged = out[1]
+    assert 0.0 < mj < 0.5 and flagged is False  # near-miss: real value, not 0.0
+    assert out[2] == (0.0, False)
+
+
+def test_merge_chain_localcheckpoint_sites_still_deterministic(spark):
+    """train_order / pack_sequences positions must be a permutation of
+    1..N with no gaps after the localCheckpoint swap (the pid column
+    is read by both the counts collect and the final join)."""
+    from database_query_processor_spark.operators.corpus import train_order
+
+    df = spark.createDataFrame([(i,) for i in range(1, 501)], "doc_id long")
+    rows = train_order(df, "doc_id", num_partitions=8).collect()
+    assert sorted(r.pos for r in rows) == list(range(1, 501))
