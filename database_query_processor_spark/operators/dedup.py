@@ -109,7 +109,16 @@ def _signature_from_shingles(grams_df: DataFrame) -> DataFrame:
     it (30s+ of plan/compile time at ANY data size) and the hashing
     would be re-evaluated per permutation. CollapseProject keeps the
     boundary because the alias is non-cheap and referenced 64 times."""
-    with_hashes = grams_df.select(
+    # Docs with EMPTY shingle sets (fewer tokens than the shingle
+    # width: titles, stubs, blank docs) are excluded up front. An
+    # empty set has no MinHash — array_min over [] is NULL for all 64
+    # permutations, concat_ws drops NULLs, and every such doc would
+    # land in band key "" in EVERY band: one corpus-wide mega-bucket
+    # (quadratic candidate pairs, unbounded collect_list) for a
+    # common corpus artifact. The exact-Jaccard verify drops those
+    # pairs anyway (0-shingle overlap), so the output is unchanged —
+    # this removes only the blow-up.
+    with_hashes = grams_df.filter(F.size("grams") > 0).select(
         "doc_id",
         F.transform("grams", lambda g: F.xxhash64(g).bitwiseAND(F.lit(0xFFFFFFFF))).alias("hs"),
     )
@@ -408,7 +417,15 @@ def simhash_dedup_pairs(
         sig, band_bits, mask = simhash60_md5(text_col), 15, 0x7FFF
     else:
         sig, band_bits, mask = simhash64(text_col), 16, 0xFFFF
-    sh = _spread(df).select(F.col(id_col).alias("doc_id"), sig.alias("sh"))
+    # Token-less docs (empty/whitespace-only text — a common crawl
+    # artifact) all hash to signature 0: they'd collide in EVERY band
+    # as one mega-bucket and come out as pairwise hamming-0 "dups" at
+    # full confidence — quadratic output over a set with no actual
+    # content similarity. A signature over zero features is undefined;
+    # exclude those docs (mirrored in the x03 oracle).
+    sh = _spread(df).filter(F.size(tokens(text_col)) > 0).select(
+        F.col(id_col).alias("doc_id"), sig.alias("sh")
+    )
     banded = sh.select(
         "doc_id",
         "sh",
@@ -450,6 +467,7 @@ def simhash_dedup_pairs(
 
 EDIT_PREFIX_LEN = 24  # blocking-key length (chars of normalized prefix)
 EDIT_MAX_DIST = 8  # near-dup cutoff (absolute Levenshtein distance)
+EDIT_BLOCK_CAP = 500  # skip prefix blocks larger than this (boilerplate prefixes)
 
 
 def editdistance_pairs(
@@ -480,26 +498,35 @@ def editdistance_pairs(
 
     No reference analog (the reference has no string functions at
     all, src/qp/parser/parser.cup:197-255)."""
+    from pyspark.sql.window import Window as W
+
     b = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("txt"),
         F.substring(F.lower(F.col(text_col)), 1, prefix_len).alias("blk"),
     )
-    # Bucket-then-pair on the block key (single shuffle, pairs only in
-    # multi-occupant blocks) — the lsh_candidate_pairs shape.
-    buckets = (
-        b.groupBy("blk")
-        .agg(F.collect_list(F.struct("doc_id", "txt")).alias("docs"))
-        .filter(F.size("docs") >= 2)
+    # Unlike the LSH/SimHash buckets (hash keys, collision probability
+    # bounded), a prefix block can be SYSTEMATICALLY shared — every
+    # page of a templated corpus opens with the same 24 chars — so
+    # (a) blocks are capped at EDIT_BLOCK_CAP members (oversized
+    # blocks are boilerplate, not near-dup candidates; the df-cap
+    # recall trade-off, mirrored in the x48 oracle), and (b) pairing
+    # is a self-JOIN on the block key rather than a collect_list
+    # bucket: an array holding every member's FULL TEXT in one
+    # aggregation row is an executor OOM at exactly the block sizes
+    # that matter; the join streams pairs instead.
+    b = b.withColumn("_bn", F.count("*").over(W.partitionBy("blk"))).filter(
+        (F.col("_bn") >= 2) & (F.col("_bn") <= EDIT_BLOCK_CAP)
     )
+    a = b.select(F.col("doc_id").alias("id_a"), F.col("txt").alias("_ta"), "blk")
+    c = b.select(F.col("doc_id").alias("id_b"), F.col("txt").alias("_tb"), "blk")
     return (
-        buckets.select(F.explode("docs").alias("a"), F.col("docs"))
-        .select("a", F.explode("docs").alias("b"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(c, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.levenshtein(F.col("a.txt"), F.col("b.txt")).alias("dist"),
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("_ta"), F.col("_tb")).alias("dist"),
         )
         .filter(F.col("dist") <= max_dist)
     )

@@ -61,6 +61,12 @@ def pagerank_fixedpoint(
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = deg.select(F.col("src").alias("node_id"))
     n = nodes.count()
+    if n == 0:
+        # Empty edge set (e.g. a dedup-pair feed that found nothing):
+        # no nodes, so the result is an empty ranks frame — not a
+        # driver-side ZeroDivisionError from scale // n.
+        sym.unpersist()
+        return nodes.select("node_id", F.lit(0).cast("long").alias("rank"))
     base = (15 * scale // 100) // n
     ranks = nodes.select("node_id", F.lit(scale // n).alias("rank"))
     for _ in range(iters):

@@ -120,7 +120,11 @@ def _py_dot(a, b) -> float:
 def _py_cos(a, b) -> float:
     import math
 
-    return _py_dot(a, b) / (math.sqrt(_py_dot(a, a)) * math.sqrt(_py_dot(b, b)))
+    nrm = math.sqrt(_py_dot(a, a)) * math.sqrt(_py_dot(b, b))
+    # zero-norm vector: cosine is undefined — treat as no similarity
+    # (0.0) instead of a driver-side ZeroDivisionError; the Spark-side
+    # `cosine` expression degrades the same comparison-neutral way.
+    return _py_dot(a, b) / nrm if nrm else 0.0
 
 
 def _ids_codebook(df: DataFrame, id_col: str, vec_col: str, cells: int) -> list[tuple[int, list[float]]]:
@@ -153,6 +157,43 @@ def _kmeans_codebook(
     return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
 
 
+def _resolve_codebook(
+    df: DataFrame, id_col: str, vec_col: str, cells: int, codebook: str
+) -> list[tuple[int, list[float]]]:
+    """Codebook dispatch shared by ann_ivf_topk and semantic_dedup:
+    'ids' (deterministic, oracle-reproducible) or 'kmeans' (balanced
+    cells, the production knob)."""
+    if codebook == "kmeans":
+        return _kmeans_codebook(df.select(vec_col), vec_col, cells)
+    if codebook == "ids":
+        return _ids_codebook(df, id_col, vec_col, cells)
+    raise ValueError(f"unknown codebook {codebook!r} (want 'ids' or 'kmeans')")
+
+
+def _assign_cells(
+    df: DataFrame, id_col: str, vec_col: str, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """argmax-cosine Voronoi assignment of every vector to its nearest
+    centroid; ties break to the smaller cent_id (nid = -cent_id, so
+    the larger struct wins on the smaller id). Scan-side literal
+    argmax — O(cells*dim) per row, no shuffle; past ~hundreds of
+    cells flip to a broadcast-join + window-min so the expression
+    stays bounded (one place to do it now — both IVF and SemDeDup
+    route through here)."""
+    best = F.greatest(
+        *[
+            F.struct(
+                cosine(F.col(vec_col), _lit_vec([float(x) for x in cv])).alias("c"),
+                F.lit(-cid).alias("nid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.col(vec_col), (-best.getField("nid")).alias("cell")
+    )
+
+
 def ann_ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -182,32 +223,26 @@ def ann_ivf_topk(
     map (no shuffle, no UDF). Writing the corpus partitioned by
     ``cell`` turns probing into partition pruning: a query touches
     nprobe/cells of the data."""
-    if codebook == "kmeans":
-        cents = _kmeans_codebook(df.select(vec_col), vec_col, cells)
-    elif codebook == "ids":
-        cents = _ids_codebook(df, id_col, vec_col, cells)
-    else:
-        raise ValueError(f"unknown codebook {codebook!r} (want 'ids' or 'kmeans')")
+    cents = _resolve_codebook(df, id_col, vec_col, cells, codebook)
     cent_rows = [{"cent_id": cid, "cv": cv} for cid, cv in cents]
-    qv = [float(x) for x in df.filter(F.col(id_col) == query_id).select(vec_col).first()[0]]
+    q_row = df.filter(F.col(id_col) == query_id).select(vec_col).first()
+    if q_row is None:
+        # Absent query id: empty result, the same contract as
+        # cosine_topk/ann_lsh_topk (whose filter-join shape yields
+        # zero rows naturally) — not a TypeError on None[0].
+        return df.select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("cell"),
+            F.lit(None).cast("double").alias("cos"),
+        ).limit(0)
+    qv = [float(x) for x in q_row[0]]
     probe_ids = [
         cid
         for _, cid in sorted(
             ((-_py_cos(qv, [float(x) for x in r["cv"]]), r["cent_id"]) for r in cent_rows)
         )[:nprobe]
     ]
-    # argmax-cosine assignment; ties break to the smaller cent_id
-    # (nid = -cent_id, so the larger struct wins on the smaller id).
-    best = F.greatest(
-        *[
-            F.struct(
-                cosine(F.col(vec_col), _lit_vec([float(x) for x in r["cv"]])).alias("c"),
-                F.lit(-r["cent_id"]).alias("nid"),
-            )
-            for r in cent_rows
-        ]
-    )
-    assigned = df.select(F.col(id_col), F.col(vec_col), (-best.getField("nid")).alias("cell"))
+    assigned = _assign_cells(df, id_col, vec_col, cents)
     return (
         assigned.filter(F.col(id_col) != query_id)
         .filter(F.col("cell").isin(probe_ids))
@@ -441,24 +476,8 @@ def semantic_dedup(
     assignment argmax, which is O(cells·dim) per row; past ~hundreds
     of cells flip the literal argmax to a broadcast-join of the
     codebook + per-row window-min so the expression stays bounded."""
-    if codebook == "kmeans":
-        cents = _kmeans_codebook(df.select(vec_col), vec_col, cells)
-    elif codebook == "ids":
-        cents = _ids_codebook(df, id_col, vec_col, cells)
-    else:
-        raise ValueError(f"unknown codebook {codebook!r} (want 'ids' or 'kmeans')")
-    best = F.greatest(
-        *[
-            F.struct(
-                cosine(F.col(vec_col), _lit_vec(cv)).alias("c"),
-                F.lit(-cid).alias("nid"),
-            )
-            for cid, cv in cents
-        ]
-    )
-    assigned = df.select(
-        F.col(id_col), F.col(vec_col), (-best.getField("nid")).alias("cell")
-    )
+    cents = _resolve_codebook(df, id_col, vec_col, cells, codebook)
+    assigned = _assign_cells(df, id_col, vec_col, cents)
     dropped = (
         assigned.alias("a")
         .join(

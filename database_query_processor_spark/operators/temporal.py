@@ -45,6 +45,16 @@ def as_of_join(
     one _k=NULL partition — a NULL-heavy left input (common in event
     data) would otherwise funnel into a single straggler task."""
     right = right.filter(F.col(key).isNotNull())
+    # (val, ts) travel in ONE struct: two independent last(ignorenulls)
+    # scans would desync when right_val itself is NULL — matched_val
+    # from one right row, matched_ts from a later one, a pair that
+    # exists in no right row. The struct is non-NULL exactly for right
+    # rows, so ignorenulls skips left placeholders and nothing else:
+    # the latest right row wins whole, NULL value and all.
+    r_struct_t = (
+        f"struct<v:{right.schema[right_val].dataType.simpleString()},"
+        f"t:{right.schema[right_ts].dataType.simpleString()}>"
+    )
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.when(F.col(key).isNull(), F.monotonically_increasing_id())
@@ -53,8 +63,7 @@ def as_of_join(
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
         F.struct(*left.columns).alias("_l"),
-        F.lit(None).cast(right.schema[right_val].dataType).alias("_rv"),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+        F.lit(None).cast(r_struct_t).alias("_r"),
     )
     r_tag = right.select(
         F.col(key).alias("_k"),
@@ -62,8 +71,9 @@ def as_of_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
-        F.col(right_val).alias("_rv"),
-        F.col(right_ts).alias("_rts"),
+        F.struct(
+            F.col(right_val).alias("v"), F.col(right_ts).alias("t")
+        ).alias("_r"),
     )
     w = W.partitionBy("_k", "_salt").orderBy(
         F.col("_ts").asc(), F.col("_tag").asc()
@@ -71,10 +81,13 @@ def as_of_join(
     merged = l_tag.unionByName(r_tag).select(
         "_tag",
         "_l",
-        F.last("_rv", ignorenulls=True).over(w).alias("matched_val"),
-        F.last("_rts", ignorenulls=True).over(w).alias("matched_ts"),
+        F.last("_r", ignorenulls=True).over(w).alias("_m"),
     )
-    out = merged.filter(F.col("_tag") == 1).select("_l.*", "matched_val", "matched_ts")
+    out = merged.filter(F.col("_tag") == 1).select(
+        "_l.*",
+        F.col("_m.v").alias("matched_val"),
+        F.col("_m.t").alias("matched_ts"),
+    )
     return out
 
 
@@ -142,6 +155,49 @@ def interval_overlap_join(
     )
 
 
+_BUCKET_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def _parse_bucket(bucket: str) -> tuple[int, str]:
+    """Parse an 'N UNIT' bucket spec into (n, unit), case-insensitive,
+    validating both. Only fixed-width units are accepted: the spine
+    arithmetic (ws + k*interval, epoch-floor alignment) requires every
+    bucket to be the same physical width, which months/years are not.
+    A malformed spec previously slipped through (lowercase 'hours'
+    survived rstrip('S') and made date_trunc return NULL for EVERY
+    row, collapsing all data into one ws=NULL group) — now it raises."""
+    parts = bucket.split()
+    if len(parts) != 2:
+        raise ValueError(f"bucket must be 'N UNIT', got {bucket!r}")
+    try:
+        n = int(parts[0])
+    except ValueError:
+        raise ValueError(f"bucket must be 'N UNIT', got {bucket!r}") from None
+    unit = parts[1].lower().rstrip("s")
+    if n < 1 or unit not in _BUCKET_UNITS:
+        raise ValueError(
+            f"unsupported bucket {bucket!r}; use 'N <"
+            f"{'|'.join(sorted(_BUCKET_UNITS))}>[S]'"
+        )
+    return n, unit
+
+
+def _bucket_start(ts: Column, n: int, unit: str) -> Column:
+    """Bucket-aligned truncation honoring the COUNT, not just the
+    unit: date_trunc('hour') under a '6 HOURS' bucket would misalign
+    the gap spine (sequence stepping 6h from an hourly-truncated
+    start skips observed buckets — silent row loss). n == 1 keeps
+    date_trunc (calendar-aligned, NTZ-safe, the common path); n > 1
+    floors the epoch to n*unit seconds (epoch-aligned, so '6 HOURS'
+    buckets start at 00/06/12/18 UTC)."""
+    if n == 1:
+        return F.date_trunc(unit, ts)
+    secs = n * _BUCKET_UNITS[unit]
+    return F.timestamp_seconds(
+        F.floor(F.unix_timestamp(ts.cast("timestamp")) / secs) * secs
+    )
+
+
 def rollup_gapfill_locf(
     df: DataFrame,
     key_col: str,
@@ -175,10 +231,10 @@ def rollup_gapfill_locf(
     (true for any exact-decimal sum over a non-null column) — the
     carried value is the previous observed bucket's aggregate.
     """
-    unit = bucket.split()[-1].rstrip("S").lower()
+    n_units, unit = _parse_bucket(bucket)
     iv = F.expr(f"INTERVAL {bucket}")
     agg = df.groupBy(
-        F.col(key_col), F.date_trunc(unit, F.col(ts_col)).alias("ws")
+        F.col(key_col), _bucket_start(F.col(ts_col), n_units, unit).alias("ws")
     ).agg(val_col.alias("v"), F.count("*").alias("n"))
     w = W.partitionBy(key_col).orderBy(F.col("ws").asc())
     lagged = agg.select(
@@ -234,10 +290,10 @@ def gapfill_interpolate(
     arithmetic changes, the hazard class that cost t09 its round-2
     driver row).
     """
-    unit = bucket.split()[-1].rstrip("S").lower()
+    n_units, unit = _parse_bucket(bucket)
     iv = F.expr(f"INTERVAL {bucket}")
     agg = df.groupBy(
-        F.col(key_col), F.date_trunc(unit, F.col(ts_col)).alias("ws")
+        F.col(key_col), _bucket_start(F.col(ts_col), n_units, unit).alias("ws")
     ).agg(val_col.alias("v"))
     w = W.partitionBy(key_col).orderBy(F.col("ws").asc())
     lagged = agg.select(
@@ -294,12 +350,12 @@ def ohlc_bars(
     row_number-window formulation, which must sort whole partitions
     and cannot partial-aggregate before the exchange.
     """
-    unit = bucket.split()[-1].rstrip("S").lower()
+    n_units, unit = _parse_bucket(bucket)
     s = F.struct(
         F.col(ts_col).alias("t"), F.col(id_col).alias("e"), F.col(val_col).alias("v")
     )
     return df.groupBy(
-        F.col(key_col), F.date_trunc(unit, F.col(ts_col)).alias("ws")
+        F.col(key_col), _bucket_start(F.col(ts_col), n_units, unit).alias("ws")
     ).agg(
         F.min(s).getField("v").alias("open"),
         F.max(F.col(val_col)).alias("high"),
@@ -611,21 +667,29 @@ def nearest_asof_join(
     guard as `as_of_join`)."""
     left = left.filter(F.col(key).isNotNull())
     right = right.filter(F.col(key).isNotNull())
+    # Each direction's (val, ts) candidate travels in ONE struct —
+    # same desync guard as as_of_join: independent last/first scans
+    # of _rv and _rts would pair one right row's value with another's
+    # timestamp whenever right_val is NULL.
+    r_struct_t = (
+        f"struct<v:{right.schema[right_val].dataType.simpleString()},"
+        f"t:{right.schema[right_ts].dataType.simpleString()}>"
+    )
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
         F.struct(*left.columns).alias("_l"),
-        F.lit(None).cast(right.schema[right_val].dataType).alias("_rv"),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+        F.lit(None).cast(r_struct_t).alias("_r"),
     )
     r_tag = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
-        F.col(right_val).alias("_rv"),
-        F.col(right_ts).alias("_rts"),
+        F.struct(
+            F.col(right_val).alias("v"), F.col(right_ts).alias("t")
+        ).alias("_r"),
     )
     order = [F.col("_ts").asc(), F.col("_tag").asc()]
     w_back = (
@@ -638,26 +702,24 @@ def nearest_asof_join(
         "_tag",
         "_l",
         "_ts",
-        F.last("_rv", ignorenulls=True).over(w_back).alias("_bv"),
-        F.last("_rts", ignorenulls=True).over(w_back).alias("_bts"),
-        F.first("_rv", ignorenulls=True).over(w_fwd).alias("_fv"),
-        F.first("_rts", ignorenulls=True).over(w_fwd).alias("_fts"),
+        F.last("_r", ignorenulls=True).over(w_back).alias("_b"),
+        F.first("_r", ignorenulls=True).over(w_fwd).alias("_f"),
     )
     bd = F.unix_micros(F.col("_ts").cast("timestamp")) - F.unix_micros(
-        F.col("_bts").cast("timestamp")
+        F.col("_b.t").cast("timestamp")
     )
-    fd = F.unix_micros(F.col("_fts").cast("timestamp")) - F.unix_micros(
+    fd = F.unix_micros(F.col("_f.t").cast("timestamp")) - F.unix_micros(
         F.col("_ts").cast("timestamp")
     )
-    b_ok = F.col("_bts").isNotNull() & (bd <= tolerance_us)
-    f_ok = F.col("_fts").isNotNull() & (fd <= tolerance_us)
+    b_ok = F.col("_b").isNotNull() & (bd <= tolerance_us)
+    f_ok = F.col("_f").isNotNull() & (fd <= tolerance_us)
     take_back = b_ok & (~f_ok | (bd <= fd))
     picked = (
         merged.filter(F.col("_tag") == 1)
         .select(
             "_l",
-            F.when(take_back, F.col("_bv")).otherwise(F.col("_fv")).alias("matched_val"),
-            F.when(take_back, F.col("_bts")).otherwise(F.col("_fts")).alias("matched_ts"),
+            F.when(take_back, F.col("_b.v")).otherwise(F.col("_f.v")).alias("matched_val"),
+            F.when(take_back, F.col("_b.t")).otherwise(F.col("_f.t")).alias("matched_ts"),
             F.when(take_back, bd).otherwise(fd).alias("dist_us"),
             (b_ok | f_ok).alias("_hit"),
         )
@@ -694,8 +756,6 @@ def value_bars(
     window completes the global cumsum; the final per-bar aggregate
     is one more keyed shuffle. No single-partition global window
     anywhere."""
-    from pyspark import StorageLevel
-
     from database_query_processor_spark.operators.corpus import _prefix_offsets
 
     v_us = (

@@ -193,7 +193,8 @@ def _simhash_oracle():
         "for x in list_distinct(toks)]"
     )
     return f"""
-WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+           WHERE len({TOKS_SQL}) > 0),
 n AS (SELECT doc_id, {nibs} AS nibs FROM t),
 s AS (SELECT doc_id, {DD.sql_simhash60('nibs')} AS sh FROM n),
 bands AS (SELECT doc_id, sh, band, (sh >> (15 * band)) & 32767 AS bits
@@ -1433,11 +1434,12 @@ def dedup_editdistance(spark, sf_dir):
 
 
 EDITDIST_SQL = f"""
-WITH b AS (SELECT doc_id, text, substr(lower(text), 1, {DD.EDIT_PREFIX_LEN}) AS blk
-           FROM documents)
+WITH b0 AS (SELECT doc_id, text, substr(lower(text), 1, {DD.EDIT_PREFIX_LEN}) AS blk
+            FROM documents),
+b AS (SELECT *, count(*) OVER (PARTITION BY blk) AS bn FROM b0)
 SELECT a.doc_id AS id_a, c.doc_id AS id_b, levenshtein(a.text, c.text) AS dist
 FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
-WHERE levenshtein(a.text, c.text) <= {DD.EDIT_MAX_DIST}
+WHERE a.bn <= {DD.EDIT_BLOCK_CAP} AND levenshtein(a.text, c.text) <= {DD.EDIT_MAX_DIST}
 """
 
 

@@ -476,7 +476,11 @@ def test_value_bars_no_single_partition_window(spark):
     df = _specs()["t18_value_bars"].build(spark, SF)
     plan = explain_str(df, "simple")
     assert "SinglePartition" not in plan, plan
-    assert "rangepartitioning" in plan, plan
+    # The pid-stamped frame is localCheckpoint()ed (retry-determinism:
+    # the same materialized range partitioning feeds both the offsets
+    # collect and the final join), so the visible plan reads the
+    # checkpointed RDD; the range-repartition ran eagerly inside it.
+    assert "rangepartitioning" in plan or "Scan ExistingRDD" in plan, plan
 
 
 def test_sliding_distinct_no_window_operator(spark):

@@ -185,3 +185,167 @@ def test_merge_chain_localcheckpoint_sites_still_deterministic(spark):
     df = spark.createDataFrame([(i,) for i in range(1, 501)], "doc_id long")
     rows = train_order(df, "doc_id", num_partitions=8).collect()
     assert sorted(r.pos for r in rows) == list(range(1, 501))
+
+
+def test_gapfill_multi_unit_buckets_align(spark):
+    """A '6 HOURS' bucket must truncate observations to 6-hour
+    boundaries — date_trunc('hour') under a 6h interval misaligned
+    the spine and silently DROPPED observed rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.temporal import (
+        rollup_gapfill_locf,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 1, 0), 10.0),   # bucket 00:00
+        (1, dt.datetime(2024, 1, 1, 10, 0), 20.0),  # bucket 06:00
+        (1, dt.datetime(2024, 1, 2, 2, 30), 30.0),  # bucket 1/2 00:00
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = rollup_gapfill_locf(
+        df, "k", "ts", F.sum(F.col("v").cast("decimal(12,2)")).cast("double"),
+        bucket="6 HOURS",
+    ).collect()
+    by_ws = {r.ws: (r.n, r.v_locf) for r in out}
+    assert by_ws[dt.datetime(2024, 1, 1, 0, 0)] == (1, 10.0)
+    assert by_ws[dt.datetime(2024, 1, 1, 6, 0)] == (1, 20.0)  # was dropped pre-fix
+    # gap buckets 12:00 and 18:00 are filled with LOCF 20.0
+    assert by_ws[dt.datetime(2024, 1, 1, 12, 0)] == (0, 20.0)
+    assert by_ws[dt.datetime(2024, 1, 1, 18, 0)] == (0, 20.0)
+    assert by_ws[dt.datetime(2024, 1, 2, 0, 0)] == (1, 30.0)
+    assert len(by_ws) == 5
+
+
+def test_gapfill_rejects_malformed_bucket(spark):
+    """Lowercase 'hours' previously survived rstrip('S') and made
+    date_trunc return NULL for every row; month buckets are not
+    fixed-width. Both must raise, not corrupt."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.temporal import (
+        rollup_gapfill_locf,
+    )
+
+    df = spark.createDataFrame([], "k long, ts timestamp, v double")
+    agg = F.sum(F.col("v").cast("decimal(12,2)")).cast("double")
+    with _pytest.raises(ValueError, match="bucket"):
+        rollup_gapfill_locf(df, "k", "ts", agg, bucket="1 hourz")
+    with _pytest.raises(ValueError, match="bucket"):
+        rollup_gapfill_locf(df, "k", "ts", agg, bucket="1 MONTH")
+    with _pytest.raises(ValueError, match="bucket"):
+        rollup_gapfill_locf(df, "k", "ts", agg, bucket="HOUR")
+
+
+def test_asof_null_right_val_stays_paired_with_its_ts(spark):
+    """(val, ts) must come from ONE right row: with right rows
+    (10:00, v=5) and (11:00, v=NULL), a left row at 12:00 matches the
+    LATEST right row whole — (NULL, 11:00) — never the frankenpair
+    (5, 11:00) that independent ignorenulls scans produced."""
+    import datetime as dt
+
+    from database_query_processor_spark.operators.temporal import (
+        as_of_join,
+        nearest_asof_join,
+    )
+
+    T = lambda h: dt.datetime(2024, 1, 1, h, 0)
+    left = spark.createDataFrame([(1, 7, T(12))], "lid INT, k INT, ts TIMESTAMP")
+    right = spark.createDataFrame(
+        [(7, T(10), 5), (7, T(11), None)], "k INT, ts TIMESTAMP, rid INT"
+    )
+    r = as_of_join(left, right, key="k", left_ts="ts", right_ts="ts",
+                   right_val="rid").collect()[0]
+    assert r.matched_val is None and r.matched_ts == T(11)
+    n = nearest_asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts", right_val="rid",
+        tolerance_us=10 * 3600 * 1_000_000,
+    ).collect()[0]
+    assert n.matched_val is None and n.matched_ts == T(11)
+
+
+def test_minhash_short_docs_do_not_mega_bucket(spark):
+    """Docs below the shingle width have no MinHash; they must be
+    excluded from banding (all-NULL signatures collapsed to band key
+    '' and put every short doc in one corpus-wide bucket) without
+    changing the verified pair output."""
+    from database_query_processor_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_dedup_pairs,
+        minhash_signature,
+    )
+
+    long_a = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [(1, long_a), (2, long_a + "extra"), *[(i, "hi") for i in range(10, 60)]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signature(df, "doc_id", "text")
+    assert sigs.count() == 2  # short docs carry no signature
+    cands = lsh_candidate_pairs(sigs)
+    assert {tuple(r) for r in cands.select("id_a", "id_b").collect()} == {(1, 2)}
+    pairs = minhash_dedup_pairs(df, "doc_id", "text")
+    assert [
+        (r.id_a, r.id_b) for r in pairs.select("id_a", "id_b").collect()
+    ] == [(1, 2)]
+
+
+def test_simhash_excludes_tokenless_docs(spark):
+    """Empty/whitespace-only docs all hash to signature 0 — they must
+    not be emitted as pairwise hamming-0 'duplicates' of each other."""
+    from database_query_processor_spark.operators.dedup import simhash_dedup_pairs
+
+    rows = [(1, "some real content here"), (2, "some real content there"),
+            (3, ""), (4, "   "), (5, "\t\n")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_dedup_pairs(df, "doc_id", "text")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert all(a not in (3, 4, 5) and b not in (3, 4, 5) for a, b in got)
+
+
+def test_editdistance_block_cap_and_join_shape(spark):
+    """Templated corpora share the blocking prefix systematically:
+    oversized blocks are skipped (cap), and pairing is a streaming
+    self-join — the plan must not collect_list full texts per block."""
+    from database_query_processor_spark.operators.dedup import editdistance_pairs
+
+    tmpl = "<!DOCTYPE html><html><head><title>page"
+    near = [(1, tmpl + " one</title>"), (2, tmpl + " two</title>")]
+    df = spark.createDataFrame(near, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in editdistance_pairs(df, "doc_id", "text")
+           .collect()}
+    assert got == {(1, 2)}
+    # oversized block (cap=3): no pairs emitted, no error
+    flood = [(i, tmpl + f" {i:06d}</title>") for i in range(100)]
+    df2 = spark.createDataFrame(flood, "doc_id long, text string")
+    import database_query_processor_spark.operators.dedup as DD
+    orig = DD.EDIT_BLOCK_CAP
+    try:
+        DD.EDIT_BLOCK_CAP = 3
+        assert editdistance_pairs(df2, "doc_id", "text").count() == 0
+    finally:
+        DD.EDIT_BLOCK_CAP = orig
+    plan = editdistance_pairs(df, "doc_id", "text")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "collect_list" not in plan
+
+
+def test_pagerank_empty_edges_returns_empty_frame(spark):
+    from database_query_processor_spark.operators.graph import pagerank_fixedpoint
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    out = pagerank_fixedpoint(edges)
+    assert out.columns == ["node_id", "rank"]
+    assert out.count() == 0
+
+
+def test_ann_ivf_missing_query_returns_empty(spark):
+    from database_query_processor_spark.operators.similarity import ann_ivf_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    out = ann_ivf_topk(df, "vec_id", "embedding", query_id=99999, cells=4)
+    assert out.count() == 0
