@@ -313,10 +313,18 @@ def read_tuples(tbl_bytes: bytes) -> list[list]:
     rows: list[list] = []
     while not r.at_eof():
         v = r.read_content()
-        if v and isinstance(v[0], list):  # a Batch: list of tuples
+        if isinstance(v, list) and (not v or isinstance(v[0], list)):
+            # a Batch: list of tuples. An EMPTY batch (TupleWriter's
+            # close-time flush) contributes no rows — the old
+            # `if v and ...` truthiness check misread it as a bare
+            # 0-column Tuple row and crashed the DataFrame build.
             rows.extend(v)
+        elif isinstance(v, list):
+            rows.append(v)  # a bare Tuple row
         else:
-            rows.append(v)
+            raise ValueError(
+                f"unexpected serialized content in .tbl stream: {type(v).__name__}"
+            )
     return rows
 
 

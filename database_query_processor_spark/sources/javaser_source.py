@@ -52,7 +52,7 @@ def _read_bytes(uri: str) -> bytes:
 
 def _resolve_shards(pattern: str) -> tuple[str, list[str]]:
     """Expand `<dir>/<name-glob>` against the pattern's filesystem.
-    Returns (base_dir_uri, fs-internal shard paths)."""
+    Returns (filesystem-reconstruction URI, fs-internal shard paths)."""
     from pyarrow import fs as pafs
 
     filesystem, path = pafs.FileSystem.from_uri(pattern)
@@ -62,8 +62,6 @@ def _resolve_shards(pattern: str) -> tuple[str, list[str]]:
             "javaser: glob wildcards are only supported in the filename "
             f"component, got {pattern!r}"
         )
-    # keep the scheme so executors reconstruct the same filesystem
-    scheme_prefix = pattern[: len(pattern) - len(path)]
     infos = filesystem.get_file_info(pafs.FileSelector(base))
     shards = sorted(
         i.path
@@ -71,7 +69,13 @@ def _resolve_shards(pattern: str) -> tuple[str, list[str]]:
         if i.type == pafs.FileType.File
         and fnmatch.fnmatch(posixpath.basename(i.path), name)
     )
-    return scheme_prefix + base, shards
+    # Executors reconstruct the FILESYSTEM from this URI and discard
+    # its path part (shard paths are fs-internal), so the original
+    # pattern string is the one URI guaranteed to resolve the same
+    # filesystem. Deriving a prefix by byte-length subtraction broke
+    # whenever from_uri percent-decoded the path ('%20' -> ' '
+    # shortens it, truncating the scheme arithmetic).
+    return pattern, shards
 
 
 class _TblPartition(InputPartition):

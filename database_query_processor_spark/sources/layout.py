@@ -136,11 +136,20 @@ def write_zordered(
         F.min(col_a).alias("amin"), F.max(col_a).alias("amax"),
         F.min(col_b).alias("bmin"), F.max(col_b).alias("bmax"),
     ).first()
+    if stats["amin"] is None or stats["bmin"] is None:
+        # empty input (or all-NULL cluster column): nothing to
+        # cluster — write as-is instead of TypeError on int(None)
+        df.write.mode("overwrite").parquet(path)
+        return
     top = (1 << bits) - 1
 
     def norm(col, lo, hi):
         span = max(int(hi) - int(lo), 1)
-        return ((col.cast("long") - int(lo)) * top / span).cast("long")
+        scaled = ((col.cast("long") - int(lo)) * top / span).cast("long")
+        # clamp: int() truncation of fractional min/max plus double
+        # rounding could nudge boundary rows past [0, top], where the
+        # interleave mask would WRAP them to the far end of the curve
+        return F.greatest(F.lit(0), F.least(F.lit(top), scaled))
 
     z = df.withColumn(
         "_z",

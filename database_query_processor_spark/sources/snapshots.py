@@ -56,7 +56,11 @@ def _referenced(table_dir: str, upto_version: int, name: str) -> bool:
 
 
 def latest_version(table_dir: str) -> int:
-    """Highest committed version, 0 if the table is empty."""
+    """Highest committed version, 0 if the table is empty (a
+    not-yet-created table_dir IS an empty table — commit() creates
+    the layout on first write, like any Spark writer)."""
+    if not os.path.isdir(table_dir):
+        return 0
     vs = [
         int(name[len("manifest_v") : -len(".json")])
         for name in os.listdir(table_dir)
@@ -74,6 +78,7 @@ def commit(
     immutable data file (a single-file parquet dir under data/),
     inherit the previous snapshot's files minus `drops`, and publish
     manifest_v{N+1}. Returns the new version number."""
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
     prev = latest_version(table_dir)
     files: list[str] = []
     if prev:

@@ -114,7 +114,12 @@ def schema_drift_audit(
             .alias(f.name)
             for f in df.schema.fields
         ]
-        cols = ", ".join(f"'{c}', `{c}`" for c in df.columns)
+        # escape quotes/backticks: the audit exists for externally
+        # drifting datasets, whose new columns may carry any name
+        cols = ", ".join(
+            "'" + c.replace("'", "''") + "', `" + c.replace("`", "``") + "`"
+            for c in df.columns
+        )
         return df.agg(*aggs).select(
             F.expr(f"stack({len(df.columns)}, {cols}) AS (column_name, {alias})")
         )

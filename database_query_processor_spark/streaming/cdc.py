@@ -32,10 +32,12 @@ reference is batch-only and mutation-free).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import tempfile
+import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from database_query_processor_spark.operators.relational import merge_into
@@ -50,6 +52,8 @@ def apply_cdc_epoch(
     key: str,
     update_cols: list[str],
     delete_col: str = "is_delete",
+    seq_col: str | None = None,
+    name_prefix: str = "merged",
 ) -> bool:
     """Apply ONE changelog micro-batch to the table's latest snapshot
     and commit the result as the next version. Idempotent on epoch
@@ -58,13 +62,43 @@ def apply_cdc_epoch(
     sufficient because foreachBatch epochs are sequential — only the
     most recent epoch (whose file survives in the live manifest) can
     ever be redelivered. Returns whether a commit happened
-    (False = redelivery skipped)."""
-    name = f"merged_epoch_{batch_id}"
+    (False = redelivery skipped).
+
+    MERGE precondition — at most one op per key per batch: a real CDC
+    feed carries several ops per key, and merging them unreduced
+    fans out the full-outer join (duplicate rows, deletes eclipsed by
+    surviving update rows — silently wrong data). Pass ``seq_col``
+    (the changelog's LSN/sequence column) and the batch is reduced to
+    each key's LATEST op before the merge; without it the
+    precondition is ENFORCED — a batch with duplicate keys raises
+    instead of corrupting the snapshot."""
+    name = f"{name_prefix}_epoch_{batch_id}"
     version = SNAP.latest_version(table)
     with open(SNAP._manifest(table, version)) as fh:
         live = json.load(fh)["files"]
     if name in live:
         return False
+    if seq_col is not None:
+        w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+        batch_df = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        dup = (
+            batch_df.groupBy(key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"changelog batch {batch_id} has multiple ops for key "
+                f"{dup[0][0]!r}; pass seq_col to reduce to the latest op "
+                "per key (MERGE requires at most one source row per key)"
+            )
     current = SNAP.read_version(spark, table, version)
     merged = merge_into(
         current,
@@ -90,17 +124,35 @@ def run_cdc_apply(
     delete_col: str = "is_delete",
     log_files: int = 4,
     table_dir: str | None = None,
+    seq_col: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """REAL streaming run: seed snapshot v1 with `target`, stream
     `changelog` one file per micro-batch, MERGE each batch into the
     latest snapshot and commit it as the next version. Returns the
     final materialized table (read through the manifest layer, so
-    every intermediate version remains queryable)."""
+    every intermediate version remains queryable).
+
+    Ordering: the changelog is split into files BY KEY (hash
+    repartition on ``key``), so all of a key's ops share one
+    micro-batch — a round-robin split would scatter them across
+    epochs in arbitrary file order and make the final state
+    nondeterministic. Within the batch, ``seq_col`` picks each key's
+    latest op (see apply_cdc_epoch); feeds with one op per key need
+    neither. Pass ``checkpoint_dir`` (with a durable ``table_dir``)
+    to make the run restartable: a re-invocation resumes from the
+    existing snapshots and the stream's checkpoint redelivers the
+    in-flight epoch, which the manifest check then applies
+    idempotently; the default tempdir checkpoint is for
+    single-process demo runs."""
     table = table_dir or tempfile.mkdtemp(prefix="dqps_cdc_tbl_")
-    SNAP.commit(table, {"base": target})
+    if SNAP.latest_version(table) == 0:
+        SNAP.commit(table, {"base": target})
 
     log_dir = tempfile.mkdtemp(prefix="dqps_cdc_log_")
-    changelog.repartition(log_files).write.mode("overwrite").parquet(log_dir)
+    changelog.repartition(log_files, F.col(key)).write.mode("overwrite").parquet(
+        log_dir
+    )
     schema = spark.read.parquet(log_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -108,12 +160,29 @@ def run_cdc_apply(
         .parquet(log_dir)
     )
 
+    # Epoch data files are named per RUN: with a persistent
+    # checkpoint_dir the prefix derives from it (a restart resumes the
+    # same stream, so a redelivered batch_id maps to the SAME name and
+    # the idempotent-commit machinery engages); without one the stream
+    # is fresh each call and batch ids restart at 0, so a unique
+    # prefix keeps new epochs from colliding with immutable history
+    # when the same table_dir is reused.
+    if checkpoint_dir is not None:
+        run_id = hashlib.sha1(checkpoint_dir.encode()).hexdigest()[:8]
+    else:
+        run_id = uuid.uuid4().hex[:8]
+    prefix = f"merged_{run_id}"
+
     def apply_epoch(batch_df: DataFrame, batch_id: int) -> None:
         apply_cdc_epoch(
-            spark, table, batch_df, batch_id, key, update_cols, delete_col
+            spark, table, batch_df, batch_id, key, update_cols, delete_col,
+            seq_col=seq_col, name_prefix=prefix,
         )
 
-    q = stream.writeStream.foreachBatch(apply_epoch).start()
+    writer = stream.writeStream.foreachBatch(apply_epoch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     try:
         q.processAllAvailable()
     finally:

@@ -12,12 +12,10 @@ output is append-mode, safe for any downstream sink.
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import normalize_event_ts
+from .windows import _events_stream, _run_to_memory_sink
 
 
 def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -26,13 +24,7 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, event_type, ts) — ts in the key makes watermark state
     eviction apply — append-mode memory sink, driven to completion.
     Returns the sink table: one row per distinct key."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = normalize_event_ts(stream)
+    stream = _events_stream(spark, sf_dir)
     dd = (
         stream.withWatermark("ts", "10 minutes")
         .dropDuplicates(["user_id", "event_type", "ts"])
@@ -42,10 +34,4 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("timestamp_ntz").alias("ts"),
         )
     )
-    name = "dedup_" + uuid.uuid4().hex[:8]
-    q = dd.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_to_memory_sink(dd, "dedup", mode="append")

@@ -11,12 +11,10 @@ the state store holds only the interval window per key, not history.
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import normalize_event_ts
+from .windows import _events_stream, _run_to_memory_sink
 
 
 def purchase_click_attribution(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
@@ -52,16 +50,10 @@ def run_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     one broadcast per batch, never a shuffle of the stream.
 
     Driven as a REAL streaming query over the finite events parquet
-    (update-mode memory sink, aggregated output)."""
-    import uuid as _uuid
-
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = normalize_event_ts(stream)
+    (complete-mode memory sink — the full aggregate re-emits per
+    batch, which is what makes the final table equal the batch
+    rollup)."""
+    stream = _events_stream(spark, sf_dir)
     dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey"), F.col("c_mktsegment")
     )
@@ -74,36 +66,13 @@ def run_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
     )
-    name = "enrich_" + _uuid.uuid4().hex[:8]
-    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_to_memory_sink(agg, "enrich")
 
 
 def run_purchase_click_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the attribution join as a REAL stream-stream join over
     the finite events parquet (append-mode memory sink)."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-
-    def _stream():
-        s = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        s = normalize_event_ts(s)
-        return s
-
-    purchases = _stream().filter(F.col("event_type") == "purchase")
-    clicks = _stream().filter(F.col("event_type") == "click")
+    purchases = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    clicks = _events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
     out = purchase_click_attribution(purchases, clicks)
-    name = "attribution_" + uuid.uuid4().hex[:8]
-    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_to_memory_sink(out, "attribution", mode="append")

@@ -27,13 +27,10 @@ def run_foreach_batch_sink(spark: SparkSession, sf_dir: str, out_dir: str | None
     redelivery). Returns the re-read union aggregated across epochs —
     equal to the batch groupBy regardless of how the stream was
     micro-batched."""
+    from .windows import _events_stream
+
     out = out_dir or f"/tmp/dqps_s07_{uuid.uuid4().hex[:8]}"
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
 
     def write_epoch(batch_df: DataFrame, batch_id: int) -> None:
         (

@@ -21,13 +21,11 @@ exact); the plan edge converts back to TIMESTAMP_NTZ.
 
 from __future__ import annotations
 
-import uuid
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import normalize_event_ts
 
 STATE_SCHEMA = "n BIGINT, first_us BIGINT, last_us BIGINT"
 OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, first_us BIGINT, last_us BIGINT"
@@ -72,27 +70,12 @@ def run_user_profile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     to completion. The final per-user profile is the row with the
     largest n_events (update mode emits one row per key per batch) —
     reduced batch-side so the result is batching-invariant."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = normalize_event_ts(stream)
-    name = "user_profiles_" + uuid.uuid4().hex[:8]
-    q = (
-        user_profiles(stream)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from .windows import _events_stream, _run_to_memory_sink
+
+    stream = _events_stream(spark, sf_dir)
+    sink = _run_to_memory_sink(user_profiles(stream), "user_profiles", mode="update")
     return (
-        spark.table(name)
+        sink
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
@@ -208,27 +191,14 @@ def run_daily_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+        from .windows import _events_stream, _run_to_memory_sink
+
+        stream = _events_stream(spark, sf_dir)
+        sink = _run_to_memory_sink(
+            daily_counts_tws(stream), "daily_counts", mode="update"
         )
-        stream = normalize_event_ts(stream)
-        name = "daily_counts_" + uuid.uuid4().hex[:8]
-        q = (
-            daily_counts_tws(stream)
-            .writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
         return (
-            spark.table(name)
+            sink
             .groupBy("event_type", "day_us")
             .agg(F.max("n").alias("n"))
             .select(

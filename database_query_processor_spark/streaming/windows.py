@@ -73,16 +73,24 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _run_to_memory_sink(agg: DataFrame, prefix: str) -> DataFrame:
-    """Drive a streaming aggregation to completion through a
-    complete-mode memory sink and return the sink table."""
-    name = prefix + "_" + uuid.uuid4().hex[:8]
-    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+def _run_to_memory_sink(agg: DataFrame, prefix: str, mode: str = "complete") -> DataFrame:
+    """Drive a streaming frame to completion through a memory sink in
+    the given output mode and return the sink table.
+
+    The sink name is DETERMINISTIC per topology (one registered table
+    per prefix, dropped and re-registered on each run) — uuid-suffixed
+    names would leak one fully-materialized result copy into the
+    driver catalog per invocation for the session's lifetime. A
+    DataFrame returned by a PREVIOUS run of the same topology is
+    invalidated by the next run; collect before re-running."""
+    name = f"dqps_sink_{prefix}"
+    spark = agg.sparkSession
+    spark.catalog.dropTempView(name)
+    q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    spark = agg.sparkSession
     return spark.table(name)
 
 

@@ -349,3 +349,123 @@ def test_ann_ivf_missing_query_returns_empty(spark):
     )
     out = ann_ivf_topk(df, "vec_id", "embedding", query_id=99999, cells=4)
     assert out.count() == 0
+
+
+def test_cdc_multi_op_per_key_changelog(spark, tmp_path):
+    """A realistic CDC feed carries several ops per key. With seq_col
+    the batch reduces to each key's latest op; without it the MERGE
+    precondition is enforced (raise), never silently merged."""
+    from database_query_processor_spark.streaming.cdc import run_cdc_apply
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, v string, amt double"
+    )
+    # key 1: update then delete (delete wins); key 3: insert then update
+    log = spark.createDataFrame(
+        [
+            (1, "a2", 11.0, False, 1),
+            (1, "a2", 11.0, True, 2),
+            (3, "new", 30.0, False, 3),
+            (3, "new2", 31.0, False, 4),
+        ],
+        "k long, v string, amt double, is_delete boolean, seq long",
+    )
+    out = run_cdc_apply(
+        spark, target, log, key="k", update_cols=["v", "amt"],
+        table_dir=str(tmp_path / "t1"), seq_col="seq",
+    )
+    got = {(r.k, r.v) for r in out.select("k", "v").collect()}
+    assert got == {(2, "b"), (3, "new2")}  # 1 deleted, 3 at latest op
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="multiple ops"):
+        run_cdc_apply(
+            spark, target, log.drop("seq"), key="k", update_cols=["v", "amt"],
+            table_dir=str(tmp_path / "t2"),
+        )
+
+
+def test_cdc_retry_resumes_existing_table(spark, tmp_path):
+    """Re-invoking run_cdc_apply on a table_dir that already has
+    snapshots must resume (not raise immutable-base); and commit()
+    creates a fresh table_dir itself."""
+    from database_query_processor_spark.sources import snapshots as SNAP
+    from database_query_processor_spark.streaming.cdc import run_cdc_apply
+
+    target = spark.createDataFrame([(1, "a", 10.0)], "k long, v string, amt double")
+    log = spark.createDataFrame(
+        [(1, "a2", 11.0, False)], "k long, v string, amt double, is_delete boolean"
+    )
+    tdir = str(tmp_path / "tbl")  # does NOT exist: commit creates it
+    out1 = run_cdc_apply(spark, target, log, key="k", update_cols=["v", "amt"],
+                         table_dir=tdir)
+    assert [(r.k, r.v) for r in out1.collect()] == [(1, "a2")]
+    v_after_first = SNAP.latest_version(tdir)
+    # retry: seeds nothing, applies the (fresh-stream) epochs on top
+    out2 = run_cdc_apply(spark, target, log, key="k", update_cols=["v", "amt"],
+                         table_dir=tdir)
+    assert [(r.k, r.v) for r in out2.collect()] == [(1, "a2")]
+    assert SNAP.latest_version(tdir) > v_after_first
+
+
+def test_javaser_empty_batch_contributes_no_rows(monkeypatch):
+    """A .tbl stream ending in an empty Batch (TupleWriter close-time
+    flush) must decode to the same rows — not a phantom 0-column row
+    that crashes the DataFrame build; TC_NULL content raises."""
+    from database_query_processor_spark.sources import javaser
+
+    class FakeReader:
+        def __init__(self, data):
+            self.items = list(data)
+
+        def at_eof(self):
+            return not self.items
+
+        def read_content(self):
+            return self.items.pop(0)
+
+    monkeypatch.setattr(javaser, "JavaSerReader", FakeReader)
+    batch_then_empty = [[[1, "x"], [2, "y"]], []]
+    assert javaser.read_tuples(batch_then_empty) == [[1, "x"], [2, "y"]]
+    bare_tuples = [[1, "x"], [2, "y"]]
+    assert javaser.read_tuples(bare_tuples) == [[1, "x"], [2, "y"]]
+    with pytest.raises(ValueError, match="unexpected serialized content"):
+        javaser.read_tuples([None])
+
+
+def test_schema_drift_audit_survives_quoted_column_names(spark, tmp_path):
+    """The audit exists for externally drifting datasets — a column
+    named with a quote must not break the stack() expression."""
+    from database_query_processor_spark.sources.stats import schema_drift_audit
+
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame([(1, 5)], ["id", "user's_id"]).write.parquet(p1)
+    spark.createDataFrame([(1, 5, 7)], ["id", "user's_id", "extra"]).write.parquet(p2)
+    out = {
+        r.column_name: r.status
+        for r in schema_drift_audit(spark, p1, p2).collect()
+    }
+    assert out["user's_id"] == "kept" and out["extra"] == "added"
+
+
+def test_zorder_empty_dataframe_writes_cleanly(spark, tmp_path):
+    from database_query_processor_spark.sources.layout import write_zordered
+
+    df = spark.createDataFrame([], "a long, b long, v string")
+    path = str(tmp_path / "z")
+    write_zordered(df, path, "a", "b")
+    assert spark.read.parquet(path).count() == 0
+
+
+def test_memory_sink_names_are_bounded_per_topology(spark):
+    """Re-running a streaming topology must reuse (drop + re-register)
+    its one sink table, not leak a uuid-named table per run."""
+    from database_query_processor_spark.streaming.dedup import run_stream_dedup
+
+    before = {t.name for t in spark.catalog.listTables()}
+    run_stream_dedup(spark, "/root/testdata/sf0.001").count()
+    run_stream_dedup(spark, "/root/testdata/sf0.001").count()
+    after = {t.name for t in spark.catalog.listTables()}
+    new = after - before
+    assert new == {"dqps_sink_dedup"}, new

@@ -182,9 +182,14 @@ def test_cdc_epoch_redelivery_idempotent(spark, tmp_path):
 
     # redeliver the last applied epoch: manifest must not move
     v_before = SNAP.latest_version(table)
+    import json as _json
+
+    with open(SNAP._manifest(table, v_before)) as fh:
+        live_name = _json.load(fh)["files"][0]  # merged_<run>_epoch_<id>
+    prefix, bid = live_name.rsplit("_epoch_", 1)
     redo = apply_cdc_epoch(
-        spark, table, log.limit(1), batch_id=v_before - 2,
-        key="k", update_cols=["s", "v"],
+        spark, table, log.limit(1), batch_id=int(bid),
+        key="k", update_cols=["s", "v"], name_prefix=prefix,
     )
     assert redo is False and SNAP.latest_version(table) == v_before
 
