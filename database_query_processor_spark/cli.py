@@ -61,7 +61,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.explain or args.confirm:
         df.explain("formatted")
     if args.confirm:
-        answer = input("execute this plan? [y/N] ").strip().lower()
+        try:
+            answer = input("execute this plan? [y/N] ").strip().lower()
+        except EOFError:  # non-interactive stdin (cron/CI): clean abort
+            answer = ""
         if answer not in ("y", "yes"):
             print("aborted", file=sys.stderr)
             return 2

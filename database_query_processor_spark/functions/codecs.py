@@ -27,6 +27,7 @@ import zlib
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel
+_MAX_PIXEL_BYTES = 64 * 1024 * 1024  # decode cap: reject absurd IHDR dims
 
 
 def is_png(payload: bytes) -> bool:
@@ -65,9 +66,12 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("truncated PNG chunk")
         data = payload[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
+            try:
+                width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+            except struct.error as e:  # honest length field, short body
+                raise ValueError(f"malformed PNG IHDR chunk: {e}") from e
             if depth != 8:
                 raise ValueError(f"unsupported PNG bit depth {depth}")
             if color not in _CHANNELS:
@@ -82,12 +86,24 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length  # length + type + data + crc
     if width is None or not idat:
         raise ValueError("truncated PNG (missing IHDR or IDAT)")
+    stride = width * channels
+    expected = height * (stride + 1)
+    if expected > _MAX_PIXEL_BYTES:
+        raise ValueError(
+            f"PNG dimensions {width}x{height}x{channels} exceed the "
+            f"{_MAX_PIXEL_BYTES}-byte decode cap"
+        )
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # bounded inflate: the output size is KNOWN from IHDR, so cap
+        # the decompressor there — a few-KB crafted payload with a
+        # high-ratio DEFLATE stream (decompression bomb) must raise
+        # the quarantine ValueError, not allocate executor memory
+        # until the post-hoc length check
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error as e:  # corrupt DEFLATE stream inside valid chunks
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
+    if len(raw) != expected or d.unconsumed_tail or d.unused_data or not d.eof:
         raise ValueError("PNG pixel data length mismatch")
     out = bytearray(height * stride)
     prev_off = -stride

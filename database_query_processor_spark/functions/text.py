@@ -70,8 +70,14 @@ def lang_id(text: Column | str) -> Column:
 
 
 def punct_ratio(text: Column | str) -> Column:
+    """Share of characters that are punctuation. Empty docs score 0,
+    not NULL — denominator guarded like stopword_ratio (a NULL here
+    would silently NULL quality_score and drop the doc from every
+    score>threshold filter instead of scoring it low)."""
     c = F.col(text) if isinstance(text, str) else text
-    return (F.length(c) - F.length(F.regexp_replace(c, PUNCT_RE, ""))) / F.length(c)
+    return (F.length(c) - F.length(F.regexp_replace(c, PUNCT_RE, ""))) / F.greatest(
+        F.length(c), F.lit(1)
+    )
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:

@@ -25,7 +25,14 @@ from pyspark.sql import functions as F
 
 
 def dec(col: str | Column, precision: int = 12, scale: int = 2) -> Column:
-    """Exact-decimal view of a 2-dp money/quantity column."""
+    """Exact-decimal view of a 2-dp money/quantity column.
+
+    DOMAIN CONTRACT: the value must fit decimal(12,2) (|x| < 10^10 —
+    the TPC-H money/quantity domain with headroom). Under Spark's
+    default non-ANSI mode an overflowing cast yields NULL and SUM
+    silently skips it (DuckDB's oracle cast ERRORS instead, so a
+    violation shows up as a cross-engine mismatch, not silence).
+    Pass a wider precision for columns that can exceed it."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(f"decimal({precision},{scale})")
 

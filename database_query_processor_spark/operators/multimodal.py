@@ -64,6 +64,8 @@ def real_decode(payload: bytes) -> dict:
     dispatch without touching the Arrow plumbing."""
     from database_query_processor_spark.functions import codecs
 
+    if payload is None:
+        raise ValueError("null payload")
     if codecs.is_png(payload):
         w, h, ch, px = codecs.decode_png(payload)
         return {
@@ -93,9 +95,24 @@ def decode_media_batch(df_bin: DataFrame) -> DataFrame:
     the fake-codec path beside it keeps the SQL-expressible oracle,
     this one decodes actual media."""
 
+    _quarantined = {
+        "kind": None, "width": None, "height": None, "channels": None,
+        "n_frames": None, "sample_rate": None, "mean_val": None,
+    }
+
+    def _decode_or_quarantine(payload):
+        # the src13 quarantine pattern IN the batch body: a NULL,
+        # corrupt, or unknown-format payload becomes an all-NULL row
+        # (kind IS NULL = quarantined) — one bad payload must not
+        # fail the whole 100 TB stage
+        try:
+            return real_decode(payload)
+        except ValueError:
+            return _quarantined
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            media = pdf["payload"].map(real_decode)
+            media = pdf["payload"].map(_decode_or_quarantine)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -118,14 +135,17 @@ def decode_image_batch(df_bin: DataFrame) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf["payload"].map(_fake_decode)
+            # na_action='ignore' propagates a NULL payload as SQL NULL
+            # outputs (exactly what the SQL oracle computes over NULL
+            # text) instead of a TypeError killing the stage
+            dims = pdf["payload"].map(_fake_decode, na_action="ignore")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "fake_width": dims.map(lambda d: d[0]).astype("int64"),
-                    "fake_height": dims.map(lambda d: d[1]).astype("int64"),
-                    "n_frames": dims.map(lambda d: d[2]).astype("int64"),
+                    "n_bytes": pdf["payload"].map(len, na_action="ignore").astype("Int64"),
+                    "fake_width": dims.map(lambda d: d[0], na_action="ignore").astype("Int64"),
+                    "fake_height": dims.map(lambda d: d[1], na_action="ignore").astype("Int64"),
+                    "n_frames": dims.map(lambda d: d[2], na_action="ignore").astype("Int64"),
                 }
             )
 
@@ -144,17 +164,22 @@ def resize_image_batch(df_bin: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> Data
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf["payload"].map(_fake_decode)
-            w = dims.map(lambda d: d[0]).astype("int64")
-            h = dims.map(lambda d: d[1]).astype("int64")
-            factor = (float(max_dim) / w.combine(h, max)).clip(upper=1.0)
+            dims = pdf["payload"].map(_fake_decode, na_action="ignore")
+            out = []
+            for d in dims:
+                if d is None or (isinstance(d, float) and pd.isna(d)):
+                    out.append((None, None, None, None))
+                    continue
+                w, h = d[0], d[1]
+                f = min(1.0, float(max_dim) / max(w, h))
+                out.append((w, h, int(w * f), int(h * f)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": w,
-                    "height": h,
-                    "out_width": (w * factor).astype("int64"),
-                    "out_height": (h * factor).astype("int64"),
+                    "width": pd.Series([r[0] for r in out], dtype="Int64"),
+                    "height": pd.Series([r[1] for r in out], dtype="Int64"),
+                    "out_width": pd.Series([r[2] for r in out], dtype="Int64"),
+                    "out_height": pd.Series([r[3] for r in out], dtype="Int64"),
                 }
             )
 
@@ -172,7 +197,9 @@ def sample_frames(df_bin: DataFrame, every: int = 2) -> DataFrame:
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n_frames = pdf["payload"].map(lambda p: _fake_decode(p)[2])
+            n_frames = pdf["payload"].map(
+                lambda p: _fake_decode(p)[2] if p is not None else 0
+            )
             ids, idxs = [], []
             for doc_id, nf in zip(pdf["doc_id"], n_frames):
                 for i in range(0, int(nf), every):
@@ -198,12 +225,13 @@ def extract_features_batch(df_bin: DataFrame, dim: int = FEATURE_DIM) -> DataFra
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = pdf["payload"].map(len)
+            n = pdf["payload"].map(len, na_action="ignore")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "features": n.map(
-                        lambda nb: [float((nb * (i + 3)) % 97) / 97.0 for i in range(dim)]
+                        lambda nb: [float((int(nb) * (i + 3)) % 97) / 97.0 for i in range(dim)],
+                        na_action="ignore",
                     ),
                 }
             )

@@ -49,11 +49,13 @@ def ensure_compiled() -> str:
         os.path.getmtime(marker) >= os.path.getmtime(s) for s in srcs
     ):
         return CLASSES_DIR
-    subprocess.run(
+    proc = subprocess.run(
         ["javac", "-cp", os.path.join(_spark_jars(), "*"), "-d", CLASSES_DIR, *srcs],
-        check=True,
         capture_output=True,
+        text=True,
     )
+    if proc.returncode != 0:  # surface the actual compiler diagnostics
+        raise RuntimeError(f"javac failed:\n{proc.stderr}")
     return CLASSES_DIR
 
 

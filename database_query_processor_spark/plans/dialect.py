@@ -36,24 +36,34 @@ _CLAUSE_RE = re.compile(
 
 _AGG_RE = re.compile(r"\b(MAX|MIN|SUM|COUNT|AVG)\s*\(\s*([A-Za-z_][\w.]*)\s*\)", re.IGNORECASE)
 
-_NUMERIC_RE = re.compile(r'^-?\d+(\.\d+)?$')
-
-
 def _convert_literal(m: re.Match) -> str:
-    body = m.group(1)
-    if _NUMERIC_RE.match(body):
-        return body  # typed coercion: numeric literal stays bare
-    return "'" + body.replace("'", "''") + "'"
+    # Every literal stays a QUOTED STRING: the reference coerces the
+    # string per COLUMN type at eval time (Select.java:140-141), and
+    # SQL engines do the same for a string literal compared against a
+    # typed column — so 'phone = "0123"' keeps string equality on a
+    # string column while 'price < "1500"' still compares numerically
+    # on a numeric one. Emitting numeric-LOOKING literals bare would
+    # instead coerce the string COLUMN to a number (0123 == '123'
+    # would match), silently flipping semantics on literal shape.
+    return "'" + m.group(1).replace("'", "''") + "'"
 
 
 def _split_top_level_commas(s: str) -> list[str]:
-    parts, depth, cur = [], 0, []
+    """Split on commas at paren depth 0, OUTSIDE single-quoted
+    literals — a comma or paren inside a converted literal
+    ('Smith, John') is content, not a conjunct separator. A doubled
+    '' inside a literal is the SQL escape (two quote chars, state
+    flips twice and stays inside — correct)."""
+    parts, depth, cur, in_str = [], 0, [], False
     for ch in s:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_str:
             parts.append("".join(cur).strip())
             cur = []
         else:

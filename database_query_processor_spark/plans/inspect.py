@@ -23,8 +23,11 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the plan (broadcast exchanges
-    excluded — they move dims, not data volume)."""
+    """Number of DISTRIBUTING shuffle exchanges in the plan. Two
+    deliberate exclusions: broadcast exchanges (they move dims, not
+    data volume) and `Exchange SinglePartition` (a global collapse —
+    gates assert its ABSENCE via 'SinglePartition' checks, so counting
+    it here would double-book the same plan property)."""
     # \bExchange\b does not match inside "BroadcastExchange" (no word
     # boundary between 't' and 'E'), so this counts shuffles only.
     plan = explain_str(df, "simple")

@@ -149,10 +149,10 @@ QUALITY_SQL = f"""
 WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents)
 SELECT doc_id,
   len(toks) AS n_tokens,
-  (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text) AS punct_ratio,
+  (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio,
   {_EN_OCC} / greatest(len(toks), 1) AS stopword_ratio,
   least(1.0, len(toks) / 50.0)
-    * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text))
+    * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / greatest(length(text), 1))
     * (0.5 + 0.5 * ({_EN_OCC} / greatest(len(toks), 1))) AS quality
 FROM t
 """
@@ -330,7 +330,7 @@ def pipeline_clean_corpus(spark, sf_dir):
 
 _QUALITY_EXPR = (
     f"least(1.0, len(toks) / 50.0)"
-    f" * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text))"
+    f" * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / greatest(length(text), 1))"
     f" * (0.5 + 0.5 * ({_EN_OCC} / greatest(len(toks), 1)))"
 )
 
@@ -494,7 +494,7 @@ reach(id, lab) AS (
 labels AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
 q AS (SELECT doc_id,
              least(1.0, len(toks) / 50.0)
-               * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text))
+               * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / greatest(length(text), 1))
                * (0.5 + 0.5 * ({_EN_OCC} / greatest(len(toks), 1))) AS score
       FROM t),
 ranked AS (SELECT cluster_id, l.doc_id, score,
@@ -868,7 +868,7 @@ WEIGHTED_SAMPLE_SQL = f"""
 WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
 q AS (SELECT doc_id,
   least(1.0, len(toks) / 50.0)
-  * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text))
+  * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / greatest(length(text), 1))
   * (0.5 + 0.5 * ({_EN_OCC} / greatest(len(toks), 1))) AS quality
       FROM t)
 SELECT doc_id, quality FROM q
@@ -1413,7 +1413,7 @@ WITH t AS (SELECT doc_id, text, {_WS_COUNT_SQL} AS n_tokens, {TOKS_SQL} AS toks
            FROM documents),
 s AS (SELECT doc_id, n_tokens,
              least(1.0, len(toks) / 50.0)
-               * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text))
+               * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / greatest(length(text), 1))
                * (0.5 + 0.5 * ({_EN_OCC} / greatest(len(toks), 1))) AS score
       FROM t),
 c AS (SELECT doc_id, n_tokens, score,

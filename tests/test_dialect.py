@@ -17,8 +17,16 @@ REF_TESTCASES = "/root/reference/testcases"
 
 def test_translate_comma_and_literals():
     out = translate('SELECT t.a FROM t WHERE t.a > "5", t.b = "x y" ORDERBY t.a DESC')
-    assert "WHERE t.a > 5 AND t.b = 'x y'" in out
+    # literals stay quoted strings: the engine coerces per COLUMN
+    # type, exactly like the reference's eval-time coercion — a bare
+    # numeral would coerce string COLUMNS numerically instead
+    assert "WHERE t.a > '5' AND t.b = 'x y'" in out
     assert "ORDER BY t.a DESC" in out
+
+
+def test_translate_comma_inside_literal_not_split():
+    out = translate('SELECT t.a FROM t WHERE t.name = "Smith, John", t.a > "5"')
+    assert "t.name = 'Smith, John' AND t.a > '5'" in out
 
 
 def test_translate_groupby_agg_alias():

@@ -469,3 +469,115 @@ def test_memory_sink_names_are_bounded_per_topology(spark):
     after = {t.name for t in spark.catalog.listTables()}
     new = after - before
     assert new == {"dqps_sink_dedup"}, new
+
+
+def test_dialect_literal_semantics_and_quoted_commas(spark):
+    """Reference literals coerce per COLUMN type: a numeric-looking
+    literal against a STRING column must compare as a string (phone
+    '0123' != '123'), and a comma inside a literal must not split
+    the conjunct list."""
+    from database_query_processor_spark.plans.dialect import run_reference_sql
+
+    spark.createDataFrame(
+        [(1, "0123", 5.0), (2, "123", 5.0), (3, "Smith, John", 9.0)],
+        "cid long, phone string, amt double",
+    ).createOrReplaceTempView("c")
+    got = [r.cid for r in run_reference_sql(
+        spark, 'SELECT c.cid FROM c WHERE c.phone="0123"'
+    ).collect()]
+    assert got == [1]  # NOT [1, 2]: string equality, no numeric coercion
+    got2 = [r.cid for r in run_reference_sql(
+        spark, 'SELECT c.cid FROM c WHERE c.phone="Smith, John", c.amt>"5"'
+    ).collect()]
+    assert got2 == [3]
+    # numeric comparison against a numeric column still numeric
+    got3 = sorted(r.cid for r in run_reference_sql(
+        spark, 'SELECT c.cid FROM c WHERE c.amt>"4.5"'
+    ).collect())
+    assert got3 == [1, 2, 3]
+
+
+def test_png_decompression_bomb_and_short_ihdr_raise_value_error():
+    import struct as _struct
+    import zlib as _zlib
+
+    from database_query_processor_spark.functions import codecs
+
+    # bomb: tiny declared dims, DEFLATE stream expanding way past them
+    bomb_raw = b"\x00" * (10 * 1024 * 1024)
+    sig = codecs._PNG_SIG
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    png = (
+        sig
+        + codecs._chunk(b"IHDR", ihdr)
+        + codecs._chunk(b"IDAT", _zlib.compress(bomb_raw))
+        + codecs._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="length mismatch"):
+        codecs.decode_png(png)
+    # absurd IHDR dims rejected before any inflate
+    huge = _struct.pack(">IIBBBBB", 2**31 - 1, 2**31 - 1, 8, 2, 0, 0, 0)
+    png2 = sig + codecs._chunk(b"IHDR", huge) + codecs._chunk(
+        b"IDAT", _zlib.compress(b"x")
+    ) + codecs._chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="decode cap"):
+        codecs.decode_png(png2)
+    # IHDR with honest-but-short length: ValueError, not struct.error
+    png3 = sig + codecs._chunk(b"IHDR", b"\x00\x00\x00\x02") + codecs._chunk(
+        b"IEND", b""
+    )
+    with pytest.raises(ValueError, match="IHDR"):
+        codecs.decode_png(png3)
+
+
+def test_multimodal_null_payloads_quarantine_not_crash(spark):
+    """One NULL payload row must not fail the stage: the real-codec
+    path emits an all-NULL (quarantined) row, the fake paths
+    propagate SQL NULLs, frame sampling skips."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.multimodal import (
+        decode_image_batch,
+        decode_media_batch,
+        extract_features_batch,
+        resize_image_batch,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"some payload bytes")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    media = {r.doc_id: r.kind for r in decode_media_batch(df).collect()}
+    assert media[2] is None  # quarantined, and kind for doc 1 is also
+    # None here (not PNG/WAV) — the important part: no crash
+    rows = {r.doc_id: r.n_bytes for r in decode_image_batch(df).collect()}
+    assert rows[1] == 18 and rows[2] is None
+    rz = {r.doc_id: r.out_width for r in resize_image_batch(df).collect()}
+    assert rz[1] is not None and rz[2] is None
+    fr = sample_frames(df).groupBy("doc_id").count().collect()
+    assert {r.doc_id for r in fr} <= {1}
+    ft = {r.doc_id: r.features for r in extract_features_batch(df).collect()}
+    assert len(ft[1]) == 8 and ft[2] is None
+
+
+def test_quality_score_empty_doc_scores_zero_not_null(spark):
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.functions.text import (
+        punct_ratio,
+        quality_score,
+    )
+
+    df = spark.createDataFrame([(1, ""), (2, "a solid doc here")],
+                               "doc_id long, text string")
+    out = {
+        r.doc_id: (r.pr, r.q)
+        for r in df.select(
+            "doc_id",
+            punct_ratio("text").alias("pr"),
+            quality_score("text").alias("q"),
+        ).collect()
+    }
+    assert out[1][0] == 0.0 and out[1][1] is not None
+    assert out[2][1] > 0.0
