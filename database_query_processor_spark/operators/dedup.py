@@ -109,16 +109,7 @@ def _signature_from_shingles(grams_df: DataFrame) -> DataFrame:
     it (30s+ of plan/compile time at ANY data size) and the hashing
     would be re-evaluated per permutation. CollapseProject keeps the
     boundary because the alias is non-cheap and referenced 64 times."""
-    # Docs with EMPTY shingle sets (fewer tokens than the shingle
-    # width: titles, stubs, blank docs) are excluded up front. An
-    # empty set has no MinHash — array_min over [] is NULL for all 64
-    # permutations, concat_ws drops NULLs, and every such doc would
-    # land in band key "" in EVERY band: one corpus-wide mega-bucket
-    # (quadratic candidate pairs, unbounded collect_list) for a
-    # common corpus artifact. The exact-Jaccard verify drops those
-    # pairs anyway (0-shingle overlap), so the output is unchanged —
-    # this removes only the blow-up.
-    with_hashes = grams_df.filter(F.size("grams") > 0).select(
+    with_hashes = grams_df.select(
         "doc_id",
         F.transform("grams", lambda g: F.xxhash64(g).bitwiseAND(F.lit(0xFFFFFFFF))).alias("hs"),
     )
@@ -156,6 +147,18 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+    # Docs with EMPTY shingle sets (fewer tokens than the shingle
+    # width: titles, stubs, blank docs) have no MinHash — array_min
+    # over [] is NULL for all permutations and concat_ws drops NULLs,
+    # so they ALL land on band key "" in EVERY band: one corpus-wide
+    # mega-bucket (quadratic candidate pairs) for a common corpus
+    # artifact. The exact-Jaccard verify drops those pairs anyway
+    # (0-shingle overlap), so filtering the "" key changes nothing
+    # but the blow-up. The filter sits AFTER the explode on the
+    # generated attribute — placed before the signature projection it
+    # would be pushed beneath it and re-evaluate the tokenize+shingle
+    # pipeline once more per row (measured 3x on the x02 bench).
+    banded = banded.filter(F.col("key") != "")
     # Bucket-then-pair instead of a self-join: ONE shuffle on
     # (band, key), the upstream signature pipeline is evaluated once
     # (a self-join would recompute it per side), and pairs materialize

@@ -308,24 +308,35 @@ def semi_join(spark, sf_dir):
 
 
 def anti_join(spark, sf_dir):
-    """NOT EXISTS as left-anti join: customers with no orders."""
+    """NOT EXISTS as left-anti join: customers with no HIGH-VALUE
+    (>400k) order. The filter makes the check DISCRIMINATING: every
+    customer has >= 1 order in the synthetic data, so the unfiltered
+    'no orders' form returned zero rows and its hash check was
+    vacuous (a broken anti-join yielding empty would still match);
+    ~13% of customers lack a 400k order, so both branches carry
+    rows."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
 def outer_join(spark, sf_dir):
     """LEFT OUTER join (reference executes inner only — SURVEY.md §2.2):
-    every customer with order counts, 0 for orderless (NULL-aware agg)."""
+    every customer with HIGH-VALUE (>400k) order counts, 0 for
+    customers with none. The filter is what makes the NULL-aware
+    COUNT branch observable: unfiltered, every customer has orders,
+    so the output equaled a plain inner join and the outer semantics
+    were untested."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
     j = c.join(o, c.c_custkey == o.o_custkey, "left_outer")
     return j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("n_orders"))
 
 
 def scalar_subquery(spark, sf_dir):
-    """Scalar subquery: orders above 2× the deterministic average
-    price. The single-row aggregate joins back via broadcast crossJoin
+    """Scalar subquery: orders above 1.5× the deterministic average
+    price (2× exceeded the max price in the synthetic domain — the
+    result was empty and the hash check vacuous). The single-row aggregate joins back via broadcast crossJoin
     — the plan stays lazy (no job at build time) and single-pass, with
     the threshold evaluated executor-side like Catalyst's own scalar
     subquery rewrite."""
@@ -333,7 +344,7 @@ def scalar_subquery(spark, sf_dir):
     avg_row = o.agg((F.sum(dec("o_totalprice", 18, 2)).cast("double") / F.count("*")).alias("a"))
     return (
         o.crossJoin(F.broadcast(avg_row))
-        .filter(F.col("o_totalprice") > 2.0 * F.col("a"))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("a"))
         .select("o_orderkey", "o_totalprice")
     )
 
@@ -1284,16 +1295,18 @@ SPECS = [
               "EXISTS → left-semi join"),
     QuerySpec("c15_anti_join", anti_join,
               "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
-              "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
-              "NOT EXISTS → left-anti join"),
+              "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+              "AND o_totalprice > 400000)",
+              "NOT EXISTS → left-anti join (>400k orders: non-vacuous both ways)"),
     QuerySpec("c16_outer_join", outer_join,
               "SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer "
-              "LEFT OUTER JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey",
-              "LEFT OUTER join + null-aware count (ref: inner only)"),
+              "LEFT OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o "
+              "ON c_custkey = o_custkey GROUP BY c_custkey",
+              "LEFT OUTER join + null-aware count (ref: inner only; zeros observable)"),
     QuerySpec("c17_scalar_subquery", scalar_subquery,
               "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > "
-              "2.0 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)",
-              "scalar subquery threshold"),
+              "1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)",
+              "scalar subquery threshold (1.5x: inside the data domain)"),
     QuerySpec("c18_scalar_functions", scalar_functions,
               "SELECT o_orderkey, UPPER(SUBSTRING(o_orderpriority, 1, 3)) AS prio3, "
               "LENGTH(o_orderstatus) AS status_len, "

