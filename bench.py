@@ -84,6 +84,16 @@ def _variance_report(timings: dict[str, float]) -> dict:
     return {"ratios": ratios, "host_band": band, "outliers": outliers}
 
 
+def _sf_number(sf: str):
+    """The dir-name sf suffix as a number, or the raw string when the
+    dir isn't named sf<number> — a parse crash HERE would discard the
+    whole completed run at the final json.dumps."""
+    try:
+        return float(sf)
+    except ValueError:
+        return sf
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -116,7 +126,10 @@ def main() -> None:
             raw[spec.name] = [round(r, 3) for r in runs]
             print(f"  {spec.name}: {timings[spec.name]}s {[round(r, 2) for r in runs]}", file=sys.stderr)
         except Exception as ex:  # one broken query must not zero the whole bench
+            # keep the three per-query maps on the SAME key set
             timings[spec.name] = -1.0
+            medians[spec.name] = -1.0
+            raw[spec.name] = []
             print(f"  {spec.name}: FAILED {type(ex).__name__}: {ex}", file=sys.stderr)
 
     out = {
@@ -128,7 +141,7 @@ def main() -> None:
         "queries_median": medians,
         "raw_runs": raw,
         "methodology": f"min of {TIMED_RUNS} after {WARM_RUNS} warm; clearCache+System.gc barrier",
-        "sf": float(sf),
+        "sf": _sf_number(sf),
     }
     if sf == "0.1":  # the baseline table's scale — ratios only apply there
         vs = _variance_report(timings)

@@ -59,10 +59,15 @@ DETS = {
 }
 
 
-def sh(cmd: list[str], cwd: str, env: dict | None = None, timeout: int = 1800) -> str:
+def sh(
+    cmd: list[str], cwd: str, env: dict | None = None, timeout: int = 1800,
+    check: bool = False,
+) -> str:
     r = subprocess.run(
         cmd, cwd=cwd, env=env, capture_output=True, text=True, timeout=timeout
     )
+    if check and r.returncode != 0:
+        raise RuntimeError(f"{cmd[0]} failed ({r.returncode}):\n{r.stdout}{r.stderr}")
     return r.stdout + r.stderr
 
 
@@ -89,8 +94,11 @@ def generate_data(workdir: str, env: dict) -> None:
     for t in TABLES:
         with open(os.path.join(workdir, f"{t}.det"), "w") as f:
             f.write(DETS[t].format(pk=pk_range))
-        sh(["java", "RandomDB", t, str(ROWS)], cwd=workdir, env=env)
-        sh(["java", "ConvertTxtToTbl", t], cwd=workdir, env=env)
+        sh(["java", "RandomDB", t, str(ROWS)], cwd=workdir, env=env, check=True)
+        sh(["java", "ConvertTxtToTbl", t], cwd=workdir, env=env, check=True)
+    # stamp the row count so a changed SPARK_GRAFT_H2H_ROWS regenerates
+    with open(os.path.join(workdir, ".rows"), "w") as f:
+        f.write(str(ROWS))
 
 
 def run_reference(workdir: str, env: dict, qfile: str, out: str) -> float | None:
@@ -105,7 +113,13 @@ def run_reference(workdir: str, env: dict, qfile: str, out: str) -> float | None
 def main() -> None:
     os.makedirs(WORK, exist_ok=True)
     env = build_reference(WORK)
-    if not os.path.exists(os.path.join(WORK, f"{TABLES[-1]}.tbl")):
+    stamp = os.path.join(WORK, ".rows")
+    stale = (
+        not os.path.exists(os.path.join(WORK, f"{TABLES[-1]}.tbl"))
+        or not os.path.exists(stamp)
+        or open(stamp).read().strip() != str(ROWS)
+    )
+    if stale:
         generate_data(WORK, env)
     for i in range(1, 11):
         shutil.copy(os.path.join(REF, "testcases", f"query{i}.sql"), WORK)
@@ -144,6 +158,7 @@ def main() -> None:
                 break
             ref_runs.append(t_ref)
         ref_sec = sorted(ref_runs)[1] if len(ref_runs) == 3 else None
+        ref_ran = bool(ref_runs)  # distinguishes flaky/timeout from a hard abort
         ref_rows = None
         if ref_sec is not None:
             with open(os.path.join(WORK, f"{name}.out")) as f:
@@ -161,6 +176,7 @@ def main() -> None:
 
         results[name] = {
             "ref_sec": ref_sec,
+            "ref_ran": ref_ran,
             "spark_sec": spark_sec,
             "ref_rows": ref_rows,
             "spark_rows": spark_rows,
@@ -172,7 +188,12 @@ def main() -> None:
     print("\n| query | reference sec | spark sec | rows (both) |", file=sys.stderr)
     print("|---|---|---|---|", file=sys.stderr)
     for name, r in results.items():
-        ref = "aborts (no aggregation)" if r["ref_sec"] is None else f"{r['ref_sec']:.2f}"
+        if r["ref_sec"] is not None:
+            ref = f"{r['ref_sec']:.2f}"
+        elif r.get("ref_ran"):
+            ref = "failed/timeout"  # ran but < 3 clean timings
+        else:
+            ref = "aborts (no aggregation)"
         rows = r["spark_rows"] if r["rows_agree"] else f"MISMATCH {r['ref_rows']}/{r['spark_rows']}"
         print(f"| {name} | {ref} | {r['spark_sec']:.2f} | {rows} |", file=sys.stderr)
 
@@ -180,8 +201,14 @@ def main() -> None:
         "metric": "headtohead_reference_vs_spark",
         "rows_per_table": ROWS,
         "queries": results,
+        # totals over the COMMON query set only (the reference aborts
+        # on aggregation), so total-vs-total is like-for-like; the
+        # all-query spark total is reported separately
         "ref_total_sec": round(sum(r["ref_sec"] for r in results.values()
                                    if r["ref_sec"] is not None), 3),
+        "spark_total_common_sec": round(sum(
+            r["spark_sec"] for r in results.values() if r["ref_sec"] is not None
+        ), 3),
         "spark_total_sec": round(sum(r["spark_sec"] for r in results.values()), 3),
     }))
 

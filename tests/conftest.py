@@ -12,3 +12,4 @@ SF_CORRECT = "/root/testdata/sf0.01"
 def spark():
     s = get_spark(app_name="dqps-tests", driver_memory="16g")
     yield s
+    s.stop()  # orderly JVM/temp-dir teardown instead of interpreter exit

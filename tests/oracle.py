@@ -31,10 +31,32 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _align_dtypes(a: pd.DataFrame, b: pd.DataFrame) -> None:
+    """When ONE side returns a column numerically and the other as
+    objects (Spark DecimalType → decimal.Decimal objects vs DuckDB
+    float64 is the common case), _canon would sort one side
+    lexicographically and the other numerically — misaligning rows
+    and reporting spurious diffs on identical data (or crashing on
+    None). Coerce the object side to numeric IFF every non-null value
+    parses; genuinely-string columns (even numeric-looking ones) are
+    left alone on BOTH sides so string diffs like '0123' vs '123'
+    still surface."""
+    for c in a.columns:
+        na = pd.api.types.is_numeric_dtype(a[c])
+        nb = pd.api.types.is_numeric_dtype(b[c])
+        if na == nb:
+            continue
+        obj = b if na else a
+        coerced = pd.to_numeric(obj[c], errors="coerce")
+        if coerced.notna().sum() == obj[c].notna().sum():
+            obj[c] = coerced
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
     """Return list of mismatch descriptions (empty = match)."""
     probs: list[str] = []
     spdf = spark_df.toPandas()
+    oracle_pdf = oracle_pdf.copy()
     if len(spdf) != len(oracle_pdf):
         probs.append(f"row count: spark={len(spdf)} oracle={len(oracle_pdf)}")
     if sorted(spdf.columns) != sorted(oracle_pdf.columns):
@@ -42,6 +64,7 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
         return probs
     if probs:
         return probs
+    _align_dtypes(spdf, oracle_pdf)
     a, b = _canon(spdf), _canon(oracle_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
