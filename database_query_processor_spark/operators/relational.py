@@ -116,6 +116,12 @@ def order_by(
     so the sort scales out instead of single-threaded merge passes."""
     if isinstance(descending, bool):
         descending = [descending] * len(cols)
+    if len(descending) != len(cols):
+        # zip would silently TRUNCATE: order_by(df, ["a","b"], [True])
+        # must not quietly drop column b from the sort
+        raise ValueError(
+            f"descending has {len(descending)} flags for {len(cols)} columns"
+        )
     exprs = [F.col(c).desc() if d else F.col(c).asc() for c, d in zip(cols, descending)]
     return df.orderBy(*exprs)
 
@@ -291,8 +297,13 @@ def refresh_grouped_agg(
         .agg(F.sum("_dc").alias("_dc"), F.sum("_dv").alias("_dv"))
     )
     m, d = mv.alias("m"), deltas.alias("d")
+    # eqNullSafe: a NULL group is a real aggregation group (base rows
+    # with group_col NULL); plain = would never match it, so its delta
+    # would land on a separate row — the stale MV row surviving
+    # untouched while the delta either vanished under the cnt>0 gate
+    # or duplicated the group (the merge_into NULL-key class)
     combined = m.join(
-        d, F.col(f"m.{group_col}") == F.col(f"d.{group_col}"), "full_outer"
+        d, F.col(f"m.{group_col}").eqNullSafe(F.col(f"d.{group_col}")), "full_outer"
     ).select(
         F.coalesce(F.col(f"m.{group_col}"), F.col(f"d.{group_col}")).alias(group_col),
         (

@@ -14,16 +14,38 @@ from pyspark.sql import DataFrame, SparkSession
 from database_query_processor_spark.sources.det import TableSpec
 
 
-def read_text_table(spark: SparkSession, path: str, spec: TableSpec) -> DataFrame:
+def read_text_table(
+    spark: SparkSession, path: str, spec: TableSpec, validate: bool = True
+) -> DataFrame:
     """`<T>.txt` + spec → typed DataFrame. FAILFAST mirrors the
-    reference's exit-on-bad-field (src/ConvertTxtToTbl.java:60-65)."""
-    return spark.read.csv(
+    reference's exit-on-bad-field (src/ConvertTxtToTbl.java:60-65) —
+    but only for UNPARSEABLE tokens: Spark file sources force the
+    user schema nullable, and an EMPTY token parses to NULL rather
+    than erroring (the reference's Integer.parseInt("") would exit).
+    ``validate`` closes that gap with one post-read scan that raises
+    on any NULL cell, enforcing the reference's no-NULLs data model
+    (det.py) that downstream operators assume."""
+    df = spark.read.csv(
         path,
         sep="\t",
         header=False,
         schema=spec.schema,
         mode="FAILFAST",
     )
+    if validate:
+        from pyspark.sql import functions as F
+
+        anynull = None
+        for f in spec.schema.fields:
+            c = F.col(f.name).isNull()
+            anynull = c if anynull is None else (anynull | c)
+        bad = df.filter(anynull).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"{path}: NULL field in row {tuple(bad[0])} — empty tokens "
+                "violate the reference's no-NULLs data model"
+            )
+    return df
 
 
 def ingest_text_table(

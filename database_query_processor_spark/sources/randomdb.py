@@ -50,14 +50,22 @@ def _column(c: ColumnSpec, seed: int) -> F.Column:
     rid = F.col("id")
     salt = F.lit(f"{c.name}:{seed}")
     if c.coltype == "INTEGER" and c.keytype == "PK":
-        a = _coprime(c.range, seed)
-        b = (seed * 40503) % c.range
+        # per-column seed: (seed, range) alone made two same-range PK
+        # columns byte-identical; folding the column name keeps each
+        # an independent permutation (a stays coprime -> bijective)
+        col_seed = seed + sum(c.name.encode())
+        a = _coprime(c.range, col_seed)
+        b = (col_seed * 40503) % c.range
         return ((rid * a + F.lit(b)) % F.lit(c.range)).cast("int")
     if c.coltype == "INTEGER":
         return (_u32(rid, salt) % F.lit(c.range)).cast("int")
     if c.coltype == "REAL":
         return (_u32(rid, salt) / F.lit(float(2**32)) * F.lit(float(c.range))).cast("float")
-    # STRING of length c.range, chars a-z, one hash per position
+    # STRING of length c.range, chars a-z, one hash per position.
+    # Length 0 is the empty string — sequence(0, -1) would count DOWN
+    # (implicit step -1) and emit 2 chars.
+    if c.range <= 0:
+        return F.lit("")
     return F.array_join(
         F.transform(
             F.sequence(F.lit(0), F.lit(c.range - 1)),

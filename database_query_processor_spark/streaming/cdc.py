@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import hashlib
 import json
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -42,6 +41,7 @@ from pyspark.sql import functions as F
 
 from database_query_processor_spark.operators.relational import merge_into
 from database_query_processor_spark.sources import snapshots as SNAP
+from database_query_processor_spark.workdir import scratch_dir
 
 
 def apply_cdc_epoch(
@@ -145,11 +145,11 @@ def run_cdc_apply(
     in-flight epoch, which the manifest check then applies
     idempotently; the default tempdir checkpoint is for
     single-process demo runs."""
-    table = table_dir or tempfile.mkdtemp(prefix="dqps_cdc_tbl_")
+    table = table_dir or scratch_dir("dqps_cdc_tbl_")
     if SNAP.latest_version(table) == 0:
         SNAP.commit(table, {"base": target})
 
-    log_dir = tempfile.mkdtemp(prefix="dqps_cdc_log_")
+    log_dir = scratch_dir("dqps_cdc_log_")
     changelog.repartition(log_files, F.col(key)).write.mode("overwrite").parquet(
         log_dir
     )

@@ -11,9 +11,9 @@ tests/test_sources.py instead.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from database_query_processor_spark.catalog import load_table
+from database_query_processor_spark.workdir import scratch_dir
 from database_query_processor_spark.sources import generate_table, parse_det
 from database_query_processor_spark.workload import QuerySpec
 
@@ -59,8 +59,12 @@ def javaser_datasource_read(spark, sf_dir):
 
     try:
         spark.dataSource.register(JavaSerDataSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as e:
+        # re-registration in one session is the only expected failure;
+        # a REAL registration error (missing DataSource API) must not
+        # be swallowed into a later DATA_SOURCE_NOT_FOUND mystery
+        if "exist" not in str(e).lower() and "registered" not in str(e).lower():
+            raise  # already registered in this session
     return (
         spark.read.format("javaser")
         .option("md", os.path.join(_JAVASER_FIXTURE, "CART.md"))
@@ -93,7 +97,7 @@ def orc_roundtrip(spark, sf_dir):
     capable, zstd); the read-back must reproduce the parquet source
     exactly, which the DuckDB oracle over the original table checks."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    path = tempfile.mkdtemp(prefix="dqps_orc_")
+    path = scratch_dir("dqps_orc_")
     d.write.mode("overwrite").orc(path)
     return spark.read.orc(path).select("doc_id", "text")
 
@@ -104,7 +108,7 @@ def csv_roundtrip(spark, sf_dir):
     sidecar .md: schema is passed explicitly — at 100 TB an inference
     pass over text would be a full extra scan)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    path = tempfile.mkdtemp(prefix="dqps_csv_")
+    path = scratch_dir("dqps_csv_")
     d.write.mode("overwrite").option("header", True).csv(path)
     return (
         spark.read.schema(d.schema)
@@ -125,7 +129,7 @@ def partitioned_pruned_read(spark, sf_dir):
     from pyspark.sql import functions as F
 
     d = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="dqps_part_")
+    path = scratch_dir("dqps_part_")
     d.write.mode("overwrite").partitionBy("lang").parquet(path)
     return (
         spark.read.parquet(path)
@@ -151,7 +155,7 @@ def schema_evolution_merge(spark, sf_dir):
     from pyspark.sql import functions as F
 
     d = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="dqps_evo_")
+    path = scratch_dir("dqps_evo_")
     d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars").write.mode(
         "overwrite"
     ).parquet(f"{path}/batch=1")
@@ -179,7 +183,7 @@ def json_roundtrip(spark, sf_dir):
     csv path). Unicode/control characters survive the round trip
     (JSON escapes are the writer's problem, not the reader's)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    path = tempfile.mkdtemp(prefix="dqps_json_")
+    path = scratch_dir("dqps_json_")
     d.write.mode("overwrite").json(path)
     return (
         spark.read.schema(d.schema)
@@ -201,9 +205,9 @@ def compaction_roundtrip(spark, sf_dir):
     from database_query_processor_spark.sources import layout as LAY
 
     e = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
-    frag = tempfile.mkdtemp(prefix="dqps_frag_")
+    frag = scratch_dir("dqps_frag_")
     e.repartition(64).write.mode("overwrite").parquet(frag)
-    compacted = tempfile.mkdtemp(prefix="dqps_compact_")
+    compacted = scratch_dir("dqps_compact_")
     LAY.compact(spark.read.parquet(frag), compacted, "ts", target_files=4)
     return (
         spark.read.parquet(compacted)
@@ -240,7 +244,7 @@ def zordered_scan(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
     b = e.withColumn("_hour", (F.unix_timestamp("ts") / 3600).cast("long"))
-    path = tempfile.mkdtemp(prefix="dqps_zorder_")
+    path = scratch_dir("dqps_zorder_")
     LAY.write_zordered(b, path, "user_id", "_hour", files=8)
     back = spark.read.parquet(path)
     lo, hi = 100, 150
@@ -324,7 +328,7 @@ def merge_upsert_roundtrip(spark, sf_dir):
         },
         matched_delete=F.col("s.is_delete"),
     )
-    path = tempfile.mkdtemp(prefix="dqps_merge_")
+    path = scratch_dir("dqps_merge_")
     merged.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -372,7 +376,7 @@ def time_travel_snapshots(spark, sf_dir):
     )
     cutoff = F.lit("2000-01-01").cast("timestamp")
     base = o.filter(F.col("o_orderdate") < cutoff)
-    table = tempfile.mkdtemp(prefix="dqps_snap_")
+    table = scratch_dir("dqps_snap_")
     SNAP.commit(table, {
         "even": base.filter(F.col("o_orderkey") % 2 == 0),
         "odd": base.filter(F.col("o_orderkey") % 2 == 1),
@@ -445,7 +449,7 @@ def quarantine_ingest(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    d = tempfile.mkdtemp(prefix="dqps_badcsv_")
+    d = scratch_dir("dqps_badcsv_")
     o.coalesce(2).write.mode("overwrite").csv(d)
     with open(os.path.join(d, "part-injected.csv"), "w") as fh:
         fh.write("not_a_key,O,1.00\n")       # bad bigint
@@ -468,22 +472,21 @@ def quarantine_ingest(spark, sf_dir):
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"},
         ).alias("r")
     ).select("r.*")
-    total = df.agg(F.count("*").alias("n_total"))
-    clean = df.filter(F.col("_bad").isNull()).agg(
-        F.count("*").alias("n_clean"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+    # ONE conditional-aggregate pass: a total.crossJoin(clean) of two
+    # independent aggregates would scan + from_csv-parse the dataset
+    # twice for six scalars
+    ok = F.col("_bad").isNull()
+    return df.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(ok, 1)).alias("n_clean"),
+        (F.count("*") - F.count(F.when(ok, 1))).alias("n_quarantined"),
+        F.sum(F.when(ok, F.col("o_totalprice").cast("decimal(12,2)")))
         .cast("double")
         .alias("sum_price"),
-        F.min("o_orderkey").alias("min_key"),
-        F.max("o_orderkey").alias("max_key"),
-    )
-    return total.crossJoin(clean).select(
-        "n_total",
-        "n_clean",
-        (F.col("n_total") - F.col("n_clean")).alias("n_quarantined"),
-        "sum_price",
-        "min_key",
-        "max_key",
+        F.min(F.when(ok, F.col("o_orderkey"))).alias("min_key"),
+        F.max(F.when(ok, F.col("o_orderkey"))).alias("max_key"),
+    ).select(
+        "n_total", "n_clean", "n_quarantined", "sum_price", "min_key", "max_key"
     )
 
 
@@ -569,7 +572,7 @@ def bloom_filtered_scan(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "value"
     )
-    path = tempfile.mkdtemp(prefix="dqps_bloom_")
+    path = scratch_dir("dqps_bloom_")
     (
         e.repartition(8, "event_id")
         .write.mode("overwrite")
@@ -613,8 +616,8 @@ def schema_drift_query(spark, sf_dir):
     from database_query_processor_spark.sources.stats import schema_drift_audit
 
     o = load_table(spark, sf_dir, "orders")
-    d1 = tempfile.mkdtemp(prefix="dqps_drift1_")
-    d2 = tempfile.mkdtemp(prefix="dqps_drift2_")
+    d1 = scratch_dir("dqps_drift1_")
+    d2 = scratch_dir("dqps_drift2_")
     o.select("o_orderkey", "o_custkey", "o_totalprice").write.mode("overwrite").parquet(d1)
     (
         o.select(

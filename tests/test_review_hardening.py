@@ -608,3 +608,74 @@ def test_order_by_directions_pinned(spark):
     d10 = qs["d10_dialect_orderby_asc"](spark, sf).collect()
     tp10 = [r.o_totalprice for r in d10]
     assert tp10 == sorted(tp10), "d10 ascending ORDERBY"
+
+
+def test_order_by_rejects_mismatched_direction_list(spark):
+    from database_query_processor_spark.operators.relational import order_by
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="flags for"):
+        order_by(df, ["a", "b"], [True])
+
+
+def test_refresh_grouped_agg_null_group_key(spark):
+    """A NULL group is a real aggregation group: its delta must land
+    on the SAME combined row as its MV entry (eqNullSafe), not beside
+    it — a plain = join left the stale row and dropped the delta."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.relational import (
+        refresh_grouped_agg,
+    )
+
+    target = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "g", 30.0)],
+        "k long, grp string, v double",
+    )
+    mv = spark.createDataFrame(
+        [(None, 2, 30.0), ("g", 1, 30.0)], "grp string, cnt long, total double"
+    )
+    # delete k=1 (NULL group): NULL group count must drop to 1
+    changelog = spark.createDataFrame(
+        [(1, None, 10.0, True)], "k long, grp string, v double, is_delete boolean"
+    )
+    out = {
+        r.grp: (r.cnt, r.total)
+        for r in refresh_grouped_agg(
+            mv, target, changelog, key="k", group_col="grp",
+            cnt_col="cnt", sum_col="total",
+            val=F.col("v").cast("decimal(12,2)").cast("double"),
+        ).collect()
+    }
+    assert out[None] == (1, 20.0), out
+    assert out["g"] == (1, 30.0)
+
+
+def test_randomdb_two_pk_columns_differ(spark):
+    from database_query_processor_spark.sources.det import parse_det
+    from database_query_processor_spark.sources.randomdb import generate_table
+
+    spec = parse_det("2\n8\nid1 INTEGER 1000 PK 4\nid2 INTEGER 1000 PK 4\n")
+    df = generate_table(spark, spec, 1000, seed=7)
+    same = df.filter("id1 = id2").count()
+    assert same < 10, f"PK columns nearly identical ({same}/1000 equal)"
+    # both still bijective permutations
+    assert df.select("id1").distinct().count() == 1000
+    assert df.select("id2").distinct().count() == 1000
+
+
+def test_ingest_rejects_empty_tokens(spark, tmp_path):
+    """The reference's ConvertTxtToTbl exits on Integer.parseInt('');
+    Spark parses an empty token to NULL without erroring — the
+    validation pass must enforce the no-NULLs data model."""
+    from database_query_processor_spark.sources.det import parse_det
+    from database_query_processor_spark.sources.ingest import read_text_table
+
+    spec = parse_det("2\n8\na INTEGER 10 PK 4\nb INTEGER 10 NK 4\n")
+    good = tmp_path / "good.txt"
+    good.write_text("1\t2\n3\t4\n")
+    assert read_text_table(spark, str(good), spec).count() == 2
+    bad = tmp_path / "bad.txt"
+    bad.write_text("1\t2\n3\t\n")
+    with pytest.raises(ValueError, match="NULL field"):
+        read_text_table(spark, str(bad), spec)
