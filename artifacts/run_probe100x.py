@@ -96,9 +96,13 @@ def main() -> None:
     out["x05_embedding_dup"] = x05
     print("x05_embedding_dup", x05, flush=True)
 
+    # NOTE: requires the vectorized _assign_cells path (similarity.py)
+    # — the literal-argmax assignment at cells=316 stalls planning/
+    # codegen indefinitely (the cliff this probe found; recorded in
+    # SCALE.md and PROBE100X_r04.json's note field)
     x49 = {
         "20k_cells141": prior["x49_semantic_dedup"]["20k_cells141"],
-        "100k_cells316": timed(
+        "100k_cells316_vectorized_assign": timed(
             spark,
             lambda: semantic_dedup(
                 emb100, "vec_id", "embedding", cells=316, codebook="kmeans"
@@ -106,7 +110,9 @@ def main() -> None:
             runs=1,
         ),
     }
-    x49["ratio_20k_100k"] = round(x49["100k_cells316"] / x49["20k_cells141"], 1)
+    x49["ratio_20k_100k"] = round(
+        x49["100k_cells316_vectorized_assign"] / x49["20k_cells141"], 1
+    )
     out["x49_semantic_dedup"] = x49
     print("x49_semantic_dedup", x49, flush=True)
 

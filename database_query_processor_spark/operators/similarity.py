@@ -170,28 +170,73 @@ def _resolve_codebook(
     raise ValueError(f"unknown codebook {codebook!r} (want 'ids' or 'kmeans')")
 
 
+_ASSIGN_LITERAL_MAX = 64  # beyond this, the expression-tree form cliffs
+
+
 def _assign_cells(
     df: DataFrame, id_col: str, vec_col: str, cents: list[tuple[int, list[float]]]
 ) -> DataFrame:
     """argmax-cosine Voronoi assignment of every vector to its nearest
-    centroid; ties break to the smaller cent_id (nid = -cent_id, so
-    the larger struct wins on the smaller id). Scan-side literal
-    argmax — O(cells*dim) per row, no shuffle; past ~hundreds of
-    cells flip to a broadcast-join + window-min so the expression
-    stays bounded (one place to do it now — both IVF and SemDeDup
-    route through here)."""
-    best = F.greatest(
-        *[
-            F.struct(
-                cosine(F.col(vec_col), _lit_vec([float(x) for x in cv])).alias("c"),
-                F.lit(-cid).alias("nid"),
+    centroid; ties break to the smaller cent_id. Both paths are
+    scan-side (no shuffle); the split is about EXPRESSION size:
+
+    * ≤ _ASSIGN_LITERAL_MAX (64) cells: literal argmax (one cosine
+      expression per centroid inside F.greatest) — pure JVM, exactly
+      reproducible by the SQL oracle (the oracle-checked default).
+    * larger codebooks: the per-centroid expression TREES are what
+      cliff — hundreds of aggregate() lambdas in one projection stall
+      planning/codegen for tens of minutes (measured: cells=316 on
+      100k vectors never finished; the Arrow path does it in
+      seconds). The centroid matrix ships in the task closure and
+      each Arrow batch is ONE BLAS matmul + argmax. Ties still go to
+      the smaller cent_id (rows sorted by cid, np.argmax takes the
+      first max), though cosine values may differ from the JVM fold
+      in the last ulp — this is the production path, not the
+      oracle-parity path."""
+    if len(cents) <= _ASSIGN_LITERAL_MAX:
+        best = F.greatest(
+            *[
+                F.struct(
+                    cosine(F.col(vec_col), _lit_vec([float(x) for x in cv])).alias("c"),
+                    F.lit(-cid).alias("nid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+        return df.select(
+            F.col(id_col), F.col(vec_col), (-best.getField("nid")).alias("cell")
+        )
+
+    import numpy as np
+
+    ordered = sorted(cents, key=lambda cc: cc[0])
+    cid_arr = np.array([cid for cid, _ in ordered], dtype=np.int64)
+    C = np.array([cv for _, cv in ordered], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    id_t = df.schema[id_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    schema = f"`{id_col}` {id_t}, `{vec_col}` {vec_t}, cell long"
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            for cid, cv in cents
-        ]
-    )
-    return df.select(
-        F.col(id_col), F.col(vec_col), (-best.getField("nid")).alias("cell")
-    )
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            best_idx = np.argmax(Vn @ Cn.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cell": cid_arr[best_idx],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
 def ann_ivf_topk(

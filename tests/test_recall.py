@@ -149,3 +149,40 @@ def test_banded_dedup_resolution_validation(planted):
         SIM.embedding_dup_pairs(
             planted, "vec_id", "embedding", num_planes=33, bands=3
         )
+
+
+def test_assign_cells_vectorized_matches_literal(spark):
+    """The Arrow argmax path (large codebooks) must assign the same
+    cells as the literal-expression path on well-separated data —
+    the literal path cliffs past ~hundreds of centroid expression
+    trees (measured: cells=316 at 100k vectors stalls planning for
+    tens of minutes), which is exactly when the vectorized path
+    takes over."""
+    import numpy as np
+
+    from database_query_processor_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(400, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = S._ids_codebook(df, "vec_id", "embedding", cells=12)
+    lit = {
+        r.vec_id: r.cell
+        for r in S._assign_cells(df, "vec_id", "embedding", cents).collect()
+    }
+    orig = S._ASSIGN_LITERAL_MAX
+    try:
+        S._ASSIGN_LITERAL_MAX = 1  # force the Arrow path
+        vec = {
+            r.vec_id: r.cell
+            for r in S._assign_cells(df, "vec_id", "embedding", cents).collect()
+        }
+    finally:
+        S._ASSIGN_LITERAL_MAX = orig
+    diff = sum(1 for k in lit if lit[k] != vec[k])
+    # isotropic gaussians: exact cosine ties are measure-zero; allow
+    # at most an ulp-tie stragglers margin
+    assert diff <= 1, f"{diff}/400 assignments differ"
