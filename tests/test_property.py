@@ -412,3 +412,51 @@ def test_value_bars_match_bruteforce(spark, cents, thr_units):
         want[bar] = (n + 1, t + v_us)
         cum += v_us
     assert got == want, (got, want)
+
+
+@given(
+    st.text(
+        alphabet=st.characters(
+            min_codepoint=0, max_codepoint=0x2FF  # covers all controls + latin
+        ),
+        max_size=200,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_json_escape_roundtrips_arbitrary_text(text):
+    """PROPERTY: for ANY text (all control chars included), the shared
+    DuckDB escape chain produces a string that a strict JSON parser
+    decodes back to the original — the contract the Spark side mirrors
+    byte-for-byte (exercised there by the unit tests; this drives the
+    chain itself through the whole input space)."""
+    import json as _json
+
+    import duckdb
+
+    from database_query_processor_spark.operators.corpus import sql_json_escape
+
+    con = duckdb.connect()
+    escaped = con.execute(f"SELECT {sql_json_escape('?')}", [text]).fetchone()[0]
+    assert _json.loads(f'"{escaped}"') == text
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=300, deadline=None)
+def test_det_hash_pmod_contract_full_signed_domain(i):
+    """PROPERTY: the shared deterministic hash stays in [0, HASH_MOD)
+    and agrees between the Python-evaluated formula and the DuckDB
+    SQL mirror for EVERY signed-64 id (the negative half is where the
+    pre-fix % went negative and sampling gates collapsed)."""
+    import duckdb
+
+    from database_query_processor_spark.operators.corpus import (
+        HASH_MOD,
+        HASH_MULT,
+        sql_det_hash,
+    )
+
+    py = (((i % HASH_MOD) + HASH_MOD) % HASH_MOD) * HASH_MULT % HASH_MOD
+    con = duckdb.connect()
+    (sql,) = con.execute(f"SELECT {sql_det_hash(str(i))}").fetchone()
+    assert 0 <= py < HASH_MOD
+    assert sql == py, (i, sql, py)
