@@ -67,8 +67,11 @@ def _baseline_mins(path: str = "BASELINE.md") -> dict[str, float]:
 
 def _variance_report(timings: dict[str, float]) -> dict:
     """Per-query ratio vs the recorded baseline, the suite's median
-    ratio (the uniform host-variance band), and the queries sitting
-    far enough above the band to be plan-regression suspects."""
+    ratio (the uniform host-variance band), band-NORMALIZED ratios
+    (ratio / band — the host-robust regression metric: a slow VM moves
+    every query's raw ratio but leaves normalized ratios near 1), and
+    the queries whose normalized ratio exceeds OUTLIER_OVER_BAND
+    (plan-regression suspects rather than VM noise)."""
     base = _baseline_mins()
     ratios = {
         name: round(t / base[name], 2)
@@ -78,10 +81,16 @@ def _variance_report(timings: dict[str, float]) -> dict:
     if not ratios:
         return {}
     band = round(statistics.median(ratios.values()), 2)
+    normalized = {name: round(r / band, 2) for name, r in ratios.items()}
     outliers = sorted(
-        name for name, r in ratios.items() if r > band * OUTLIER_OVER_BAND
+        name for name, r in normalized.items() if r > OUTLIER_OVER_BAND
     )
-    return {"ratios": ratios, "host_band": band, "outliers": outliers}
+    return {
+        "ratios": ratios,
+        "host_band": band,
+        "normalized": normalized,
+        "outliers": outliers,
+    }
 
 
 def _sf_number(sf: str):
@@ -97,7 +106,13 @@ def _sf_number(sf: str):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="dqps-bench", driver_memory="64g")
+    # No console progress bars: they stream to the same captured output as
+    # the final JSON line and eat the driver's limited tail buffer.
+    spark = get_spark(
+        app_name="dqps-bench",
+        driver_memory="64g",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     def _run(spec) -> None:
         spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -132,7 +147,13 @@ def main() -> None:
             raw[spec.name] = []
             print(f"  {spec.name}: FAILED {type(ex).__name__}: {ex}", file=sys.stderr)
 
-    out = {
+    # The driver captures only the last ~2000 chars of combined output and
+    # parses the JSON line out of THAT (BENCH_r03/r04 went "parsed: null"
+    # when raw_runs pushed the line past the buffer).  So: stdout gets ONE
+    # COMPACT line (metric/value/queries/sf + a tiny host-band summary),
+    # and the full detail (medians, raw runs, per-query ratios) goes to
+    # artifacts/BENCH_DETAIL.json on disk.
+    detail = {
         "metric": "headline_query_wall_clock_total",
         "value": round(sum(t for t in timings.values() if t >= 0), 3),
         "unit": "sec",
@@ -146,8 +167,34 @@ def main() -> None:
     if sf == "0.1":  # the baseline table's scale — ratios only apply there
         vs = _variance_report(timings)
         if vs:
-            out["vs_baseline"] = vs
-    print(json.dumps(out))
+            detail["vs_baseline"] = vs
+
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts", "BENCH_DETAIL.json"
+    )
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as ex:  # detail is best-effort; the stdout line is the record
+        print(f"  detail write failed: {ex}", file=sys.stderr)
+
+    compact = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": detail["sf"],
+    }
+    vs = detail.get("vs_baseline")
+    if vs:
+        compact["host_band"] = vs["host_band"]
+        compact["plan_suspects"] = vs["outliers"]
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1500:  # stay well inside the driver's 2000-char tail
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

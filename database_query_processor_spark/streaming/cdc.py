@@ -79,7 +79,16 @@ def apply_cdc_epoch(
     if name in live:
         return False
     if seq_col is not None:
-        w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+        # Deterministic winner even when a batch carries two ops for the
+        # same key with EQUAL sequence values: tiebreak on the delete flag
+        # (delete wins — the conservative outcome for an ambiguous feed),
+        # then a stable whole-row hash so reruns of the same batch always
+        # apply the same state.
+        w = Window.partitionBy(key).orderBy(
+            F.col(seq_col).desc(),
+            F.col(delete_col).desc_nulls_last(),
+            F.xxhash64(*[F.col(c) for c in batch_df.columns]).asc(),
+        )
         batch_df = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

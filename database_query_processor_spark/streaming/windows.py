@@ -15,8 +15,6 @@ naive timestamps.
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -85,6 +83,12 @@ def _run_to_memory_sink(agg: DataFrame, prefix: str, mode: str = "complete") -> 
     invalidated by the next run; collect before re-running."""
     name = f"dqps_sink_{prefix}"
     spark = agg.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:  # concurrent same-prefix run would corrupt the sink
+            raise RuntimeError(
+                f"streaming sink '{name}' already has an active query; "
+                "stop it (or use a different prefix) before re-running"
+            )
     spark.catalog.dropTempView(name)
     q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try:

@@ -38,17 +38,26 @@ def _align_dtypes(a: pd.DataFrame, b: pd.DataFrame) -> None:
     lexicographically and the other numerically — misaligning rows
     and reporting spurious diffs on identical data (or crashing on
     None). Coerce the object side to numeric IFF every non-null value
-    parses; genuinely-string columns (even numeric-looking ones) are
-    left alone on BOTH sides so string diffs like '0123' vs '123'
-    still surface."""
+    parses AND every non-null value is an actual numeric object
+    (decimal.Decimal / int / float) — genuinely-string columns, even
+    numeric-looking ones like '0123', stay uncoerced on BOTH sides so
+    string-vs-numeric engine drift still surfaces as a diff."""
+    import decimal
+    import numbers
+
     for c in a.columns:
         na = pd.api.types.is_numeric_dtype(a[c])
         nb = pd.api.types.is_numeric_dtype(b[c])
         if na == nb:
             continue
         obj = b if na else a
+        nonnull = obj[c].dropna()
+        if not all(
+            isinstance(v, (decimal.Decimal, numbers.Number)) for v in nonnull
+        ):
+            continue
         coerced = pd.to_numeric(obj[c], errors="coerce")
-        if coerced.notna().sum() == obj[c].notna().sum():
+        if coerced.notna().sum() == len(nonnull):
             obj[c] = coerced
 
 

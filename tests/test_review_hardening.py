@@ -679,3 +679,32 @@ def test_ingest_rejects_empty_tokens(spark, tmp_path):
     bad.write_text("1\t2\n3\t\n")
     with pytest.raises(ValueError, match="NULL field"):
         read_text_table(spark, str(bad), spec)
+
+
+def test_cdc_equal_seq_tiebreak_deterministic(spark, tmp_path):
+    """Two ops for the same key with EQUAL sequence values must apply a
+    deterministic winner: the delete-flag tiebreaker makes the delete
+    win (conservative for an ambiguous feed), and reruns of the same
+    batch produce identical state."""
+    from database_query_processor_spark.streaming.cdc import run_cdc_apply
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, v string, amt double"
+    )
+    # key 1: update and delete sharing seq=5 -> delete wins the tie
+    log = spark.createDataFrame(
+        [
+            (1, "a2", 11.0, False, 5),
+            (1, "a2", 11.0, True, 5),
+            (2, "b2", 21.0, False, 1),
+        ],
+        "k long, v string, amt double, is_delete boolean, seq long",
+    )
+    results = []
+    for i in range(2):
+        out = run_cdc_apply(
+            spark, target, log, key="k", update_cols=["v", "amt"],
+            table_dir=str(tmp_path / f"t{i}"), seq_col="seq",
+        )
+        results.append({(r.k, r.v) for r in out.select("k", "v").collect()})
+    assert results[0] == results[1] == {(2, "b2")}
