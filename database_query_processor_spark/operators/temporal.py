@@ -30,11 +30,17 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     right_val: str,
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row, the latest right row of the same key with
     right_ts <= left_ts (ties: right row sorts first, so an equal
     timestamp matches). Right side must be unique per (key, ts) —
-    pre-aggregate if not. Output: left columns + matched right_val
+    pre-aggregate if not, OR pass ``right_tiebreak``: a right column
+    whose MAXIMUM picks the winner among right rows sharing
+    (key, ts). The tiebreak folds that dedup into the merge window's
+    sort order (equal-ts right rows ordered tiebreak-ascending, so
+    the last — maximal — one wins), saving the pre-aggregation's
+    whole extra shuffle. Output: left columns + matched right_val
     (+ matched right_ts). Left-join contract: EVERY left row is
     emitted; rows with no match — including NULL-key rows — carry
     NULL matched_val/matched_ts. NULL keys never match (equi-join
@@ -55,6 +61,11 @@ def as_of_join(
         f"struct<v:{right.schema[right_val].dataType.simpleString()},"
         f"t:{right.schema[right_ts].dataType.simpleString()}>"
     )
+    ord_t = (
+        right.schema[right_tiebreak].dataType.simpleString()
+        if right_tiebreak is not None
+        else "int"
+    )
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.when(F.col(key).isNull(), F.monotonically_increasing_id())
@@ -62,6 +73,7 @@ def as_of_join(
         .alias("_salt"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
+        F.lit(None).cast(ord_t).alias("_ord"),
         F.struct(*left.columns).alias("_l"),
         F.lit(None).cast(r_struct_t).alias("_r"),
     )
@@ -70,13 +82,19 @@ def as_of_join(
         F.lit(0).cast("long").alias("_salt"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
+        (
+            F.col(right_tiebreak) if right_tiebreak is not None else F.lit(0)
+        ).cast(ord_t).alias("_ord"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
         F.struct(
             F.col(right_val).alias("v"), F.col(right_ts).alias("t")
         ).alias("_r"),
     )
+    # _tag asc puts right rows before the left row at equal ts (equal
+    # timestamps match); _ord asc makes the MAX-tiebreak right row the
+    # last — and thus winning — one among equal-(key, ts) right rows.
     w = W.partitionBy("_k", "_salt").orderBy(
-        F.col("_ts").asc(), F.col("_tag").asc()
+        F.col("_ts").asc(), F.col("_tag").asc(), F.col("_ord").asc_nulls_first()
     ).rowsBetween(W.unboundedPreceding, W.currentRow)
     merged = l_tag.unionByName(r_tag).select(
         "_tag",

@@ -307,14 +307,23 @@ def bpe_compression_curve(
     All counts are exact integers; chars_per_symbol is one IEEE
     divide of exact ints (engine-deterministic, no rounding needed).
     Scale notes as bpe_learn_merges — everything after the initial
-    word-count aggregate runs over word TYPES."""
+    word-count aggregate runs over word TYPES.
+
+    Every chain stage is localCheckpointed once (eager): the curve
+    aggregates EVERY stage, so a lazy chain re-derives all ancestor
+    rounds — plus the corpus word-count — once per output row
+    (O(rounds²) passes; x63 was the slowest query in the whole sweep
+    at 13.6 s). Materializing each stage makes it rounds passes over
+    the Zipf-bounded types table and ONE corpus pass. Values are
+    unchanged — checkpointing only truncates lineage."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    types = _word_types(df, text_col)
+    types = _word_types(df, text_col).localCheckpoint(eager=True)
     chain = [types]
     t = types
     for _ in range(rounds):
         _, t = _merge_chain(t, 1)
+        t = t.localCheckpoint(eager=True)
         chain.append(t)
     out = None
     for r, t in enumerate(chain):

@@ -25,13 +25,15 @@ def asof_join(spark, sf_dir):
     before the purchase (clicks deduped to one per (user, ts))."""
     e = _events(spark, sf_dir)
     purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
-    clicks = (
-        e.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_id"))
+    # clicks go in UN-deduped: the (user, ts)->max(event_id) dedup is
+    # folded into the as-of merge window via right_tiebreak, saving the
+    # pre-aggregation's whole extra shuffle (2 exchanges -> 1).
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
     )
     out = TMP.as_of_join(purchases, clicks, key="user_id", left_ts="ts",
-                         right_ts="ts", right_val="click_id")
+                         right_ts="ts", right_val="click_id",
+                         right_tiebreak="click_id")
     return out.filter(F.col("matched_val").isNotNull()).select(
         "event_id", "user_id", "ts",
         F.col("matched_val").alias("click_id"), F.col("matched_ts").alias("click_ts"),

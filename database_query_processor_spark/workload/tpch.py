@@ -441,26 +441,30 @@ WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
 
 
 def tpch_q18(spark, sf_dir):
-    """Q18 large-volume customers: IN-subquery (orders whose total
-    quantity exceeds a threshold) → left-semi join against the grouped
-    HAVING result, then the reporting join + re-aggregation."""
+    """Q18 large-volume customers. The IN-subquery's HAVING aggregate
+    (total quantity per order > 200) is ALSO the reporting measure:
+    o_orderkey is unique in orders, so each reporting group is exactly
+    one qualifying order and its sum_qty equals the tot_qty already
+    computed. The rewrite joins the filtered aggregate directly —
+    lineitem is scanned and aggregated ONCE (the semi-join + second
+    scan + re-aggregation shape costs a full extra pass over the fact
+    table at any scale). Same result set as the textbook plan; the
+    oracle keeps the literal IN-subquery formulation."""
     big = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("tot_qty"))
         .filter(F.col("tot_qty") > 200)
-        .select("l_orderkey")
     )
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
     return (
-        o.join(big.withColumnRenamed("l_orderkey", "big_orderkey"),
-               F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("tot_qty").cast("double").alias("sum_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )

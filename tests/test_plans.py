@@ -495,16 +495,18 @@ def test_sliding_distinct_no_window_operator(spark):
 def test_tpch_q18_plan_pinned(spark):
     """Q18 (large-volume customers) is the one query whose bench time
     rose across rounds — pin today's good shape so a plan regression
-    can't hide behind host variance: the HAVING subquery joins as a
-    LeftSemi (never a re-aggregation inside the reporting join), the
-    LIMIT compiles to TakeOrderedAndProject (no global sort exchange),
-    and the whole query needs exactly two shuffles (the per-order
-    lineitem aggregate and the final grouped aggregate)."""
+    can't hide behind host variance. Since the r5 rewrite the HAVING
+    aggregate IS the reporting measure (o_orderkey is unique in
+    orders), so the gate is: lineitem is scanned exactly ONCE (no
+    semi-join + second scan + re-aggregation), the LIMIT compiles to
+    TakeOrderedAndProject (no global sort exchange), and the whole
+    query needs exactly one shuffle (the per-order lineitem
+    aggregate)."""
     df = _specs()["c40_tpch_q18"].build(spark, SF)
     plan = explain_str(df, "simple")
-    assert "LeftSemi" in plan, plan[:600]
+    assert plan.count("lineitem.parquet") == 1, plan[:800]
     assert "TakeOrderedAndProject" in plan, plan[:600]
-    assert count_exchanges(df) <= 2, plan[:600]
+    assert count_exchanges(df) <= 1, plan[:600]
     # the reporting joins stay hash-based; at test scale broadcastable
     strategies = join_strategies(df)
     assert all("HashJoin" in s for s in strategies), strategies
