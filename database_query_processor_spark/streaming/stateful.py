@@ -140,6 +140,61 @@ class _DailyCountProcessor(_StatefulProcessor):
         pass
 
 
+def _activate_protobuf_shim(spark: SparkSession) -> None:
+    """Make ``google.protobuf`` importable on the driver AND in the
+    executor Python workers. Prefers a real installed protobuf; where
+    absent (this container), activates the vendored minimal shim
+    (vendor/protoshim — pure-Python wire codec covering exactly the
+    StateMessage.proto feature set) by prepending it to sys.path and
+    shipping it to workers as an addPyFile zip (idempotent: Spark
+    dedupes re-added files by name)."""
+    try:
+        import google.protobuf  # noqa: F401
+        return
+    except ImportError:
+        pass
+    import os
+    import sys
+    import tempfile
+    import zipfile
+
+    shim_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "vendor",
+        "protoshim",
+    )
+    if shim_root not in sys.path:
+        sys.path.insert(0, shim_root)
+    import google.protobuf  # noqa: F401  (now resolves to the shim)
+
+    zip_path = os.path.join(tempfile.gettempdir(), "dqps_protoshim.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for dirpath, _dirs, files in os.walk(os.path.join(shim_root, "google")):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        zf.write(full, os.path.relpath(full, shim_root))
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+
+    # The transformWithState DRIVER worker (a dedicated Python process
+    # the JVM launches for state-schema pre-init) does not process
+    # pyFiles — its sys.path comes solely from the PYTHONPATH the JVM
+    # passes. Worker env = JVM env merged with the UDF's envVars
+    # (sc.environment), so expose the shim through both: the os.environ
+    # entry covers JVMs launched after this point, the sc.environment
+    # entry rides inside every UDF created from now on and reaches
+    # workers of an already-running JVM.
+    for env in (os.environ, spark.sparkContext.environment):
+        prev = env.get("PYTHONPATH", "")
+        if shim_root not in prev.split(os.pathsep):
+            env["PYTHONPATH"] = (
+                shim_root + os.pathsep + prev if prev else shim_root
+            )
+
+
 def daily_counts_tws(stream: DataFrame) -> DataFrame:
     """Per-(event_type, day) running counts via Spark 4's
     transformWithStateInPandas — the arbitrary-state successor to
@@ -149,22 +204,10 @@ def daily_counts_tws(stream: DataFrame) -> DataFrame:
     update-mode rows are monotone and the batch-side max() reduction
     is batching-invariant (same contract as s04).
 
-    Environment gate: the transformWithState state-server protocol
-    speaks protobuf; this container ships no `google.protobuf`, so
-    the runtime path raises a clear error here instead of crashing
-    deep inside the streaming Python driver worker. The processor
-    LOGIC is container-testable (tests/test_streaming_late.py drives
-    _DailyCountProcessor.handleInputRows against a fake MapState);
-    the runtime test auto-activates where protobuf exists."""
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError as exc:
-        raise ImportError(
-            "transformWithStateInPandas requires the protobuf package "
-            "(state-server protocol); install `protobuf` to run the "
-            "s09 topology — the stateful logic itself is tested "
-            "protobuf-free"
-        ) from exc
+    The state-server protocol speaks protobuf; where the real package
+    is absent the vendored pure-Python shim is activated for driver
+    and workers (see _activate_protobuf_shim)."""
+    _activate_protobuf_shim(stream.sparkSession)
     return (
         stream.select("event_type", "ts")
         .groupBy("event_type")

@@ -662,6 +662,28 @@ def _cdc_oracle():
     return _MERGE_ORACLE
 
 
+def stream_daily_counts_tws(spark, sf_dir):
+    """s10: REAL streaming execution of Spark 4's
+    transformWithStateInPandas (typed-state successor to s04's
+    applyInPandasWithState): per-(event_type, day) running counts in
+    a MapState on the RocksDB state store, update-mode memory sink,
+    batch-side max() reduction (counts are additive/monotone, so the
+    reduction is batching-invariant). The state-server protocol's
+    protobuf dependency is satisfied by the vendored pure-Python shim
+    (vendor/protoshim) where the real package is absent."""
+    from database_query_processor_spark.streaming.stateful import (
+        run_daily_counts_stream,
+    )
+
+    return run_daily_counts_stream(spark, sf_dir)
+
+
+TWS_DAILY_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def gap_detect(spark, sf_dir):
     """t16: outage detection — every silence longer than 24h between
     a user's consecutive events (operators/temporal.py:detect_gaps).
@@ -770,6 +792,10 @@ SPECS = [
               "REAL streaming CDC apply: changelog stream -> MERGE per "
               "micro-batch -> manifest snapshot per epoch (idempotent on "
               "redelivery); final state equals the one-shot batch MERGE"),
+    QuerySpec("s10_daily_counts_tws", stream_daily_counts_tws, TWS_DAILY_SQL,
+              "REAL streaming transformWithStateInPandas (Spark 4 typed "
+              "state): per-(event_type, day) MapState counts on RocksDB, "
+              "protobuf satisfied by the vendored pure-Python shim"),
     QuerySpec("t14_ewma_smooth", ewma_smooth, EWMA_SQL,
               "EWMA smoothing: sequential recurrence as ONE hash aggregate "
               "+ JVM ordered fold, bit-identical to DuckDB list_reduce"),

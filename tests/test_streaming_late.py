@@ -98,11 +98,11 @@ class _FakeHandle:
 
 
 def test_tws_daily_count_processor_logic():
-    """_DailyCountProcessor (the transformWithStateInPandas s09
+    """_DailyCountProcessor (the transformWithStateInPandas s10
     operator) accumulates per-(key, day) counts across batches and
-    emits monotone updates — tested against a fake MapState since the
-    container lacks protobuf for the real state server (the runtime
-    path is gated with a clear ImportError; see daily_counts_tws)."""
+    emits monotone updates — the protobuf-free logic check backing
+    the full streaming run (s10_daily_counts_tws, which uses the
+    vendored protobuf shim for the real state server)."""
     import pandas as pd
 
     from database_query_processor_spark.streaming.stateful import (
@@ -126,24 +126,42 @@ def test_tws_daily_count_processor_logic():
     assert dict(zip(out2["day_us"], out2["n"])) == {d0_us: 3}
 
 
-def test_tws_runtime_gate_message():
-    """Without protobuf the runtime path must fail fast with the
-    documented message, not crash inside the streaming driver
-    worker."""
-    import importlib.util
+def test_tws_protobuf_shim_activates(spark):
+    """The vendored pure-Python protobuf shim must make BOTH
+    google.protobuf and PySpark's generated StateMessage_pb2
+    importable, and the messages must wire-round-trip (the s10
+    topology rides on this)."""
+    from database_query_processor_spark.streaming.stateful import (
+        _activate_protobuf_shim,
+    )
 
-    import pytest
+    _activate_protobuf_shim(spark)
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
 
-    try:
-        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:  # no `google` namespace package at all
-        has_protobuf = False
-    if has_protobuf:
-        pytest.skip("protobuf present: the runtime path is usable here")
-    from database_query_processor_spark.streaming.stateful import daily_counts_tws
-
-    with pytest.raises(ImportError, match="protobuf"):
-        daily_counts_tws(None)
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            getMapState=sm.StateCallCommand(
+                stateName="daily", schema="day_us BIGINT",
+                mapStateValueSchema="n BIGINT",
+            )
+        )
+    )
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    got = back.statefulProcessorCall.getMapState
+    assert (got.stateName, got.schema, got.mapStateValueSchema) == (
+        "daily", "day_us BIGINT", "n BIGINT",
+    )
+    resp = sm.StateResponseWithMapIterator()
+    resp.ParseFromString(
+        sm.StateResponseWithMapIterator(
+            statusCode=0,
+            kvPair=[sm.KeyAndValuePair(key=b"k", value=b"v")],
+            requireNextFetch=True,
+        ).SerializeToString()
+    )
+    assert [(p.key, p.value) for p in resp.kvPair] == [(b"k", b"v")]
+    assert resp.requireNextFetch is True
 
 
 def test_cdc_epoch_redelivery_idempotent(spark, tmp_path):
