@@ -377,6 +377,93 @@ ORDER BY rrf DESC, doc_id ASC LIMIT {k}
 """
 
 
+def cross_encoder_rerank(
+    docs: DataFrame,
+    candidates: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Rerank a retrieval candidate pool with a query-document
+    INTERACTION scorer — the cross-encoder stage of the standard
+    retrieve-then-rerank pipeline (first-stage rankers score query
+    and document independently; the reranker sees both together).
+    A real deployment batches (query, doc) pairs through a model in
+    an Arrow ``mapInPandas``; here the interaction features are a
+    deterministic proxy with the same data flow:
+
+        ce(d) = Σ_t [ tf_t/(tf_t+1)  +  1/(1+pos_t) ]   (t present)
+
+    term saturation (BM25-ish diminishing tf) plus an early-position
+    prior, 0 for absent terms, ROUND 9 before the cut (double
+    contract). Output: doc_id, rrf (carried from the pool), ce_score,
+    ordered ce DESC / rrf DESC / doc_id ASC, top-k.
+
+    Scale: candidates are a CONSTANT-size pool (first-stage top-N) —
+    broadcast-joined against the corpus, so the rerank touches only
+    |pool| documents' text regardless of corpus size; the expensive
+    model pass is bounded by the pool, which is the whole point of
+    the two-stage design."""
+    tk = tokens(text_col)
+    scored = docs.select(F.col(id_col).alias("doc_id"), tk.alias("_tk")).join(
+        F.broadcast(candidates.select("doc_id", "rrf")), "doc_id"
+    )
+    def _eq(term):
+        # NB: F.filter dispatches on lambda arity — a second parameter
+        # would be bound to the element INDEX, so close over the term
+        # with a factory instead of a default arg.
+        return lambda x: x == F.lit(term)
+
+    contribs = []
+    for t in terms:
+        tf = F.size(F.filter(F.col("_tk"), _eq(t)))
+        pos = F.array_position(F.col("_tk"), t)
+        contribs.append(
+            F.when(
+                pos > 0,
+                tf.cast("double") / (tf + 1) + F.lit(1.0) / (1 + pos),
+            ).otherwise(F.lit(0.0))
+        )
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return (
+        scored.select("doc_id", "rrf", F.round(total, 9).alias("ce_score"))
+        .orderBy(F.col("ce_score").desc(), F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def sql_cross_encoder_rerank(
+    candidates_sql: str, terms: list[str], k: int = 10, toks_sql: str = ""
+) -> str:
+    """DuckDB oracle mirroring cross_encoder_rerank over any candidate
+    subquery producing (doc_id, rrf, ...): same saturation+position
+    features, same ROUND 9, same tie-breaks. Absent-term sentinel
+    differs per engine (DuckDB list_position: 0 or NULL depending on
+    version; Spark array_position: 0) — ``COALESCE(pos, 0) >= 1`` maps
+    every sentinel to the 0-contribution branch."""
+    parts = []
+    for t in terms:
+        tf = f"len(list_filter(toks, x -> x = '{t}'))"
+        pos = f"list_position(toks, '{t}')"
+        parts.append(
+            f"CASE WHEN COALESCE({pos}, 0) >= 1 THEN "
+            f"CAST({tf} AS DOUBLE) / ({tf} + 1) "
+            f"+ CAST(1.0 AS DOUBLE) / (1 + {pos}) "
+            f"ELSE 0.0 END"
+        )
+    total = " + ".join(parts)
+    return f"""
+WITH cand AS ({candidates_sql}),
+d AS (SELECT doc_id, {toks_sql} AS toks FROM documents)
+SELECT cand.doc_id, cand.rrf, ROUND({total}, 9) AS ce_score
+FROM cand JOIN d ON cand.doc_id = d.doc_id
+ORDER BY ce_score DESC, rrf DESC, cand.doc_id ASC LIMIT {k}
+"""
+
+
 def nb_classifier_scores(
     df: DataFrame,
     id_col: str,

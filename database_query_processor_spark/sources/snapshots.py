@@ -149,3 +149,76 @@ def read_version(
     if not files:
         raise ValueError(f"snapshot v{v} of {table_dir} lists no files")
     return spark.read.parquet(*[os.path.join(table_dir, "data", f) for f in files])
+
+
+def optimize(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int = 1,
+    split_col: str | None = None,
+) -> int:
+    """OPTIMIZE (small-file compaction) as a snapshot commit: rewrite
+    the latest snapshot's content into ``target_files`` new data
+    files and publish a version that drops every previous file and
+    adds the compacted ones. Content is bit-identical — this is pure
+    physical-layout maintenance, the Delta/Iceberg ``OPTIMIZE`` core.
+    Old versions stay time-travelable until ``vacuum``.
+
+    Splitting is deterministic: ``split_col`` (default: the first
+    column) hashes rows into target buckets, so re-running OPTIMIZE on
+    identical content yields identical files. Scale: one shuffle of
+    the live data; the metadata commit stays O(table files)."""
+    from pyspark.sql import functions as F
+
+    prev = latest_version(table_dir)
+    if prev == 0:
+        raise ValueError(f"cannot OPTIMIZE empty table {table_dir}")
+    with open(_manifest(table_dir, prev)) as fh:
+        prev_files = json.load(fh)["files"]
+    df = read_version(spark, table_dir, prev)
+    col = split_col or df.columns[0]
+    adds: dict[str, DataFrame] = {}
+    if target_files <= 1:
+        adds[f"compact_v{prev + 1}_0"] = df
+    else:
+        bucket = F.pmod(F.xxhash64(F.col(col)), F.lit(target_files))
+        for i in range(target_files):
+            adds[f"compact_v{prev + 1}_{i}"] = df.filter(bucket == i)
+    return commit(table_dir, adds, drops=tuple(prev_files))
+
+
+def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
+    """VACUUM: physically delete data files referenced ONLY by
+    manifests older than the ``keep_versions`` most recent, delete
+    those manifests, and clear crashed-commit staging leftovers.
+    Returns the removed data-file names. Time travel to a vacuumed
+    version afterwards fails loudly (its manifest is gone) — exactly
+    the Delta ``VACUUM`` retention contract, with versions-kept
+    standing in for the retention window."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    latest = latest_version(table_dir)
+    if latest == 0:
+        return []
+    cutoff = max(1, latest - keep_versions + 1)
+    keep_files: set[str] = set()
+    for v in range(cutoff, latest + 1):
+        path = _manifest(table_dir, v)
+        if os.path.exists(path):
+            with open(path) as fh:
+                keep_files.update(json.load(fh)["files"])
+    data_dir = os.path.join(table_dir, "data")
+    removed: list[str] = []
+    for name in sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) else []:
+        full = os.path.join(data_dir, name)
+        if ".staging-" in name:
+            shutil.rmtree(full)  # crashed-commit leftover, never visible
+            continue
+        if name not in keep_files:
+            shutil.rmtree(full)
+            removed.append(name)
+    for v in range(1, cutoff):
+        path = _manifest(table_dir, v)
+        if os.path.exists(path):
+            os.remove(path)
+    return removed

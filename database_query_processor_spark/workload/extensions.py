@@ -1382,6 +1382,36 @@ def hybrid_search(spark, sf_dir):
     )
 
 
+def rerank_cross_encoder(spark, sf_dir):
+    """x64: retrieve-then-rerank — the hybrid RRF pool (x46's fusion,
+    widened to 20 candidates) reranked by a query-document interaction
+    scorer (term-saturation + early-position features standing in for
+    the model forward pass; retrieval.py:cross_encoder_rerank). The
+    rerank is broadcast-bounded by the constant pool size — corpus
+    cost stays exactly the first-stage rankers'."""
+    from database_query_processor_spark.operators import retrieval as RT
+
+    pool = RT.hybrid_rrf_topk(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        BM25_TERMS,
+        query_id=0,
+        k=20,
+    )
+    return RT.cross_encoder_rerank(
+        _t(spark, sf_dir, "documents"), pool, BM25_TERMS, k=10
+    )
+
+
+def _rerank_oracle():
+    from database_query_processor_spark.operators import retrieval as RT
+
+    pool_sql = RT.sql_hybrid_rrf(
+        BM25_TERMS, 0, SIM.sql_cosine("embedding", "qv"), k=20, toks_sql=TOKS_SQL
+    )
+    return RT.sql_cross_encoder_rerank(pool_sql, BM25_TERMS, k=10, toks_sql=TOKS_SQL)
+
+
 def _hybrid_oracle():
     from database_query_processor_spark.operators import retrieval as RT
 
@@ -1770,6 +1800,10 @@ SPECS = [
               "hybrid retrieval: BM25 + dense cosine rankers fused by "
               "reciprocal-rank fusion; constant-size fusion join, corpus "
               "cost = the two rankers' scans"),
+    QuerySpec("x64_rerank_cross_encoder", rerank_cross_encoder, _rerank_oracle(),
+              "retrieve-then-rerank: hybrid RRF pool reranked by a "
+              "query-doc interaction scorer (saturation tf + position "
+              "prior); broadcast-bounded by the constant pool size"),
     QuerySpec("x47_budget_select", corpus_budget_select, BUDGET_SELECT_SQL,
               "token-budget-capped quality-first corpus selection: "
               "range-partitioned two-pass prefix sum on the ranking key, "

@@ -198,6 +198,27 @@ def groupby_as_distinct(spark, sf_dir):
     return R.group_by_distinct(_t(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"])
 
 
+def salted_join_q(spark, sf_dir):
+    """p18: the skew-salted equi-join as a declared query — the
+    manual escape hatch for keys so hot that even AQE's skew-split
+    partitions overflow (operators/relational.py:salted_join). Left
+    rows spread across 8 deterministic salts; the customer dim is
+    replicated 8x; the join key becomes (user_id, salt). Result is
+    identical to the plain inner join — which is exactly what the
+    oracle checks."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = R.salted_join(e, c, on=["user_id"], num_salts=8)
+    from database_query_processor_spark.operators.aggregates import dec
+
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
+
+
 SPECS = [
     QuerySpec("p01_scan_full", scan_region, "SELECT * FROM region",
               "full-table scan (ref Scan; testcases/query1.sql shape)"),
@@ -262,4 +283,12 @@ SPECS = [
     QuerySpec("p17_groupby_as_distinct", groupby_as_distinct,
               "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
               "reference GROUPBY rewrite (distinct on group keys)"),
+    QuerySpec("p18_salted_join", salted_join_q,
+              "SELECT c_mktsegment, COUNT(*) AS n, "
+              "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value "
+              "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+              "GROUP BY c_mktsegment",
+              "skew-salted equi-join (manual salting for pathological hot "
+              "keys beyond AQE's split): salt spread + 8x dim replication, "
+              "result identical to the plain join"),
 ]

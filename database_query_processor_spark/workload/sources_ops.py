@@ -192,6 +192,60 @@ def json_roundtrip(spark, sf_dir):
     )
 
 
+def optimize_vacuum_roundtrip(spark, sf_dir):
+    """src14: the full table-maintenance lifecycle over the manifest-
+    snapshot layout (sources/snapshots.py) — the Delta/Iceberg
+    OPTIMIZE + VACUUM pair src09 (one-shot compaction) and src12
+    (time travel) compose into:
+
+      v1: pre-2000 orders committed as 8 hash-split small files (the
+          state incremental ingest leaves behind),
+      v2: late arrivals appended as a 9th file,
+      v3: OPTIMIZE — rewrite the live content into 2 compacted files,
+          dropping all 9 (content bit-identical, layout-only commit),
+      VACUUM keep_versions=1 — physically delete the 9 files only v1/
+          v2 referenced plus their manifests.
+
+    The returned aggregate reads the post-VACUUM latest snapshot; the
+    oracle derives the same numbers straight from `orders`, proving
+    the whole maintenance cycle is content-preserving. Physical
+    claims (file counts, vacuumed files gone, time travel to v1 now
+    raising) are pinned in tests/test_sources.py."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.aggregates import dec
+    from database_query_processor_spark.sources import snapshots as SNAP
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    base = o.filter(F.col("o_orderdate") < cutoff)
+    table = scratch_dir("dqps_optvac_")
+    bucket = F.pmod(F.xxhash64(F.col("o_orderkey")), F.lit(8))
+    SNAP.commit(table, {f"ingest_{i}": base.filter(bucket == i) for i in range(8)})
+    SNAP.commit(table, {"late": o.filter(F.col("o_orderdate") >= cutoff)})
+    SNAP.optimize(spark, table, target_files=2, split_col="o_orderkey")
+    SNAP.vacuum(table, keep_versions=1)
+    return (
+        SNAP.read_version(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("sum_price"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+    )
+
+
+_OPTVAC_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       MAX(o_orderdate) AS last_date
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def compaction_roundtrip(spark, sf_dir):
     """src09: small-file compaction — fragment events into 64 tiny
     files (the state a micro-batch ingest leaves behind), compact to 4
@@ -698,6 +752,11 @@ SPECS = [
     QuerySpec("src04_partitioned_pruned_read", partitioned_pruned_read, _PRUNED_ORACLE,
               "hive-partitioned parquet write + partition-pruned read-back "
               "(file-level pruning via PartitionFilters)"),
+    QuerySpec("src14_optimize_vacuum", optimize_vacuum_roundtrip, _OPTVAC_ORACLE,
+              "OPTIMIZE + VACUUM lifecycle on the manifest-snapshot layout: "
+              "small-file ingest -> append -> compaction commit -> physical "
+              "GC of unreferenced files; post-VACUUM read proves content "
+              "preservation"),
     QuerySpec("src01_randomdb_generate", randomdb_generate, None,
               "distributed .det-spec datagen (RandomDB equivalent): "
               "deterministic hash cells, affine-permutation PKs"),

@@ -510,3 +510,14 @@ def test_tpch_q18_plan_pinned(spark):
     # the reporting joins stay hash-based; at test scale broadcastable
     strategies = join_strategies(df)
     assert all("HashJoin" in s for s in strategies), strategies
+
+
+def test_salted_join_plan_shape(spark):
+    """p18: the salted join must actually salt — the physical join key
+    includes __salt on BOTH sides, the dim side replicates via an
+    explode (Generate), and the result is STILL one hash-keyed
+    aggregate after the join (no extra exchange beyond join + agg)."""
+    df = _specs()["p18_salted_join"].build(spark, SF)
+    plan = explain_str(df, "formatted")
+    assert "__salt" in plan, plan[:800]
+    assert "Generate explode" in plan or "Generate" in plan, plan[:800]

@@ -188,3 +188,51 @@ def test_snapshot_isolation_and_immutability(spark, tmp_path):
         SNAP.commit(table, {"f1_cow": df1})
     with pytest.raises(ValueError, match="absent"):
         SNAP.commit(table, {"x": df1}, drops=("nope",))
+
+
+def test_snapshot_optimize_vacuum_lifecycle(spark, tmp_path):
+    """OPTIMIZE rewrites the live content into the target file count
+    (content-identical, layout-only commit); VACUUM physically removes
+    files referenced only by dropped manifests, after which time
+    travel to vacuumed versions fails loudly but the kept snapshot is
+    intact."""
+    import os
+
+    import pytest
+
+    from database_query_processor_spark.sources import snapshots as SNAP
+
+    table = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(20)], "k long, v string")
+    SNAP.commit(table, {f"in_{i}": df.filter(df.k % 4 == i) for i in range(4)})
+    SNAP.commit(table, {"late": df.filter(df.k >= 18).withColumn("k", df.k + 100)})
+    expect = sorted(
+        (r.k, r.v) for r in SNAP.read_version(spark, table).collect()
+    )
+
+    v = SNAP.optimize(spark, table, target_files=2, split_col="k")
+    assert v == 3
+    with open(SNAP._manifest(table, 3)) as fh:
+        import json
+
+        live = json.load(fh)["files"]
+    assert len(live) == 2 and all(f.startswith("compact_v3_") for f in live)
+    assert sorted((r.k, r.v) for r in SNAP.read_version(spark, table).collect()) == expect
+
+    removed = SNAP.vacuum(table, keep_versions=1)
+    assert sorted(removed) == sorted([f"in_{i}" for i in range(4)] + ["late"])
+    assert sorted(os.listdir(os.path.join(table, "data"))) == sorted(live)
+    # old manifests gone -> time travel to v1 now raises
+    with pytest.raises(FileNotFoundError):
+        SNAP.read_version(spark, table, 1)
+    # the kept snapshot still reads completely
+    assert sorted((r.k, r.v) for r in SNAP.read_version(spark, table).collect()) == expect
+
+
+def test_snapshot_optimize_empty_table_raises(tmp_path):
+    import pytest
+
+    from database_query_processor_spark.sources import snapshots as SNAP
+
+    with pytest.raises(ValueError, match="empty"):
+        SNAP.optimize(None, str(tmp_path / "none"))
