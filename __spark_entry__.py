@@ -27,7 +27,7 @@ from database_query_processor_spark.workload import QuerySpec, all_specs
 # Highest-risk-first ordering for the not-yet-verified block: streaming
 # topologies, source/sink round-trips, the reference dialect, temporal
 # ops, then the lower-risk TPC-H/completions tail.
-_RISK_PREFIXES = ("s0", "src", "d0", "d1", "t0", "t1", "x", "c", "p")
+_RISK_PREFIXES = ("s0", "s1", "src", "d0", "d1", "t0", "t1", "x", "c", "p")
 
 
 def _latest_green() -> set[str]:
@@ -58,6 +58,77 @@ def _latest_green() -> set[str]:
     return {name for name, ok in latest.items() if ok}
 
 
+def _changed_since_last_verify() -> set[str]:
+    """Repo-relative paths changed since the last commit that touched a
+    CORRECTNESS artifact (≈ the last driver verification point). Empty
+    set when git is unavailable or there is no artifact commit yet —
+    ordering then degrades to pure rotation, never crashes."""
+    import subprocess
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent
+    try:
+        base = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", "CORRECTNESS_r*.json"],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if not base:
+            return set()
+        out = subprocess.run(
+            ["git", "diff", "--name-only", base, "HEAD"],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        )
+        changed = {line.strip() for line in out.stdout.splitlines() if line.strip()}
+        # plus uncommitted work-in-progress
+        wt = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        )
+        changed |= {line[3:].strip() for line in wt.stdout.splitlines() if line.strip()}
+        return changed
+    except (OSError, subprocess.SubprocessError):
+        return set()
+
+
+def _spec_touched(spec: QuerySpec, changed: set[str]) -> bool:
+    """Whether the spec's implementing code plausibly changed: its
+    build function's defining module, or any package module that
+    module imports (one static level — workload modules import exactly
+    the operator/source/streaming modules they use)."""
+    import re
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent
+    pkg_changed = {
+        c for c in changed if c.startswith("database_query_processor_spark/")
+    }
+    if not pkg_changed:
+        return False
+    mod = sys.modules.get(spec.build.__module__)
+    src_file = getattr(mod, "__file__", None)
+    if not src_file:
+        return True  # can't attribute — treat as touched (safe side)
+    rel = str(Path(src_file).resolve().relative_to(root))
+    if rel in pkg_changed:
+        return True
+    try:
+        text = Path(src_file).read_text()
+    except OSError:
+        return True
+    imported = set(
+        re.findall(r"database_query_processor_spark[.\w]*", text)
+    )
+    changed_mods = {
+        c[: -len(".py")].replace("/", ".") for c in pkg_changed if c.endswith(".py")
+    }
+    return any(
+        any(cm == im or cm.startswith(im + ".") or im.startswith(cm + ".")
+            for im in imported)
+        for cm in changed_mods
+    )
+
+
 def _sweep_order() -> list[QuerySpec]:
     specs = all_specs()
     green = _latest_green()
@@ -76,8 +147,15 @@ def _sweep_order() -> list[QuerySpec]:
 
     front = sorted((s for s in specs if s.name not in green), key=risk)
     back = [s for s in specs if s.name in green]
-    # Rotate the green block by a round-dependent stride so successive
-    # rounds re-verify different green queries with leftover budget.
+    # Diff-aware re-verification: greens whose implementing modules
+    # changed since the last driver verification point jump ahead of
+    # the rotation — a regression in a touched module gets re-checked
+    # THIS round instead of hiding for a full rotation cycle.
+    changed = _changed_since_last_verify()
+    touched = [s for s in back if _spec_touched(s, changed)]
+    untouched = [s for s in back if s not in touched]
+    # Rotate the untouched-green block by a round-dependent stride so
+    # successive rounds re-verify different greens with leftover budget.
     import re
     from pathlib import Path
 
@@ -85,10 +163,10 @@ def _sweep_order() -> list[QuerySpec]:
         [p for p in Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")
          if re.search(r"r(\d+)", p.stem)]
     )
-    if back:
-        k = (17 * n_rounds) % len(back)
-        back = back[k:] + back[:k]
-    return front + back
+    if untouched:
+        k = (17 * n_rounds) % len(untouched)
+        untouched = untouched[k:] + untouched[:k]
+    return front + touched + untouched
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -60,3 +60,53 @@ def test_sweep_order_policy():
             assert unverified[-len(no_oracle):] == no_oracle
     # deterministic across calls
     assert order == list(e.queries())
+
+
+def test_sweep_order_diff_aware():
+    """Greens whose implementing modules changed since the last driver
+    verification point sort immediately after the unverified front —
+    a regression in a touched module is re-checked the same round
+    instead of hiding for a full rotation cycle. Verified by
+    monkeypatching the changed-file provider."""
+    import __spark_entry__ as e
+
+    green = e._latest_green()
+    if not green:  # fresh checkout: nothing to order
+        return
+    # pick any green spec and pretend its module changed
+    from database_query_processor_spark.workload import all_specs
+
+    specs = {s.name: s for s in all_specs()}
+    target = sorted(green & set(specs))[0]
+    import sys
+
+    mod_file = sys.modules[specs[target].build.__module__].__file__
+    import pathlib
+
+    rel = str(pathlib.Path(mod_file).resolve().relative_to(
+        pathlib.Path(e.__file__).resolve().parent))
+
+    orig = e._changed_since_last_verify
+    try:
+        e._changed_since_last_verify = lambda: {rel}
+        order = [s.name for s in e._sweep_order()]
+        unverified = [n for n in order if n not in green]
+        # target (touched) must appear right after the unverified front,
+        # before any untouched green from a different module
+        touched_block = order[len(unverified):]
+        assert target in touched_block
+        t_idx = touched_block.index(target)
+        # everything before target in the green block is also touched
+        # (imports the changed module, per _spec_touched's own rule)
+        for n in touched_block[:t_idx]:
+            assert e._spec_touched(specs[n], {rel}), n
+    finally:
+        e._changed_since_last_verify = orig
+
+    # no-change case: with an empty diff the order equals pure rotation
+    try:
+        e._changed_since_last_verify = lambda: set()
+        order2 = [s.name for s in e._sweep_order()]
+        assert set(order2) == set(order)
+    finally:
+        e._changed_since_last_verify = orig
