@@ -104,6 +104,127 @@ def ann_lsh_topk(
     )
 
 
+def _q8(vec: Column, scale: Column) -> Column:
+    """Symmetric int8-range scalar quantization with a corpus-global
+    scale: floor(x · 127 / scale) as BIGINTs. floor (not round) —
+    round-half rules differ across engines; floor is exact in both."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * 127 / scale).cast("long")
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i over integer arrays — exact, order-free."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_sq8_rerank(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+    pool: int = 50,
+) -> DataFrame:
+    """ANN via scalar quantization: int8-range quantized vectors give
+    a cheap integer-dot prefilter (the SQ8 path every production
+    vector store ships — 4x less memory bandwidth, SIMD int8 dots),
+    an approximate-cosine pool cut, then EXACT float cosine reranking
+    of the constant-size pool. Recall loss is bounded by quantization
+    error; the rerank restores exact ordering within the pool.
+
+    Cross-engine exactness: quantized values are floor(x·127/s) with
+    a corpus-global scale s = max|x| (no arithmetic in the max, so s
+    is bit-identical in both engines); integer dots/norms are exact
+    and order-free; approx = dot / sqrt(nq·nv) is a 3-IEEE-op chain
+    (no reordered float sums), ROUND 9 before the pool cut with id
+    tie-break.
+
+    Scale shape: ONE corpus pass for the scale aggregate (broadcast
+    back), one quantized scan for the pool cut (TakeOrderedAndProject
+    per-partition heaps), exact rerank on ≤pool rows. At 100 TB the
+    quantized representation would be materialized once as an int8
+    column, making the prefilter scan ~4x lighter than float32."""
+    scale = df.agg(
+        F.max(F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x))))
+        .alias("sc")
+    )
+    q = (
+        df.filter(F.col(id_col) == query_id)
+        .crossJoin(F.broadcast(scale))
+        .select(
+            F.col(vec_col).alias("qv"),
+            _q8(F.col(vec_col), F.col("sc")).alias("q8"),
+            F.col("sc"),
+        )
+    )
+    base = (
+        df.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            "qv",
+            _q8(F.col(vec_col), F.col("sc")).alias("v8"),
+            "q8",
+        )
+    )
+    nq = _int_dot(F.col("q8"), F.col("q8"))
+    nv = _int_dot(F.col("v8"), F.col("v8"))
+    approx = F.round(
+        _int_dot(F.col("v8"), F.col("q8")).cast("double")
+        / F.sqrt(F.greatest(nq * nv, F.lit(1)).cast("double")),
+        9,
+    )
+    cand = (
+        base.select(F.col(id_col), F.col(vec_col), "qv", approx.alias("approx"))
+        .orderBy(F.col("approx").desc(), F.col(id_col).asc())
+        .limit(pool)
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            "approx",
+            F.round(cosine(F.col(vec_col), F.col("qv")), 9).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def sql_ann_sq8_rerank(query_id: int, k: int = 10, pool: int = 50) -> str:
+    """DuckDB oracle mirroring ann_sq8_rerank: same global scale, same
+    floor quantization, exact integer dots, identical 3-op approx
+    chain, ROUND 9 + id tie-break at both cuts."""
+    q8 = "[CAST(floor(CAST(x AS DOUBLE) * 127 / sc) AS BIGINT) for x in embedding]"
+    idot = (
+        "CAST(list_sum([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)]) AS BIGINT)"
+    )
+    nq = idot.format(a="q8", b="q8")
+    nv = idot.format(a="v8", b="v8")
+    dq = idot.format(a="v8", b="q8")
+    return f"""
+WITH s AS (SELECT MAX(list_max([abs(x) for x in embedding])) AS sc FROM embeddings),
+q AS (SELECT embedding AS qv, {q8} AS q8
+      FROM embeddings, s WHERE vec_id = {query_id}),
+base AS (SELECT vec_id, embedding, qv, {q8} AS v8, q8
+         FROM embeddings, s, q WHERE vec_id <> {query_id}),
+cand AS (
+  SELECT vec_id, embedding, qv,
+         ROUND(CAST({dq} AS DOUBLE)
+               / sqrt(CAST(greatest({nq} * {nv}, 1) AS DOUBLE)), 9) AS approx
+  FROM base
+  ORDER BY approx DESC, vec_id ASC LIMIT {pool})
+SELECT vec_id, approx,
+       ROUND({sql_cosine('embedding', 'qv')}, 9) AS cos
+FROM cand
+ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
 IVF_CELLS = 8
 IVF_NPROBE = 2
 

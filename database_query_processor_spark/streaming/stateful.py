@@ -220,6 +220,100 @@ def daily_counts_tws(stream: DataFrame) -> DataFrame:
     )
 
 
+TWS_RECENT_SCHEMA = "user_id BIGINT, n_seen BIGINT, top3 STRING"
+
+
+class _RecentTopProcessor(_StatefulProcessor):
+    """StatefulProcessor: per user, a ListState of (ts_us, event_id)
+    appended per batch; emits the running event count and the 3 most
+    recent event ids (ts desc, event_id desc). Exercises the OTHER
+    typed-state surface (ListState appendList/get iteration) through
+    the state-server protocol — MapState is covered by
+    _DailyCountProcessor."""
+
+    def init(self, handle) -> None:
+        self._evts = handle.getListState("recent", "ts_us BIGINT, event_id BIGINT")
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        new: list[tuple[int, int]] = []
+        for pdf in rows:
+            if pdf.empty:
+                continue
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            new.extend(
+                (int(t), int(e)) for t, e in zip(ts_us, pdf["event_id"])
+            )
+        if new:
+            self._evts.appendList(new)
+        stored = [(int(r[0]), int(r[1])) for r in self._evts.get()]
+        if not stored:
+            return
+        top = sorted(stored, key=lambda r: (-r[0], -r[1]))[:3]
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [len(stored)],
+                "top3": [",".join(str(e) for _, e in top)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def recent_top_tws(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, 3-most-recent-events) via
+    transformWithStateInPandas ListState. n_seen strictly increases
+    per emission, so the batch-side max_by(n_seen) reduction is
+    batching-invariant (the last emission per user is the final
+    state)."""
+    _activate_protobuf_shim(stream.sparkSession)
+    return (
+        stream.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _RecentTopProcessor(),
+            outputStructType=TWS_RECENT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def run_recent_top_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive recent_top_tws over the finite events parquet (RocksDB
+    state store, update-mode memory sink) and reduce to each user's
+    final emission."""
+    conf = spark.conf
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = conf.get(key, None)
+    conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        from .windows import _events_stream, _run_to_memory_sink
+
+        stream = _events_stream(spark, sf_dir)
+        sink = _run_to_memory_sink(
+            recent_top_tws(stream), "recent_top", mode="update"
+        )
+        final = F.max(F.struct("n_seen", "top3")).alias("_f")
+        return (
+            sink.groupBy("user_id")
+            .agg(final)
+            .select("user_id", F.col("_f.n_seen").alias("n_seen"),
+                    F.col("_f.top3").alias("top3"))
+        )
+    finally:
+        if old is None:
+            conf.unset(key)
+        else:
+            conf.set(key, old)
+
+
 def run_daily_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive daily_counts_tws over the finite events parquet to
     completion (file readStream → RocksDB-backed state → update-mode

@@ -1412,6 +1412,18 @@ def _rerank_oracle():
     return RT.sql_cross_encoder_rerank(pool_sql, BM25_TERMS, k=10, toks_sql=TOKS_SQL)
 
 
+def ann_sq8(spark, sf_dir):
+    """x65: scalar-quantized ANN — int8-range quantized integer-dot
+    prefilter (corpus-global scale, floor quantization) cuts a
+    50-candidate pool, exact float cosine reranks to top-10
+    (similarity.py:ann_sq8_rerank). The SQ path every production
+    vector store ships: the quantized scan is ~4x lighter, the rerank
+    restores exact ordering within the pool."""
+    return SIM.ann_sq8_rerank(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", query_id=0, k=10
+    )
+
+
 def _hybrid_oracle():
     from database_query_processor_spark.operators import retrieval as RT
 
@@ -1804,6 +1816,10 @@ SPECS = [
               "retrieve-then-rerank: hybrid RRF pool reranked by a "
               "query-doc interaction scorer (saturation tf + position "
               "prior); broadcast-bounded by the constant pool size"),
+    QuerySpec("x65_ann_sq8_rerank", ann_sq8, SIM.sql_ann_sq8_rerank(0, k=10),
+              "scalar-quantized ANN: int8-range integer-dot prefilter "
+              "(global scale, floor quantization, exact int arithmetic) + "
+              "exact cosine rerank of the constant pool"),
     QuerySpec("x47_budget_select", corpus_budget_select, BUDGET_SELECT_SQL,
               "token-budget-capped quality-first corpus selection: "
               "range-partitioned two-pass prefix sum on the ranking key, "

@@ -684,6 +684,33 @@ FROM events GROUP BY 1, 2
 """
 
 
+def stream_recent_top_tws(spark, sf_dir):
+    """s11: transformWithStateInPandas via the OTHER typed-state
+    surface — per-user ListState appended each micro-batch, emitting
+    the running event count and the 3 most recent event ids; final
+    reduce keeps each user's last (max-n_seen) emission. Together with
+    s10 (MapState) this covers both tws state shapes end-to-end
+    through the vendored protobuf shim."""
+    from database_query_processor_spark.streaming.stateful import (
+        run_recent_top_stream,
+    )
+
+    return run_recent_top_stream(spark, sf_dir)
+
+
+TWS_RECENT_SQL = """
+WITH r AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_seen
+  FROM events)
+SELECT user_id, n_seen,
+       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS top3
+FROM r WHERE rn <= 3 GROUP BY user_id, n_seen
+"""
+
+
 def gap_detect(spark, sf_dir):
     """t16: outage detection — every silence longer than 24h between
     a user's consecutive events (operators/temporal.py:detect_gaps).
@@ -796,6 +823,10 @@ SPECS = [
               "REAL streaming transformWithStateInPandas (Spark 4 typed "
               "state): per-(event_type, day) MapState counts on RocksDB, "
               "protobuf satisfied by the vendored pure-Python shim"),
+    QuerySpec("s11_recent_top_tws", stream_recent_top_tws, TWS_RECENT_SQL,
+              "transformWithStateInPandas ListState: per-user append-only "
+              "recent-events state, running count + 3 most recent ids, "
+              "batching-invariant max-emission reduce"),
     QuerySpec("t14_ewma_smooth", ewma_smooth, EWMA_SQL,
               "EWMA smoothing: sequential recurrence as ONE hash aggregate "
               "+ JVM ordered fold, bit-identical to DuckDB list_reduce"),

@@ -32,6 +32,18 @@ SHOWCASE = [
      "PushedFilters; the scan reads 4 of 16 lineitem columns"),
     ("p11_join4_band", "multi-way equi-join with a range band: dims "
      "broadcast, band filter evaluated pre-join at the scan"),
+    ("c40_tpch_q18", "Q18 single-pass rewrite: the HAVING aggregate IS "
+     "the reporting measure (o_orderkey unique in orders), so lineitem "
+     "is scanned and aggregated ONCE — one shuffle total"),
+    ("t01_asof_join", "as-of join as union-merge: ONE key exchange; the "
+     "right side's (key,ts)->max dedup folded into the window sort "
+     "order (right_tiebreak), no pre-aggregation shuffle"),
+    ("p18_salted_join", "skew-salted equi-join: deterministic salt "
+     "spread + 8x dim replication — a pathological hot key fans out "
+     "across 8 reducers instead of pinning one"),
+    ("x64_rerank_cross_encoder", "retrieve-then-rerank: interaction "
+     "scoring broadcast-bounded by the constant candidate pool; corpus "
+     "cost stays the first-stage rankers'"),
     ("t03_sessionize", "windowed sessionization: both window functions "
      "and the rollup share ONE user_id exchange"),
     ("t04_compact_changelog", "changelog compaction: one shuffle, "

@@ -186,3 +186,20 @@ def test_assign_cells_vectorized_matches_literal(spark):
     # isotropic gaussians: exact cosine ties are measure-zero; allow
     # at most an ulp-tie stragglers margin
     assert diff <= 1, f"{diff}/400 assignments differ"
+
+
+def test_sq8_rerank_recall(spark):
+    """SQ8 prefilter + exact rerank must recover (nearly all of) the
+    exact cosine top-10: quantization error can drop a true neighbor
+    from the 50-pool only near the pool boundary."""
+    from database_query_processor_spark.operators.similarity import (
+        ann_sq8_rerank,
+        cosine_topk,
+    )
+    from database_query_processor_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = [r.vec_id for r in cosine_topk(emb, "vec_id", "embedding", 0, k=10).collect()]
+    sq8 = [r.vec_id for r in ann_sq8_rerank(emb, "vec_id", "embedding", 0, k=10).collect()]
+    overlap = len(set(exact) & set(sq8))
+    assert overlap >= 9, (exact, sq8)
