@@ -193,7 +193,7 @@ def json_roundtrip(spark, sf_dir):
 
 
 def optimize_vacuum_roundtrip(spark, sf_dir):
-    """src14: the full table-maintenance lifecycle over the manifest-
+    """src17: the full table-maintenance lifecycle over the manifest-
     snapshot layout (sources/snapshots.py) — the Delta/Iceberg
     OPTIMIZE + VACUUM pair src09 (one-shot compaction) and src12
     (time travel) compose into:
@@ -752,7 +752,7 @@ SPECS = [
     QuerySpec("src04_partitioned_pruned_read", partitioned_pruned_read, _PRUNED_ORACLE,
               "hive-partitioned parquet write + partition-pruned read-back "
               "(file-level pruning via PartitionFilters)"),
-    QuerySpec("src14_optimize_vacuum", optimize_vacuum_roundtrip, _OPTVAC_ORACLE,
+    QuerySpec("src17_optimize_vacuum", optimize_vacuum_roundtrip, _OPTVAC_ORACLE,
               "OPTIMIZE + VACUUM lifecycle on the manifest-snapshot layout: "
               "small-file ingest -> append -> compaction commit -> physical "
               "GC of unreferenced files; post-VACUUM read proves content "

@@ -460,3 +460,91 @@ def test_det_hash_pmod_contract_full_signed_domain(i):
     (sql,) = con.execute(f"SELECT {sql_det_hash(str(i))}").fetchone()
     assert 0 <= py < HASH_MOD
     assert sql == py, (i, sql, py)
+
+
+def _shim_sm():
+    """Import PySpark's generated StateMessage_pb2 against the vendored
+    shim runtime (idempotent; the real protobuf wins if installed)."""
+    import os
+    import sys
+
+    shim = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "database_query_processor_spark", "vendor", "protoshim",
+    )
+    if shim not in sys.path:
+        sys.path.insert(0, shim)
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    return sm
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=300, deadline=None)
+def test_protoshim_varint_int64_roundtrip(v):
+    """PROPERTY: every signed-64 value survives the shim's varint
+    encode/decode (negative values sign-extend to 10-byte varints —
+    the proto int64 contract)."""
+    sm = _shim_sm()
+    m = sm.TimerInfo(timestampMs=v)
+    back = sm.TimerInfo()
+    back.ParseFromString(m.SerializeToString())
+    assert back.timestampMs == v
+
+
+@given(
+    st.lists(st.binary(max_size=64), max_size=8),
+    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    st.text(max_size=64),
+    st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_protoshim_message_roundtrip(blobs, code, err, fetch):
+    """PROPERTY: scalar + repeated-bytes + bool fields round-trip
+    through the shim wire codec for arbitrary values, including
+    empty strings/bytes and int32 extremes."""
+    sm = _shim_sm()
+    m = sm.StateResponseWithListGet(
+        statusCode=code, errorMessage=err, value=blobs, requireNextFetch=fetch
+    )
+    back = sm.StateResponseWithListGet()
+    back.ParseFromString(m.SerializeToString())
+    assert back.statusCode == code
+    assert back.errorMessage == err
+    assert list(back.value) == blobs
+    assert back.requireNextFetch is fetch
+
+
+@given(st.lists(st.tuples(st.binary(max_size=32), st.binary(max_size=32)), max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_protoshim_repeated_message_roundtrip(pairs):
+    """PROPERTY: repeated submessages keep order and content."""
+    sm = _shim_sm()
+    m = sm.StateResponseWithMapIterator(
+        statusCode=0,
+        kvPair=[sm.KeyAndValuePair(key=k, value=v) for k, v in pairs],
+    )
+    back = sm.StateResponseWithMapIterator()
+    back.ParseFromString(m.SerializeToString())
+    assert [(p.key, p.value) for p in back.kvPair] == pairs
+
+
+def test_protoshim_unknown_fields_skipped():
+    """A conforming decoder skips unknown fields of every wire type:
+    splice unknown varint/len/i64/i32 fields around a known field and
+    the known value still parses."""
+    sm = _shim_sm()
+    from database_query_processor_spark.vendor.protoshim.google.protobuf import (  # noqa: E501
+        _shim_impl as W,
+    )
+
+    known = sm.StateResponse(statusCode=7).SerializeToString()
+    unknown = (
+        W._enc_tag(99, 0) + W._enc_varint(12345)
+        + W._enc_len_delim(98, b"junk")
+        + W._enc_tag(97, 1) + b"\x01\x02\x03\x04\x05\x06\x07\x08"
+        + W._enc_tag(96, 5) + b"\x01\x02\x03\x04"
+    )
+    back = sm.StateResponse()
+    back.ParseFromString(unknown + known + unknown)
+    assert back.statusCode == 7
