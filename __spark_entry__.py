@@ -109,7 +109,13 @@ def _spec_touched(spec: QuerySpec, changed: set[str]) -> bool:
     src_file = getattr(mod, "__file__", None)
     if not src_file:
         return True  # can't attribute — treat as touched (safe side)
-    rel = str(Path(src_file).resolve().relative_to(root))
+    try:
+        rel = str(Path(src_file).resolve().relative_to(root))
+    except ValueError:
+        # module lives outside the repo root (staged copy, installed
+        # package) — can't attribute, treat as touched (never crash
+        # the sweep: the contract is graceful degradation)
+        return True
     if rel in pkg_changed:
         return True
     try:

@@ -82,8 +82,10 @@ def _variance_report(timings: dict[str, float]) -> dict:
         return {}
     band = round(statistics.median(ratios.values()), 2)
     normalized = {name: round(r / band, 2) for name, r in ratios.items()}
+    # gate on the UNROUNDED normalized ratio — rounding first would
+    # silently un-flag regressions landing in (band*1.300, band*1.305)
     outliers = sorted(
-        name for name, r in normalized.items() if r > OUTLIER_OVER_BAND
+        name for name, r in ratios.items() if r / band > OUTLIER_OVER_BAND
     )
     return {
         "ratios": ratios,

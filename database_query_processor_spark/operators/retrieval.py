@@ -405,9 +405,15 @@ def cross_encoder_rerank(
     |pool| documents' text regardless of corpus size; the expensive
     model pass is bounded by the pool, which is the whole point of
     the two-stage design."""
-    tk = tokens(text_col)
-    scored = docs.select(F.col(id_col).alias("doc_id"), tk.alias("_tk")).join(
-        F.broadcast(candidates.select("doc_id", "rrf")), "doc_id"
+    # Join FIRST, tokenize after: computing _tk in a pre-join projection
+    # evaluates the regex tokenize for EVERY corpus row (the Project
+    # sits below the broadcast join in the optimized plan — confirmed
+    # by explain); with the join first, only the |pool| surviving rows
+    # are tokenized, which is the whole pool-bounded contract.
+    scored = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .join(F.broadcast(candidates.select("doc_id", "rrf")), "doc_id")
+        .select("doc_id", "rrf", tokens("_text").alias("_tk"))
     )
     def _eq(term):
         # NB: F.filter dispatches on lambda arity — a second parameter

@@ -49,8 +49,14 @@ def as_of_join(
     the window partition key, so NULL-key rows land in singleton
     partitions (trivially matching nothing) instead of piling into
     one _k=NULL partition — a NULL-heavy left input (common in event
-    data) would otherwise funnel into a single straggler task."""
-    right = right.filter(F.col(key).isNotNull())
+    data) would otherwise funnel into a single straggler task.
+    Right rows with a NULL right_ts are likewise removed: a NULL
+    timestamp satisfies no 'ts <= left_ts' ordering, but under the
+    merge window's nulls-first sort it would land in every frame and
+    surface as a phantom (matched_val, NULL matched_ts) pair."""
+    right = right.filter(
+        F.col(key).isNotNull() & F.col(right_ts).isNotNull()
+    )
     # (val, ts) travel in ONE struct: two independent last(ignorenulls)
     # scans would desync when right_val itself is NULL — matched_val
     # from one right row, matched_ts from a later one, a pair that

@@ -166,8 +166,17 @@ def optimize(
 
     Splitting is deterministic: ``split_col`` (default: the first
     column) hashes rows into target buckets, so re-running OPTIMIZE on
-    identical content yields identical files. Scale: one shuffle of
-    the live data; the metadata commit stays O(table files)."""
+    identical content yields identical files.
+
+    Scale: the previous snapshot is read ONCE (localCheckpoint
+    materializes it before the per-bucket writes — commit() writes
+    each target file as its own job, so without the checkpoint every
+    bucket filter would re-scan all previous data files: N× read
+    amplification on the operation whose whole purpose is bounding
+    I/O). A cluster deployment at real scale would replace the
+    per-file writes with one partitioned write (partitionBy bucket)
+    against the table format's commit API; the manifest layer here
+    keeps the one-file-per-add contract instead."""
     from pyspark.sql import functions as F
 
     prev = latest_version(table_dir)
@@ -181,6 +190,7 @@ def optimize(
     if target_files <= 1:
         adds[f"compact_v{prev + 1}_0"] = df
     else:
+        df = df.localCheckpoint(eager=True)  # one read of the old files
         bucket = F.pmod(F.xxhash64(F.col(col)), F.lit(target_files))
         for i in range(target_files):
             adds[f"compact_v{prev + 1}_{i}"] = df.filter(bucket == i)

@@ -83,11 +83,19 @@ def apply_cdc_epoch(
         # same key with EQUAL sequence values: tiebreak on the delete flag
         # (delete wins — the conservative outcome for an ambiguous feed),
         # then a stable whole-row hash so reruns of the same batch always
-        # apply the same state.
+        # apply the same state. The hash must be TOTAL over rows:
+        # xxhash64 over raw columns SKIPS NULL inputs (two rows
+        # differing only in NULL placement collide), so hash the JSON
+        # form with nulls kept — field names + explicit nulls make
+        # distinct rows hash distinctly.
+        row_json = F.to_json(
+            F.struct(*[F.col(c) for c in batch_df.columns]),
+            {"ignoreNullFields": "false"},
+        )
         w = Window.partitionBy(key).orderBy(
             F.col(seq_col).desc(),
             F.col(delete_col).desc_nulls_last(),
-            F.xxhash64(*[F.col(c) for c in batch_df.columns]).asc(),
+            F.xxhash64(row_json).asc(),
         )
         batch_df = (
             batch_df.withColumn("_rn", F.row_number().over(w))

@@ -167,15 +167,33 @@ def _activate_protobuf_shim(spark: SparkSession) -> None:
         sys.path.insert(0, shim_root)
     import google.protobuf  # noqa: F401  (now resolves to the shim)
 
-    zip_path = os.path.join(tempfile.gettempdir(), "dqps_protoshim.zip")
+    # Zip name carries a content hash: a stale /tmp cache from an older
+    # shim version can otherwise ship to executors (pyFiles precede the
+    # PYTHONPATH entry on worker sys.path) while the driver imports the
+    # new code — silent codec skew. Staging name is per-PID so two
+    # drivers building concurrently never clobber each other's temp.
+    import hashlib
+
+    sources = []
+    for dirpath, _dirs, files in os.walk(os.path.join(shim_root, "google")):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                sources.append((os.path.relpath(full, shim_root), full))
+    sources.sort()
+    digest = hashlib.sha256()
+    for rel, full in sources:
+        digest.update(rel.encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"dqps_protoshim_{digest.hexdigest()[:16]}.zip"
+    )
     if not os.path.exists(zip_path):
-        tmp = zip_path + ".tmp"
+        tmp = f"{zip_path}.tmp-{os.getpid()}"
         with zipfile.ZipFile(tmp, "w") as zf:
-            for dirpath, _dirs, files in os.walk(os.path.join(shim_root, "google")):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        zf.write(full, os.path.relpath(full, shim_root))
+            for rel, full in sources:
+                zf.write(full, rel)
         os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
 

@@ -518,6 +518,9 @@ def test_salted_join_plan_shape(spark):
     explode (Generate), and the result is STILL one hash-keyed
     aggregate after the join (no extra exchange beyond join + agg)."""
     df = _specs()["p18_salted_join"].build(spark, SF)
-    plan = explain_str(df, "formatted")
+    plan = explain_str(df, "simple")
     assert "__salt" in plan, plan[:800]
-    assert "Generate explode" in plan or "Generate" in plan, plan[:800]
+    assert "Generate explode" in plan, plan[:800]
+    # one aggregate shuffle only — salting must not add exchanges
+    # (the replicated dim side still broadcasts at test scale)
+    assert count_exchanges(df) <= 1, plan

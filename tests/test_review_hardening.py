@@ -708,3 +708,74 @@ def test_cdc_equal_seq_tiebreak_deterministic(spark, tmp_path):
         )
         results.append({(r.k, r.v) for r in out.select("k", "v").collect()})
     assert results[0] == results[1] == {(2, "b2")}
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    """A right row with NULL right_ts satisfies no 'ts <= left_ts'
+    ordering — it must not surface as a phantom (matched_val, NULL
+    matched_ts) pair when no real match exists."""
+    from database_query_processor_spark.operators.temporal import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 100)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, None, "phantom"), (1, 200, "late")],
+        "k long, ts long, val string",
+    )
+    out = as_of_join(left, right, key="k", left_ts="ts",
+                     right_ts="ts", right_val="val").collect()
+    assert len(out) == 1
+    assert out[0].matched_val is None and out[0].matched_ts is None
+
+
+def test_cdc_tiebreak_total_over_null_patterns(spark, tmp_path):
+    """The equal-seq tiebreak hash must distinguish rows that differ
+    only in WHICH column is NULL (xxhash64 over raw columns skips
+    NULLs and would collide) — reruns of the same ambiguous batch
+    apply identical state."""
+    from database_query_processor_spark.streaming.cdc import run_cdc_apply
+
+    target = spark.createDataFrame([(1, "a", "b")], "k long, v string, w string")
+    # two non-delete ops, equal seq, same non-null chain 'x' but in
+    # different columns: raw xxhash64(v, w) would collide
+    log = spark.createDataFrame(
+        [(1, "x", None, False, 5), (1, None, "x", False, 5)],
+        "k long, v string, w string, is_delete boolean, seq long",
+    )
+    results = []
+    for i in range(2):
+        out = run_cdc_apply(
+            spark, target, log, key="k", update_cols=["v", "w"],
+            table_dir=str(tmp_path / f"t{i}"), seq_col="seq",
+        )
+        results.append([(r.k, r.v, r.w) for r in out.collect()])
+    assert results[0] == results[1]
+    # the winner is the JSON-hash max... just assert determinism and
+    # that exactly one op applied
+    assert len(results[0]) == 1
+
+
+def test_spec_touched_outside_root_treated_touched():
+    """A build function whose module resolves outside the repo root
+    must degrade to 'touched', never crash the sweep ordering."""
+    import types
+
+    import __spark_entry__ as e
+
+    mod = types.ModuleType("outside_mod")
+    mod.__file__ = "/usr/lib/python3/dist-packages/outside_mod.py"
+    import sys
+
+    sys.modules["outside_mod"] = mod
+    try:
+        def build(spark, sf):  # pragma: no cover - never called
+            return None
+
+        build.__module__ = "outside_mod"
+        spec = types.SimpleNamespace(build=build)
+        assert e._spec_touched(
+            spec, {"database_query_processor_spark/whatever.py"}
+        ) is True
+    finally:
+        del sys.modules["outside_mod"]
