@@ -1180,7 +1180,97 @@ GROUP BY 1
 """
 
 
+def group_ols(spark, sf_dir):
+    """c66: per-group ordinary-least-squares regression of value
+    against time — the regr_slope/regr_intercept/corr family as one
+    map-side-combinable aggregate. All five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT integer sums: x = epoch
+    hours (BIGINT), y = value cents (DECIMAL(12,2)·100 → BIGINT), so
+    the one shuffle carries six longs per group and the combination
+    runs in DECIMAL(38,0) (n·Σx² and (Σx)² overflow BIGINT at sf1)
+    before a fixed-order double chain, ROUND 9.
+
+    Scale: this is THE way to do grouped regression at 100 TB — the
+    alternative (per-group collect + fit) moves raw data; sufficient
+    statistics shuffle O(groups) regardless of row count."""
+    e = _t(spark, sf_dir, "events")
+    x = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000).cast("long")
+    y = (dec("value") * 100).cast("long")
+    d38 = "decimal(38,0)"
+    stats = (
+        e.select(F.col("event_type"), x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n38 = F.col("n").cast(d38)
+    num = n38 * F.col("sxy").cast(d38) - F.col("sx").cast(d38) * F.col("sy").cast(d38)
+    den = n38 * F.col("sxx").cast(d38) - F.col("sx").cast(d38) * F.col("sx").cast(d38)
+    deny = n38 * F.col("syy").cast(d38) - F.col("sy").cast(d38) * F.col("sy").cast(d38)
+    slope = num.cast("double") / den.cast("double")
+    return stats.select(
+        "event_type",
+        F.col("n"),
+        F.round(slope, 9).alias("slope_cents_per_hour"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            9,
+        ).alias("intercept_cents"),
+        F.round(
+            num.cast("double")
+            / F.sqrt(den.cast("double") * deny.cast("double")),
+            9,
+        ).alias("corr"),
+    )
+
+
+GROUP_OLS_SQL = """
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM (SELECT event_type,
+               CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS x,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        FROM events)
+  GROUP BY event_type),
+c AS (
+  SELECT *,
+         CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))
+           - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS num,
+         CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+           - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS den,
+         CAST(n AS DECIMAL(38,0)) * CAST(syy AS DECIMAL(38,0))
+           - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS deny
+  FROM s)
+SELECT event_type, n,
+       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9)
+         AS slope_cents_per_hour,
+       ROUND((CAST(sy AS DOUBLE)
+              - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 9) AS intercept_cents,
+       ROUND(CAST(num AS DOUBLE)
+             / sqrt(CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 9) AS corr
+FROM c
+"""
+
+
 SPECS = [
+    QuerySpec("c66_group_ols", group_ols, GROUP_OLS_SQL,
+              "per-group OLS regression + correlation via exact integer "
+              "sufficient statistics (six longs per group through the one "
+              "shuffle; DECIMAL(38) combination, fixed-order double chain)"),
     QuerySpec("c65_sliding_distinct", sliding_distinct_users, SLIDING_DISTINCT_SQL,
               "trailing-3-day distinct users per day: explode-to-window-"
               "ends rewrite of sliding COUNT(DISTINCT) — no global "

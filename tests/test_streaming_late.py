@@ -312,3 +312,62 @@ def test_commit_ignores_stale_staging_debris(spark, tmp_path):
         name.startswith("snap.staging-")
         for name in os.listdir(tmp_path / "tbl" / "data")
     )
+
+
+def test_tws_mapstate_topology_runs(spark):
+    """End-to-end transformWithStateInPandas run (MapState on the
+    RocksDB store through the vendored protobuf shim) at the smoke
+    scale: result equals the batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.catalog import load_table
+    from database_query_processor_spark.streaming.stateful import (
+        run_daily_counts_stream,
+    )
+
+    got = run_daily_counts_stream(spark, "/root/testdata/sf0.001")
+    expect = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    g = {(r.event_type, r.day, r.n) for r in got.collect()}
+    e = {(r.event_type, r.day, r.n) for r in expect.collect()}
+    assert g == e
+
+
+def test_tws_liststate_topology_runs(spark):
+    """End-to-end ListState run: final per-user (n_seen, top3) equals
+    the batch window derivation."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from database_query_processor_spark.catalog import load_table
+    from database_query_processor_spark.streaming.stateful import (
+        run_recent_top_stream,
+    )
+
+    got = {
+        (r.user_id, r.n_seen, r.top3)
+        for r in run_recent_top_stream(spark, "/root/testdata/sf0.001").collect()
+    }
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    expect = {
+        (r.user_id, r.n_seen, r.top3)
+        for r in (
+            ev.select(
+                "user_id", "event_id",
+                F.row_number().over(w).alias("rn"),
+                F.count("*").over(W.partitionBy("user_id")).alias("n_seen"),
+            )
+            .filter(F.col("rn") <= 3)
+            .groupBy("user_id", "n_seen")
+            .agg(
+                F.concat_ws(
+                    ",", F.collect_list(F.col("event_id").cast("string"))
+                ).alias("top3")
+            )
+        ).collect()
+    }
+    assert got == expect
