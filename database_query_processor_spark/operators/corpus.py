@@ -156,7 +156,7 @@ def decontaminate(
     broadcast — the big side never shuffles."""
     grams = df.select(
         F.col(id_col).alias("doc_id"),
-        bench_pred.alias("is_bench"),
+        F.coalesce(bench_pred, F.lit(False)).alias("is_bench"),
         F.array_distinct(word_ngrams(tokens(text_col), n)).alias("grams"),
     )
     bench_grams = (
@@ -209,7 +209,7 @@ def jaccard_decontaminate(
     never flagged."""
     g = df.select(
         F.col(id_col).alias("doc_id"),
-        bench_pred.alias("is_bench"),
+        F.coalesce(bench_pred, F.lit(False)).alias("is_bench"),
         F.array_distinct(word_ngrams(tokens(text_col), n)).alias("grams"),
     )
     bench_ex = g.where("is_bench").select(
@@ -425,6 +425,50 @@ def _prefix_offsets(spark: SparkSession, per_pid: dict[int, int]) -> DataFrame:
     return spark.createDataFrame(rows or [(0, 0)], "pid int, _offset bigint")
 
 
+def distributed_prefix_scaffold(
+    df: DataFrame,
+    order_cols: list,
+    weight: Column | None,
+    num_partitions: int,
+) -> DataFrame:
+    """The shared two-pass distributed prefix-sum scaffold (used by
+    train_order, pack_sequences, budget_select, and temporal
+    value_bars): range-repartition on ``order_cols``, stamp the
+    partition id, collect the tiny per-partition weight totals
+    (``weight`` None = row count), and broadcast-join the exclusive
+    partition offsets back. Returns the input columns + ``pid`` +
+    ``_offset``; callers add their within-partition window term over
+    the SAME ``order_cols``.
+
+    The pid stamp is localCheckpoint()ed (not persisted): the pid
+    column must be read by BOTH the totals collect and the final join
+    from the SAME materialized partitioning. A merely-persisted frame
+    is recomputable — cache eviction or executor loss re-runs the
+    range shuffle, and shuffle-fetch order nondeterminism
+    (SPARK-23207) could land rows in different pids than were
+    counted, silently corrupting global positions. Checkpointed
+    blocks cannot be recomputed: losing one fails the job loudly
+    instead (re-run, or use reliable checkpoint() on a cluster).
+    Blocks free on GC of the frame.
+
+    The offsets come back as a broadcast JOIN rather than a
+    chained-WHEN literal: a CASE over num_partitions arms is O(P)
+    expression depth — fine at 32, a codegen hazard at cluster
+    partition counts (thousands). The collect is O(#partitions), not
+    O(rows)."""
+    keyed = df.repartitionByRange(num_partitions, *order_cols)
+    keyed = keyed.withColumn("pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    agg = (F.count("*") if weight is None else F.sum(weight)).cast("long")
+    totals = {
+        r["pid"]: r["t"]
+        for r in keyed.groupBy("pid").agg(agg.alias("t")).collect()
+    }
+    offsets = _prefix_offsets(keyed.sparkSession, totals)
+    return keyed.join(F.broadcast(offsets), "pid")
+
+
 def train_order(df: DataFrame, id_col: str, num_partitions: int = 32) -> DataFrame:
     """Deterministic global shuffle for training-data ordering:
     assigns each row a position 1..N in det_hash order without a
@@ -432,30 +476,12 @@ def train_order(df: DataFrame, id_col: str, num_partitions: int = 32) -> DataFra
     shuffle key and count rows per partition; (2) broadcast the
     cumulative offsets (one tiny row per partition) and add them to
     within-partition row numbers. Output: (id, shuffle_key, pos)."""
-    keyed = df.select(
-        F.col(id_col), det_hash(F.col(id_col)).alias("shuffle_key")
-    ).repartitionByRange(num_partitions, "shuffle_key", id_col)
-    keyed = keyed.withColumn("pid", F.spark_partition_id()).localCheckpoint(eager=True)
-    # localCheckpoint (not persist): the pid column must be read by BOTH
-    # the counts collect and the final join from the SAME materialized
-    # partitioning. A merely-persisted frame is recomputable — cache
-    # eviction or executor loss re-runs the range shuffle, and
-    # shuffle-fetch order nondeterminism (SPARK-23207) could land rows
-    # in different pids than were counted, silently corrupting global
-    # positions. Checkpointed blocks cannot be recomputed: losing one
-    # fails the job loudly instead (re-run, or use reliable
-    # checkpoint() on a cluster). Blocks free on GC of the frame.
-    counts = {
-        r["pid"]: r["n"]
-        for r in keyed.groupBy("pid").agg(F.count("*").alias("n")).collect()
-    }
-    # Broadcast-join the tiny (pid, offset) table rather than compiling
-    # a chained-WHEN literal: a CASE over num_partitions arms is O(P)
-    # expression depth — fine at 32, a codegen hazard at cluster
-    # partition counts (thousands).
-    offsets = _prefix_offsets(keyed.sparkSession, counts)
+    base = df.select(F.col(id_col), det_hash(F.col(id_col)).alias("shuffle_key"))
+    joined = distributed_prefix_scaffold(
+        base, ["shuffle_key", id_col], weight=None, num_partitions=num_partitions
+    )
     w = Window.partitionBy("pid").orderBy("shuffle_key", id_col)
-    return keyed.join(F.broadcast(offsets), "pid").select(
+    return joined.select(
         id_col,
         "shuffle_key",
         (F.row_number().over(w) + F.col("_offset")).alias("pos"),
@@ -481,38 +507,21 @@ def pack_sequences(
     within-partition running sum. No single-partition global window —
     the full-data movement is the one range shuffle, identical at 500
     docs or 500 billion."""
-    keyed = df.select(
+    base = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(ntok_col).alias("n_tokens"),
         det_hash(F.col(id_col)).alias("ord_key"),
-    ).repartitionByRange(num_partitions, "ord_key", "doc_id")
-    keyed = keyed.withColumn("pid", F.spark_partition_id()).localCheckpoint(eager=True)
-    # localCheckpoint (not persist): the pid column must be read by BOTH
-    # the counts collect and the final join from the SAME materialized
-    # partitioning. A merely-persisted frame is recomputable — cache
-    # eviction or executor loss re-runs the range shuffle, and
-    # shuffle-fetch order nondeterminism (SPARK-23207) could land rows
-    # in different pids than were counted, silently corrupting global
-    # positions. Checkpointed blocks cannot be recomputed: losing one
-    # fails the job loudly instead (re-run, or use reliable
-    # checkpoint() on a cluster). Blocks free on GC of the frame.
-    totals = {
-        r["pid"]: r["t"]
-        for r in keyed.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect()
-    }
-    # same broadcast-offsets shape as train_order (no O(P) WHEN chain)
-    offsets = _prefix_offsets(keyed.sparkSession, totals)
+    )
+    joined = distributed_prefix_scaffold(
+        base, ["ord_key", "doc_id"], weight=F.col("n_tokens"),
+        num_partitions=num_partitions,
+    )
     w = Window.partitionBy("pid").orderBy("ord_key", "doc_id")
     start = (
         F.sum("n_tokens").over(w) - F.col("n_tokens") + F.col("_offset")
     ).alias("start_offset")
     return (
-        keyed.join(F.broadcast(offsets), "pid")
-        .select(
-            "doc_id",
-            "n_tokens",
-            start,
-        )
+        joined.select("doc_id", "n_tokens", start)
         .withColumn("seq_id", F.floor(F.col("start_offset") / budget).cast("bigint"))
     )
 
@@ -558,13 +567,14 @@ def to_jsonl(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (not to_json) so the byte layout is engine-independent and
     oracle-checkable; floats are deliberately excluded (their text
     rendering is engine-specific)."""
-    ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0))
+    from database_query_processor_spark.functions.text import ws_token_count
+
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.format_string(
             '{"doc_id":%d,"n_tokens":%d,"text":"%s"}',
             F.col(id_col),
-            ws,
+            ws_token_count(F.col(text_col)),
             json_escape(F.col(text_col)),
         ).alias("json_line"),
     )
@@ -716,33 +726,21 @@ def budget_select(
     within-partition running sums complete the global prefix — no
     single-partition global window, one range shuffle of
     (id, n_tokens, score)."""
-    keyed = df.select(
+    base = df.select(
         F.col(id_col),
         F.col(ntok_col).alias("n_tokens"),
         score_col.alias("score"),
-    ).repartitionByRange(num_partitions, F.col("score").desc(), F.col(id_col).asc())
-    keyed = keyed.withColumn("pid", F.spark_partition_id()).localCheckpoint(eager=True)
-    # localCheckpoint (not persist): the pid column must be read by BOTH
-    # the counts collect and the final join from the SAME materialized
-    # partitioning. A merely-persisted frame is recomputable — cache
-    # eviction or executor loss re-runs the range shuffle, and
-    # shuffle-fetch order nondeterminism (SPARK-23207) could land rows
-    # in different pids than were counted, silently corrupting global
-    # positions. Checkpointed blocks cannot be recomputed: losing one
-    # fails the job loudly instead (re-run, or use reliable
-    # checkpoint() on a cluster). Blocks free on GC of the frame.
-    totals = {
-        r["pid"]: r["t"]
-        for r in keyed.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect()
-    }
-    offsets = _prefix_offsets(keyed.sparkSession, totals)
+    )
+    joined = distributed_prefix_scaffold(
+        base, [F.col("score").desc(), F.col(id_col).asc()],
+        weight=F.col("n_tokens"), num_partitions=num_partitions,
+    )
     w = Window.partitionBy("pid").orderBy(F.col("score").desc(), F.col(id_col).asc())
     start = (
         F.sum("n_tokens").over(w) - F.col("n_tokens") + F.col("_offset")
     ).alias("start_offset")
     return (
-        keyed.join(F.broadcast(offsets), "pid")
-        .select(id_col, "n_tokens", "score", start)
+        joined.select(id_col, "n_tokens", "score", start)
         .where(F.col("start_offset") < budget)
     )
 
@@ -865,7 +863,7 @@ def dsir_select(
     src/qp/parser/parser.cup:197-255)."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        target_cond.alias("is_t"),
+        F.coalesce(target_cond, F.lit(False)).alias("is_t"),
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
     ).select(
         "doc_id",

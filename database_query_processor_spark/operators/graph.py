@@ -88,6 +88,13 @@ def pagerank_fixedpoint(
             ).alias("rank"),
         )
         ranks = ranks.localCheckpoint(eager=False)
+    # The final checkpoint must materialize BEFORE sym is released
+    # (lazy checkpoint + unpersist would recompute contributions from
+    # an evicted edge list); eager-checkpoint the result, then drop the
+    # persisted symmetrized edges — otherwise every pagerank call leaks
+    # one MEMORY_AND_DISK edge-list copy for the session's lifetime.
+    ranks = ranks.localCheckpoint(eager=True)
+    sym.unpersist()
     return ranks
 
 

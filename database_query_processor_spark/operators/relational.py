@@ -156,9 +156,18 @@ def salted_join(
     (session.py turns it on); reach for this when one key is
     pathological enough that even split partitions overflow, at the
     price of num_salts× the small side. Result is identical to
-    ``left.join(right, on, how)`` for inner/left joins (the right side
-    must be unique-per-key for right/full to stay correct — the usual
-    dim-join contract)."""
+    ``left.join(right, on, how)`` for inner/left/semi/anti joins.
+    right/full are REJECTED: the replicated right side would emit a
+    null-extended row for every salt replica a left row didn't hit —
+    num_salts-fold spurious output even for matched keys."""
+    ok = {"inner", "left", "leftouter", "left_outer", "semi",
+          "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in ok:
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti, not {how!r}: "
+            "the salt-replicated right side breaks right/full-outer "
+            "null-extension semantics"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts))
     l = left.withColumn("__salt", salt)
     r = right.withColumn(

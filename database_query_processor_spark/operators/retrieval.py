@@ -421,19 +421,17 @@ def cross_encoder_rerank(
         # with a factory instead of a default arg.
         return lambda x: x == F.lit(term)
 
-    contribs = []
+    # seed with 0.0 so an empty terms list (query fully stripped by the
+    # tokenizer) degrades to ce_score 0 — pool order falls back to rrf —
+    # instead of an IndexError before any plan is built
+    total = F.lit(0.0)
     for t in terms:
         tf = F.size(F.filter(F.col("_tk"), _eq(t)))
         pos = F.array_position(F.col("_tk"), t)
-        contribs.append(
-            F.when(
-                pos > 0,
-                tf.cast("double") / (tf + 1) + F.lit(1.0) / (1 + pos),
-            ).otherwise(F.lit(0.0))
-        )
-    total = contribs[0]
-    for c in contribs[1:]:
-        total = total + c
+        total = total + F.when(
+            pos > 0,
+            tf.cast("double") / (tf + 1) + F.lit(1.0) / (1 + pos),
+        ).otherwise(F.lit(0.0))
     return (
         scored.select("doc_id", "rrf", F.round(total, 9).alias("ce_score"))
         .orderBy(F.col("ce_score").desc(), F.col("rrf").desc(), F.col("doc_id").asc())
@@ -460,7 +458,7 @@ def sql_cross_encoder_rerank(
             f"+ CAST(1.0 AS DOUBLE) / (1 + {pos}) "
             f"ELSE 0.0 END"
         )
-    total = " + ".join(parts)
+    total = " + ".join(parts) if parts else "CAST(0.0 AS DOUBLE)"
     return f"""
 WITH cand AS ({candidates_sql}),
 d AS (SELECT doc_id, {toks_sql} AS toks FROM documents)
@@ -507,7 +505,7 @@ def nb_classifier_scores(
     base = df.select(
         F.col(id_col).alias("doc_id"),
         (det_hash(F.col(id_col)) % 100 < train_pct).alias("is_train"),
-        positive_cond.alias("y"),
+        F.coalesce(positive_cond, F.lit(False)).alias("y"),
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
     )
     counts = (
@@ -526,7 +524,7 @@ def nb_classifier_scores(
     priors = (
         df.select(
             (det_hash(F.col(id_col)) % 100 < train_pct).alias("is_train"),
-            positive_cond.alias("y"),
+            F.coalesce(positive_cond, F.lit(False)).alias("y"),
         )
         .filter("is_train")
         .agg(

@@ -53,7 +53,12 @@ def dot_d(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot_d(a, b) / (F.sqrt(dot_d(a, a)) * F.sqrt(dot_d(b, b)))
+    """Cosine similarity; NULL (comparison-neutral, matching DuckDB's
+    x/0 = NULL) for zero-norm vectors — an unguarded divide would be a
+    job-killing DIVIDE_BY_ZERO under the session's pinned ANSI mode."""
+    return F.try_divide(
+        dot_d(a, b), F.sqrt(dot_d(a, a)) * F.sqrt(dot_d(b, b))
+    )
 
 
 def _lit_vec(v: list[float]) -> Column:
@@ -61,8 +66,25 @@ def _lit_vec(v: list[float]) -> Column:
 
 
 def hyperplane_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
-    """LSH bucket id: bit j = sign(vec · hyperplane_j)."""
-    bucket = F.lit(0)
+    """LSH bucket id: bit j = sign(vec · hyperplane_j).
+
+    The vector dimension must equal the planes' dimension: zip_with
+    pads a shorter array with NULLs, every plane dot would go NULL,
+    and EVERY vector would silently land in bucket 0 — collapsing the
+    LSH blocking into one corpus-wide mega-bucket (brute-force scan /
+    quadratic pair space with no error). Fails loudly instead."""
+    dim = len((planes if planes is not None else HYPERPLANES)[0])
+    guard = F.assert_true(
+        F.size(vec) == dim,
+        F.concat(
+            F.lit(f"hyperplane_bucket: vector dim != plane dim {dim}: got "),
+            F.size(vec).cast("string"),
+        ),
+    )
+    # assert_true yields NULL on success; summing its int cast keeps
+    # the guard in the expression tree (a branch whose arms are equal
+    # would be constant-folded away, silently dropping the check).
+    bucket = F.coalesce(guard.cast("int"), F.lit(0))
     for j, h in enumerate(planes if planes is not None else HYPERPLANES):
         bucket = bucket + F.when(dot_d(vec, _lit_vec(h)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket

@@ -435,10 +435,18 @@ def time_weighted_avg(
     )
     weighted = stepped.where(F.col("_dt").isNotNull())
     num = F.sum(F.col("_v_cents").cast("decimal(38,0)") * F.col("_dt"))
-    return weighted.groupBy(key_col).agg(
-        F.round(num.cast("double") / (F.lit(100.0) * F.sum("_dt")), 9).alias("twa"),
-        F.sum("_dt").alias("total_us"),
-        F.count("*").alias("n_obs"),
+    # Keys whose surviving observations ALL have zero duration (ties on
+    # the timestamp) have no time-weighted average — drop them rather
+    # than divide by zero (ANSI crash). Mirrored by HAVING SUM(dt) > 0
+    # in the oracle.
+    return (
+        weighted.groupBy(key_col)
+        .agg(
+            F.round(num.cast("double") / (F.lit(100.0) * F.sum("_dt")), 9).alias("twa"),
+            F.sum("_dt").alias("total_us"),
+            F.count("*").alias("n_obs"),
+        )
+        .where(F.col("total_us") > 0)
     )
 
 
@@ -609,9 +617,16 @@ def rolling_zscore(
     s1 = F.sum(v).over(w)
     s2 = F.sum(v * v).over(w)
     mean = s1 / cnt
-    var = (s2 - s1 * s1 / cnt) / (cnt - 1)
+    # Degenerate-window guards: a constant window has var exactly 0
+    # (divide would crash under ANSI), and float cancellation can push
+    # s2 - s1²/n a hair NEGATIVE (sqrt → NaN, and NaN > threshold is
+    # TRUE in Spark — spurious anomalies on flat series). Clamp var at
+    # 0 and NULL the z via try_divide when std is 0: NULL fails the
+    # threshold predicate in both engines, so flat windows are simply
+    # never anomalous. Identity for every window with real variance.
+    var = F.greatest((s2 - s1 * s1 / cnt) / (cnt - 1), F.lit(0.0))
     std = F.sqrt(var)
-    z = F.round((v - mean) / std, 9)
+    z = F.round(F.try_divide(v - mean, F.nullif(std, F.lit(0.0))), 9)
     out = df.select(
         key_col,
         ts_col,
@@ -780,33 +795,22 @@ def value_bars(
     window completes the global cumsum; the final per-bar aggregate
     is one more keyed shuffle. No single-partition global window
     anywhere."""
-    from database_query_processor_spark.operators.corpus import _prefix_offsets
+    from database_query_processor_spark.operators.corpus import (
+        distributed_prefix_scaffold,
+    )
 
     v_us = (
         (F.col(val_col).cast("decimal(18,6)") * 1000000).cast("long").alias("v_us")
     )
-    keyed = df.select(
-        F.col(ts_col).alias("_ts"), F.col(id_col).alias("_id"), v_us
-    ).repartitionByRange(num_partitions, F.col("_ts").asc(), F.col("_id").asc())
-    keyed = keyed.withColumn("pid", F.spark_partition_id()).localCheckpoint(eager=True)
-    # localCheckpoint (not persist): the pid column must be read by BOTH
-    # the counts collect and the final join from the SAME materialized
-    # partitioning. A merely-persisted frame is recomputable — cache
-    # eviction or executor loss re-runs the range shuffle, and
-    # shuffle-fetch order nondeterminism (SPARK-23207) could land rows
-    # in different pids than were counted, silently corrupting global
-    # positions. Checkpointed blocks cannot be recomputed: losing one
-    # fails the job loudly instead (re-run, or use reliable
-    # checkpoint() on a cluster). Blocks free on GC of the frame.
-    totals = {
-        r["pid"]: r["t"]
-        for r in keyed.groupBy("pid").agg(F.sum("v_us").alias("t")).collect()
-    }
-    offsets = _prefix_offsets(keyed.sparkSession, totals)
+    base = df.select(F.col(ts_col).alias("_ts"), F.col(id_col).alias("_id"), v_us)
+    joined = distributed_prefix_scaffold(
+        base, [F.col("_ts").asc(), F.col("_id").asc()],
+        weight=F.col("v_us"), num_partitions=num_partitions,
+    )
     w = W.partitionBy("pid").orderBy(F.col("_ts").asc(), F.col("_id").asc())
     cum_before = F.sum("v_us").over(w) - F.col("v_us") + F.col("_offset")
     return (
-        keyed.join(F.broadcast(offsets), "pid")
+        joined
         .select("_ts", "v_us", cum_before.alias("_cumb"))
         .select("_ts", "v_us", F.expr(f"_cumb DIV {threshold_us}").alias("bar_id"))
         .groupBy("bar_id")

@@ -54,6 +54,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # Pin ANSI explicitly: Spark 4.x defaults it ON (3.x defaulted
+        # off). The whole 205-query oracle surface is verified under
+        # ANSI=true; pinning makes that intent survive version drift.
+        # Consequence: data-dependent divides MUST be guarded
+        # (try_divide / predicates) — unguarded x/0 is a job-killing
+        # DIVIDE_BY_ZERO, not a NULL.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/dqps-warehouse")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -369,6 +369,7 @@ SELECT event_type,
              / (100.0 * SUM(dt)), 9) AS twa,
        CAST(SUM(dt) AS BIGINT) AS total_us, COUNT(*) AS n_obs
 FROM s WHERE dt IS NOT NULL GROUP BY event_type
+HAVING SUM(dt) > 0
 """
 
 
@@ -625,10 +626,11 @@ WITH w AS (
 )
 SELECT user_id, ts, event_id, value,
        ROUND(s1 / n, 9) AS mean,
-       ROUND(sqrt((s2 - s1 * s1 / n) / (n - 1)), 9) AS std,
+       ROUND(sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0)), 9) AS std,
        ROUND((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 9) AS z
 FROM w
 WHERE n = 20
+  AND (s2 - s1 * s1 / n) / (n - 1) > 0
   AND abs(ROUND((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 9)) > 3.0
 """
 

@@ -779,3 +779,123 @@ def test_spec_touched_outside_root_treated_touched():
         ) is True
     finally:
         del sys.modules["outside_mod"]
+
+
+def test_cosine_zero_norm_vector_is_null_not_crash(spark):
+    """A zero-norm embedding must yield NULL cosine (comparison-
+    neutral), not a DIVIDE_BY_ZERO job abort under the session's
+    pinned ANSI mode."""
+    from database_query_processor_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5])],
+        "vec_id int, embedding array<double>",
+    )
+    out = cosine_topk(df, "vec_id", "embedding", 0, k=5).collect()
+    got = {r.vec_id: r.cos for r in out}
+    assert got[1] is None  # zero vector: no defined similarity
+    assert got[2] is not None
+
+
+def test_rolling_zscore_constant_window_not_anomalous(spark):
+    """A constant trailing window has zero variance: no crash, no
+    NaN-driven spurious anomaly rows."""
+    from datetime import datetime, timedelta
+
+    from database_query_processor_spark.operators.temporal import rolling_zscore
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("u", t0 + timedelta(minutes=i), i, 5.0) for i in range(25)]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id long, value double")
+    out = rolling_zscore(df, key_col="user_id", ts_col="ts",
+                         val_col="value", id_col="event_id",
+                         n_window=20, z_thresh=3.0)
+    assert out.count() == 0
+
+
+def test_time_weighted_avg_all_zero_durations_dropped(spark):
+    """A key whose weighted observations all share one timestamp has
+    zero total duration: dropped (mirrored by HAVING SUM(dt) > 0 in
+    the oracle), not a divide-by-zero abort."""
+    from datetime import datetime
+
+    from database_query_processor_spark.operators.temporal import time_weighted_avg
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", t0, 1, 1.0), ("a", t0, 2, 2.0), ("a", t0, 3, 3.0)],
+        "event_type string, ts timestamp, event_id long, value double",
+    )
+    out = time_weighted_avg(df, key_col="event_type", ts_col="ts",
+                            val_col="value", id_col="event_id")
+    assert out.count() == 0
+
+
+def test_salted_join_rejects_right_full(spark):
+    """right/full outer would emit null-extended rows for every salt
+    replica a left row didn't hit — rejected loudly."""
+    import pytest
+
+    from database_query_processor_spark.operators.relational import salted_join
+
+    l = spark.createDataFrame([(1, "a")], "k long, v string")
+    r = spark.createDataFrame([(1, "X"), (2, "Y")], "k long, w string")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(l, r, on=["k"], num_salts=4, how=how)
+    # inner stays identical to the plain join
+    got = sorted(salted_join(l, r, on=["k"], num_salts=4).collect())
+    assert got == sorted(l.join(r, ["k"]).collect())
+
+
+def test_hyperplane_bucket_dim_mismatch_raises(spark):
+    """A vector whose dimension differs from the planes' must fail
+    loudly, not silently collapse all LSH blocking into bucket 0."""
+    import pytest
+
+    from database_query_processor_spark.operators.similarity import (
+        hyperplane_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(0, [1.0] * 8)], "vec_id int, embedding array<double>")
+    bad = df.select(hyperplane_bucket(F.col("embedding")).alias("b"))
+    with pytest.raises(Exception, match="dim"):
+        bad.collect()
+
+
+def test_decontaminate_null_pred_rows_kept(spark):
+    """A row whose bench predicate evaluates to NULL is NOT a
+    benchmark row — it must appear in the decontaminated output, not
+    silently vanish from both sides of the split."""
+    from database_query_processor_spark.operators.corpus import decontaminate
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over it", "bench"),
+         (2, "totally unrelated text with many words here", "train"),
+         (3, "the quick brown fox jumps over it", None)],
+        "doc_id long, text string, src string",
+    )
+    out = decontaminate(df, "doc_id", "text", F.col("src") == "bench", n=5)
+    got = {r.doc_id: r.contaminated for r in out.collect()}
+    assert set(got) == {2, 3}  # NULL-src doc 3 present
+    assert got[3] is True  # and correctly flagged as contaminated
+
+
+def test_cross_encoder_rerank_empty_terms(spark):
+    """An empty query-term list (tokenizer stripped everything) must
+    degrade to ce_score 0 with pool order preserved by rrf, not raise
+    IndexError."""
+    from database_query_processor_spark.operators.retrieval import (
+        cross_encoder_rerank,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame(
+        [(1, 0.5), (2, 0.25)], "doc_id long, rrf double"
+    )
+    out = cross_encoder_rerank(docs, cand, terms=[], k=5).collect()
+    assert [(r.doc_id, r.ce_score) for r in out] == [(1, 0.0), (2, 0.0)]
