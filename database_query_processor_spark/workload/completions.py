@@ -1197,23 +1197,36 @@ def group_ols(spark, sf_dir):
     x = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000).cast("long")
     y = (dec("value") * 100).cast("long")
     d38 = "decimal(38,0)"
+    # NULL x or y rows are excluded BEFORE aggregation so n counts
+    # exactly the rows the sums cover — COUNT(*) over NULL-skipping
+    # SUMs would silently mix inconsistent statistics (both engines
+    # would agree, so the hash check could never catch it).
+    # The product sums accumulate as DECIMAL(38,0): Σx² at ~2.2e11 per
+    # row overflows BIGINT past ~4e7 rows per group — exactly the
+    # scale this query exists for. (The per-row products themselves
+    # fit a long comfortably.)
     stats = (
         e.select(F.col("event_type"), x.alias("x"), y.alias("y"))
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x").cast(d38)).alias("sx"),
+            F.sum(F.col("y").cast(d38)).alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
         )
     )
     n38 = F.col("n").cast(d38)
-    num = n38 * F.col("sxy").cast(d38) - F.col("sx").cast(d38) * F.col("sy").cast(d38)
-    den = n38 * F.col("sxx").cast(d38) - F.col("sx").cast(d38) * F.col("sx").cast(d38)
-    deny = n38 * F.col("syy").cast(d38) - F.col("sy").cast(d38) * F.col("sy").cast(d38)
-    slope = num.cast("double") / den.cast("double")
+    num = (n38 * F.col("sxy") - F.col("sx") * F.col("sy")).cast(d38)
+    den = (n38 * F.col("sxx") - F.col("sx") * F.col("sx")).cast(d38)
+    deny = (n38 * F.col("syy") - F.col("sy") * F.col("sy")).cast(d38)
+    # try_divide: a degenerate group (all events in one epoch-hour →
+    # den 0; constant value → deny 0) yields NULL slope/intercept/corr
+    # — matching DuckDB's x/0 = NULL — instead of an ANSI
+    # DIVIDE_BY_ZERO job abort.
+    slope = F.try_divide(num.cast("double"), den.cast("double"))
     return stats.select(
         "event_type",
         F.col("n"),
@@ -1224,8 +1237,10 @@ def group_ols(spark, sf_dir):
             9,
         ).alias("intercept_cents"),
         F.round(
-            num.cast("double")
-            / F.sqrt(den.cast("double") * deny.cast("double")),
+            F.try_divide(
+                num.cast("double"),
+                F.sqrt(den.cast("double") * deny.cast("double")),
+            ),
             9,
         ).alias("corr"),
     )
@@ -1235,15 +1250,16 @@ GROUP_OLS_SQL = """
 WITH s AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(x) AS BIGINT) AS sx,
-         CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * y) AS BIGINT) AS sxy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx,
-         CAST(SUM(y * y) AS BIGINT) AS syy
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
   FROM (SELECT event_type,
                CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS x,
                CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
         FROM events)
+  WHERE x IS NOT NULL AND y IS NOT NULL
   GROUP BY event_type),
 c AS (
   SELECT *,

@@ -220,7 +220,11 @@ def optimize_vacuum_roundtrip(spark, sf_dir):
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
     cutoff = F.lit("2000-01-01").cast("timestamp")
-    base = o.filter(F.col("o_orderdate") < cutoff)
+    # localCheckpoint before the 8-way bucket fan-out: commit() writes
+    # each adds entry as its own job, so an un-materialized base would
+    # re-scan orders.parquet once per bucket (the same N-fold
+    # read-amplification snapshots.optimize() guards against).
+    base = o.filter(F.col("o_orderdate") < cutoff).localCheckpoint(eager=True)
     table = scratch_dir("dqps_optvac_")
     bucket = F.pmod(F.xxhash64(F.col("o_orderkey")), F.lit(8))
     SNAP.commit(table, {f"ingest_{i}": base.filter(bucket == i) for i in range(8)})

@@ -899,3 +899,35 @@ def test_cross_encoder_rerank_empty_terms(spark):
     )
     out = cross_encoder_rerank(docs, cand, terms=[], k=5).collect()
     assert [(r.doc_id, r.ce_score) for r in out] == [(1, 0.0), (2, 0.0)]
+
+
+def test_group_ols_degenerate_groups_null_not_crash(spark, tmp_path):
+    """c66: a singleton group (den = x^2 - x^2 = 0) and an all-equal-
+    value group (deny = 0) must yield NULL slope/corr — matching
+    DuckDB's x/0 = NULL — instead of an ANSI DIVIDE_BY_ZERO abort."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.workload.completions import group_ols
+
+    rows = [
+        (1, "2024-01-01 00:10:00", "solo", 5.0),
+        (2, "2024-01-01 00:10:00", "flat", 7.0),
+        (3, "2024-01-01 02:10:00", "flat", 7.0),
+        (4, "2024-01-01 00:10:00", "ok", 1.0),
+        (5, "2024-01-01 02:10:00", "ok", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.lit(0).cast("long").alias("user_id"), "event_type", "value",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r.event_type: r for r in group_ols(spark, d).collect()}
+    assert got["solo"].slope_cents_per_hour is None
+    assert got["solo"].corr is None
+    assert got["flat"].slope_cents_per_hour == 0.0  # den>0, num=0
+    assert got["flat"].corr is None  # deny=0
+    assert got["ok"].slope_cents_per_hour == 100.0  # 2 cents/…: 200c over 2h
+    assert got["ok"].corr == 1.0
