@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -74,6 +75,11 @@ def apply_cdc_epoch(
     instead of corrupting the snapshot."""
     name = f"{name_prefix}_epoch_{batch_id}"
     version = SNAP.latest_version(table)
+    if version == 0:
+        raise ValueError(
+            f"table {table!r} has no committed snapshot; seed a base "
+            "version first (run_cdc_apply commits the target as v1)"
+        )
     with open(SNAP._manifest(table, version)) as fh:
         live = json.load(fh)["files"]
     if name in live:
@@ -166,7 +172,18 @@ def run_cdc_apply(
     if SNAP.latest_version(table) == 0:
         SNAP.commit(table, {"base": target})
 
-    log_dir = scratch_dir("dqps_cdc_log_")
+    # The changelog source dir must be DETERMINISTIC when the run is
+    # restartable: a checkpoint's offset log records source file paths,
+    # so a fresh random scratch dir on re-invocation would point the
+    # resumed stream at the previous run's (deleted) files —
+    # FileNotFoundException instead of the documented redelivery, and
+    # every new-path file would re-apply as a brand-new epoch. With a
+    # persistent checkpoint_dir the log lives beside it; the
+    # scratch-dir default remains for single-process demo runs.
+    if checkpoint_dir is not None:
+        log_dir = os.path.join(checkpoint_dir, "changelog")
+    else:
+        log_dir = scratch_dir("dqps_cdc_log_")
     changelog.repartition(log_files, F.col(key)).write.mode("overwrite").parquet(
         log_dir
     )

@@ -14,7 +14,6 @@ and downstream consumers read the union of epochs.
 
 from __future__ import annotations
 
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,7 +28,12 @@ def run_foreach_batch_sink(spark: SparkSession, sf_dir: str, out_dir: str | None
     micro-batched."""
     from .windows import _events_stream
 
-    out = out_dir or f"/tmp/dqps_s07_{uuid.uuid4().hex[:8]}"
+    from database_query_processor_spark.workdir import scratch_dir
+
+    # scratch_dir (not a raw uuid /tmp path): the result directory is a
+    # full table copy per invocation and must die with the process, not
+    # accumulate until the disk fills (the leak workdir.py exists to fix)
+    out = out_dir or scratch_dir("dqps_s07_")
     stream = _events_stream(spark, sf_dir)
 
     def write_epoch(batch_df: DataFrame, batch_id: int) -> None:

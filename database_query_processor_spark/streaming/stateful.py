@@ -300,10 +300,15 @@ def recent_top_tws(stream: DataFrame) -> DataFrame:
     )
 
 
-def run_recent_top_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drive recent_top_tws over the finite events parquet (RocksDB
-    state store, update-mode memory sink) and reduce to each user's
-    final emission."""
+def _run_tws_topology(spark: SparkSession, sf_dir: str, transform, prefix: str) -> DataFrame:
+    """Shared transformWithState drive scaffold: set the RocksDB state
+    store provider (transformWithState requires it) for the run's
+    lifetime and restore it, stream events through ``transform``, and
+    return the update-mode memory-sink table. Both tws queries (and
+    any future one) share the save/try/finally-restore discipline
+    here instead of copying it."""
+    from .windows import _events_stream, _run_to_memory_sink
+
     conf = spark.conf
     key = "spark.sql.streaming.stateStore.providerClass"
     old = conf.get(key, None)
@@ -312,58 +317,42 @@ def run_recent_top_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        from .windows import _events_stream, _run_to_memory_sink
-
         stream = _events_stream(spark, sf_dir)
-        sink = _run_to_memory_sink(
-            recent_top_tws(stream), "recent_top", mode="update"
-        )
-        final = F.max(F.struct("n_seen", "top3")).alias("_f")
-        return (
-            sink.groupBy("user_id")
-            .agg(final)
-            .select("user_id", F.col("_f.n_seen").alias("n_seen"),
-                    F.col("_f.top3").alias("top3"))
-        )
+        return _run_to_memory_sink(transform(stream), prefix, mode="update")
     finally:
         if old is None:
             conf.unset(key)
         else:
             conf.set(key, old)
+
+
+def run_recent_top_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive recent_top_tws over the finite events parquet (RocksDB
+    state store, update-mode memory sink) and reduce to each user's
+    final emission."""
+    sink = _run_tws_topology(spark, sf_dir, recent_top_tws, "recent_top")
+    final = F.max(F.struct("n_seen", "top3")).alias("_f")
+    return (
+        sink.groupBy("user_id")
+        .agg(final)
+        .select("user_id", F.col("_f.n_seen").alias("n_seen"),
+                F.col("_f.top3").alias("top3"))
+    )
 
 
 def run_daily_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive daily_counts_tws over the finite events parquet to
     completion (file readStream → RocksDB-backed state → update-mode
     memory sink), then reduce update rows to the final count per
-    (event_type, day). transformWithState requires the RocksDB state
-    store provider; set for this query's lifetime and restored."""
-    conf = spark.conf
-    key = "spark.sql.streaming.stateStore.providerClass"
-    old = conf.get(key, None)
-    conf.set(
-        key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    (event_type, day)."""
+    sink = _run_tws_topology(spark, sf_dir, daily_counts_tws, "daily_counts")
+    return (
+        sink
+        .groupBy("event_type", "day_us")
+        .agg(F.max("n").alias("n"))
+        .select(
+            "event_type",
+            F.timestamp_micros(F.col("day_us")).cast("timestamp_ntz").alias("day"),
+            "n",
+        )
     )
-    try:
-        from .windows import _events_stream, _run_to_memory_sink
-
-        stream = _events_stream(spark, sf_dir)
-        sink = _run_to_memory_sink(
-            daily_counts_tws(stream), "daily_counts", mode="update"
-        )
-        return (
-            sink
-            .groupBy("event_type", "day_us")
-            .agg(F.max("n").alias("n"))
-            .select(
-                "event_type",
-                F.timestamp_micros(F.col("day_us")).cast("timestamp_ntz").alias("day"),
-                "n",
-            )
-        )
-    finally:
-        if old is None:
-            conf.unset(key)
-        else:
-            conf.set(key, old)

@@ -931,3 +931,48 @@ def test_group_ols_degenerate_groups_null_not_crash(spark, tmp_path):
     assert got["flat"].corr is None  # deny=0
     assert got["ok"].slope_cents_per_hour == 100.0  # 2 cents/…: 200c over 2h
     assert got["ok"].corr == 1.0
+
+
+def test_cdc_empty_table_clear_error(spark, tmp_path):
+    """apply_cdc_epoch on a table with no committed snapshot must give
+    a clear seeding error, not a raw manifest_v0.json FileNotFoundError."""
+    import pytest
+
+    from database_query_processor_spark.streaming.cdc import apply_cdc_epoch
+
+    batch = spark.createDataFrame(
+        [(1, "a", False)], "k long, v string, is_delete boolean"
+    )
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        apply_cdc_epoch(spark, str(tmp_path / "fresh"), batch, 0,
+                        key="k", update_cols=["v"])
+
+
+def test_cdc_checkpoint_log_dir_deterministic(spark, tmp_path):
+    """With a persistent checkpoint_dir the changelog source dir must
+    derive from it (a restart's checkpoint references the recorded
+    source paths) — and a full re-invocation with the same dirs must
+    converge to the same final state via idempotent epoch redelivery."""
+    from database_query_processor_spark.streaming.cdc import run_cdc_apply
+
+    target = spark.createDataFrame([(1, "a", 10.0)], "k long, v string, amt double")
+    log = spark.createDataFrame(
+        [(1, "a2", 11.0, False), (2, "b", 20.0, False)],
+        "k long, v string, amt double, is_delete boolean",
+    )
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out1 = sorted(run_cdc_apply(
+        spark, target, log, key="k", update_cols=["v", "amt"],
+        table_dir=table, checkpoint_dir=ckpt,
+    ).collect())
+    import os
+
+    assert os.path.isdir(os.path.join(ckpt, "changelog"))  # beside the checkpoint
+    # re-invocation with the same dirs: checkpoint finds the same
+    # source paths; already-applied epochs are manifest no-ops
+    out2 = sorted(run_cdc_apply(
+        spark, target, log, key="k", update_cols=["v", "amt"],
+        table_dir=table, checkpoint_dir=ckpt,
+    ).collect())
+    assert out1 == out2
