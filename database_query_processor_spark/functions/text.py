@@ -59,8 +59,12 @@ def lang_id(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     td = F.array_distinct(tokens(c))
     s = {lang: _stopword_score(td, lang) for lang in STOPWORDS}
+    # NULL text must stay NULL: every WHEN condition NULL-skips on
+    # NULL input, so without the gate control falls through to the
+    # tie-order ELSE and null-text rows get silently labeled 'es'.
     return (
-        F.when(c.rlike(CJK_RE), F.lit("zh"))
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(c.rlike(CJK_RE), F.lit("zh"))
         .when((s["en"] == 0) & (s["de"] == 0) & (s["fr"] == 0) & (s["es"] == 0), F.lit("und"))
         .when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), F.lit("en"))
         .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), F.lit("de"))
@@ -138,7 +142,7 @@ def content_fingerprint(text: Column | str) -> Column:
 # PII scrubbing — patterns kept in the Java∩RE2 common dialect so the
 # DuckDB oracle applies byte-identical replacements.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-URL_RE = r"https?://[^ ]+"
+URL_RE = r"https?://\S+"
 
 
 def pii_scrub(text: Column | str) -> Column:

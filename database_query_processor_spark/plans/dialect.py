@@ -73,26 +73,48 @@ def _split_top_level_commas(s: str) -> list[str]:
     return parts
 
 
+def _mask_quoted(sql: str) -> tuple[str, list[str]]:
+    """Replace double-quoted literal spans with length-stable
+    placeholders so clause-keyword matching can't fire INSIDE a
+    literal (a value like "MAIN ORDERBY ST" would otherwise split the
+    query mid-string). Placeholders use \\x00<idx>\\x00 — characters
+    the reference grammar admits nowhere else."""
+    stash: list[str] = []
+
+    def keep(m: re.Match) -> str:
+        stash.append(m.group(0))
+        return f"\x00{len(stash) - 1}\x00"
+
+    return re.sub(r'"[^"]*"', keep, sql), stash
+
+
+def _unmask(text: str, stash: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: stash[int(m.group(1))], text)
+
+
 def translate(ref_sql: str) -> str:
     """Reference-dialect query text → equivalent Spark SQL."""
     sql = ref_sql.strip().rstrip(";")
+    sql, stash = _mask_quoted(sql)
     m = _CLAUSE_RE.match(sql)
     if not m:
         raise ValueError(f"not a reference-dialect query: {ref_sql!r}")
-    select = m.group("select").strip()
+    select = _unmask(m.group("select").strip(), stash)
     select = _AGG_RE.sub(
         lambda a: f"{a.group(1).upper()}({a.group(2)}) AS "
         f"{a.group(1).lower()}_{a.group(2).split('.')[-1].lower()}",
         select,
     )
-    out = [f"SELECT {select}", f"FROM {m.group('from').strip()}"]
+    out = [f"SELECT {select}", f"FROM {_unmask(m.group('from').strip(), stash)}"]
     if m.group("where"):
-        where = re.sub(r'"([^"]*)"', _convert_literal, m.group("where"))
+        where = re.sub(
+            r'"([^"]*)"', _convert_literal, _unmask(m.group("where"), stash)
+        )
         out.append("WHERE " + " AND ".join(_split_top_level_commas(where)))
     if m.group("groupby"):
-        out.append("GROUP BY " + m.group("groupby").strip())
+        out.append("GROUP BY " + _unmask(m.group("groupby").strip(), stash))
     if m.group("orderby"):
-        keys = _split_top_level_commas(m.group("orderby"))
+        keys = _split_top_level_commas(_unmask(m.group("orderby"), stash))
         direction = " DESC" if m.group("desc") else ""
         out.append("ORDER BY " + ", ".join(k + direction for k in keys))
     return "\n".join(out)

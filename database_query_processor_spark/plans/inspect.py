@@ -34,6 +34,27 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"\bExchange\b(?! SinglePartition)", plan))
 
 
+def _split_depth0(s: str) -> list[str]:
+    """Split a filter list on commas at bracket depth 0 only —
+    parameterized filters (EqualTo(a,x), In(a,[1,2])) carry commas of
+    their own and must come back whole."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Filters that reached the data source (parquet row-group /
     page-level pruning)."""
@@ -43,7 +64,7 @@ def pushed_filters(df: DataFrame) -> list[str]:
         if "PushedFilters:" in ln:
             body = ln.split("PushedFilters:", 1)[1].strip()
             if body.startswith("[") and body != "[]":
-                out.extend(p.strip() for p in body[1:-1].split(",") if p.strip())
+                out.extend(p for p in _split_depth0(body[1:-1]) if p)
     return out
 
 

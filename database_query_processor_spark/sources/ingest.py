@@ -25,12 +25,19 @@ def read_text_table(
     ``validate`` closes that gap with one post-read scan that raises
     on any NULL cell, enforcing the reference's no-NULLs data model
     (det.py) that downstream operators assume."""
+    # quote/escape disabled: the reference splits rows on raw tabs
+    # (no quoting concept) — with univocity quoting on, a field
+    # STARTING with a double quote would strip quotes or swallow tabs
+    # inside the "quoted" region, mis-parsing rows the reference
+    # accepts verbatim.
     df = spark.read.csv(
         path,
         sep="\t",
         header=False,
         schema=spec.schema,
         mode="FAILFAST",
+        quote="",
+        escape="",
     )
     if validate:
         from pyspark.sql import functions as F

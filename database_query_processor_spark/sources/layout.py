@@ -145,7 +145,14 @@ def write_zordered(
 
     def norm(col, lo, hi):
         span = max(int(hi) - int(lo), 1)
-        scaled = ((col.cast("long") - int(lo)) * top / span).cast("long")
+        # divide in DOUBLE before scaling: (col - lo) * top in long
+        # arithmetic overflows once the value span exceeds ~1.4e14
+        # (e.g. epoch-micros over a decade) — an ANSI ArithmeticException
+        # under the session's pinned mode, or a silent wrap-to-0 curve
+        # degeneration without it
+        scaled = (
+            (col.cast("long") - int(lo)).cast("double") / span * top
+        ).cast("long")
         # clamp: int() truncation of fractional min/max plus double
         # rounding could nudge boundary rows past [0, top], where the
         # interleave mask would WRAP them to the far end of the curve

@@ -51,9 +51,14 @@ def _column(c: ColumnSpec, seed: int) -> F.Column:
     salt = F.lit(f"{c.name}:{seed}")
     if c.coltype == "INTEGER" and c.keytype == "PK":
         # per-column seed: (seed, range) alone made two same-range PK
-        # columns byte-identical; folding the column name keeps each
-        # an independent permutation (a stays coprime -> bijective)
-        col_seed = seed + sum(c.name.encode())
+        # columns byte-identical; hashing the column name keeps each
+        # an independent permutation (a stays coprime -> bijective).
+        # A real hash, not sum(name.encode()): byte sums are
+        # order-insensitive, so anagram column names (AID/DIA) would
+        # still collide into identical key streams.
+        import zlib
+
+        col_seed = seed + zlib.crc32(f"{c.name}:{seed}".encode())
         a = _coprime(c.range, col_seed)
         b = (col_seed * 40503) % c.range
         return ((rid * a + F.lit(b)) % F.lit(c.range)).cast("int")

@@ -78,6 +78,24 @@ def commit(
     immutable data file (a single-file parquet dir under data/),
     inherit the previous snapshot's files minus `drops`, and publish
     manifest_v{N+1}. Returns the new version number."""
+    # Data-file names live flat under data/ and must never collide with
+    # the staging namespace: a name containing '.staging-' would be
+    # unconditionally deleted by vacuum()'s crashed-commit cleanup even
+    # while manifest-referenced, and a path separator would nest the
+    # file where vacuum's flat os.listdir sees only the top directory
+    # (and would delete the whole live subtree as unreferenced).
+    for name in adds:
+        if (
+            not name
+            or "/" in name
+            or "\\" in name
+            or ".staging-" in name
+            or name.startswith(".")
+        ):
+            raise ValueError(
+                f"invalid data file name {name!r}: must be a non-hidden "
+                "flat name without path separators or '.staging-'"
+            )
     os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
     prev = latest_version(table_dir)
     files: list[str] = []

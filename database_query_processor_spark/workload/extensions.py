@@ -130,7 +130,8 @@ ORDER BY cos DESC, a.vec_id ASC LIMIT 10
 LANGID_SQL = f"""
 WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents)
 SELECT doc_id,
-  CASE WHEN regexp_matches(text, '{TX.CJK_RE}') THEN 'zh'
+  CASE WHEN text IS NULL THEN NULL
+       WHEN regexp_matches(text, '{TX.CJK_RE}') THEN 'zh'
        WHEN {_stop_sql('en')} = 0 AND {_stop_sql('de')} = 0
             AND {_stop_sql('fr')} = 0 AND {_stop_sql('es')} = 0 THEN 'und'
        WHEN {_stop_sql('en')} >= {_stop_sql('de')} AND {_stop_sql('en')} >= {_stop_sql('fr')}
@@ -294,10 +295,10 @@ WITH inj AS (
               ELSE text END AS t
   FROM documents)
 SELECT doc_id,
-       regexp_replace(regexp_replace(t, 'https?://[^ ]+', '<URL>', 'g'),
+       regexp_replace(regexp_replace(t, 'https?://\S+', '<URL>', 'g'),
                       '{TX.EMAIL_RE}', '<EMAIL>', 'g') AS clean_text,
        regexp_matches(t, '{TX.EMAIL_RE}') AS had_email,
-       regexp_matches(t, 'https?://[^ ]+') AS had_url
+       regexp_matches(t, 'https?://\S+') AS had_url
 FROM inj
 """
 
@@ -347,7 +348,7 @@ PIPELINE_SQL = f"""
 WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
 gated AS (
   SELECT doc_id,
-         regexp_replace(regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+         regexp_replace(regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
                         '{TX.EMAIL_RE}', '<EMAIL>', 'g') AS clean_text,
          md5({NORM_SQL}) AS fingerprint
   FROM t
