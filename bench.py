@@ -46,6 +46,12 @@ TIMED_RUNS = 5
 # host-variance note), so a query drifting 30%+ past that uniform
 # band is the signature of a changed plan, not a slow VM.
 OUTLIER_OVER_BAND = 1.30
+# ...but only when the absolute excess over the band-adjusted baseline
+# clears the fixed per-query noise floor (task launch + JIT jitter is
+# ~30-50 ms on local[32], which alone exceeds 30% of a 150 ms query —
+# sub-200ms queries would otherwise flag on pure scheduling noise
+# while a real 2x regression on any substantive query still trips).
+OUTLIER_MIN_EXCESS_SEC = 0.05
 
 
 def _baseline_mins(path: str = "BASELINE.md") -> dict[str, float]:
@@ -85,7 +91,10 @@ def _variance_report(timings: dict[str, float]) -> dict:
     # gate on the UNROUNDED normalized ratio — rounding first would
     # silently un-flag regressions landing in (band*1.300, band*1.305)
     outliers = sorted(
-        name for name, r in ratios.items() if r / band > OUTLIER_OVER_BAND
+        name
+        for name, r in ratios.items()
+        if r / band > OUTLIER_OVER_BAND
+        and timings[name] - base[name] * band > OUTLIER_MIN_EXCESS_SEC
     )
     return {
         "ratios": ratios,
