@@ -79,12 +79,22 @@ def _changed_since_last_verify() -> set[str]:
             cwd=root, capture_output=True, text=True, timeout=10,
         )
         changed = {line.strip() for line in out.stdout.splitlines() if line.strip()}
-        # plus uncommitted work-in-progress
+        # plus uncommitted work-in-progress; renames print
+        # 'R  old -> new' — keep the POST-rename path, and strip git's
+        # quoting of paths with special characters
         wt = subprocess.run(
             ["git", "status", "--porcelain"],
             cwd=root, capture_output=True, text=True, timeout=10,
         )
-        changed |= {line[3:].strip() for line in wt.stdout.splitlines() if line.strip()}
+        for line in wt.stdout.splitlines():
+            if not line.strip():
+                continue
+            path = line[3:].strip()
+            if " -> " in path:
+                path = path.split(" -> ", 1)[1]
+            if path.startswith('"') and path.endswith('"'):
+                path = path[1:-1]
+            changed.add(path)
         return changed
     except (OSError, subprocess.SubprocessError):
         return set()
@@ -135,7 +145,22 @@ def _spec_touched(spec: QuerySpec, changed: set[str]) -> bool:
     )
 
 
+_ORDER_MEMO: list[QuerySpec] | None = None
+
+
 def _sweep_order() -> list[QuerySpec]:
+    # queries() and oracle_sql() both call this in one driver load —
+    # memoize so the git subprocesses, CORRECTNESS parses, and
+    # per-spec module-source scans run once per process. (Tests that
+    # monkeypatch the helpers reset the memo.)
+    global _ORDER_MEMO
+    if _ORDER_MEMO is not None:
+        return _ORDER_MEMO
+    _ORDER_MEMO = _sweep_order_uncached()
+    return _ORDER_MEMO
+
+
+def _sweep_order_uncached() -> list[QuerySpec]:
     specs = all_specs()
     green = _latest_green()
 

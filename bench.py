@@ -79,22 +79,26 @@ def _variance_report(timings: dict[str, float]) -> dict:
     the queries whose normalized ratio exceeds OUTLIER_OVER_BAND
     (plan-regression suspects rather than VM noise)."""
     base = _baseline_mins()
-    ratios = {
-        name: round(t / base[name], 2)
+    raw = {
+        name: t / base[name]
         for name, t in timings.items()
         if t >= 0 and base.get(name, 0) > 0
     }
-    if not ratios:
+    if not raw:
         return {}
-    band = round(statistics.median(ratios.values()), 2)
-    normalized = {name: round(r / band, 2) for name, r in ratios.items()}
-    # gate on the UNROUNDED normalized ratio — rounding first would
-    # silently un-flag regressions landing in (band*1.300, band*1.305)
+    # the GATE uses unrounded ratios and an unrounded band — rounding
+    # first silently un-flags regressions landing just past the
+    # threshold (band*1.300, band*1.305]; rounded values are for
+    # display only
+    band_raw = statistics.median(raw.values())
+    band = round(band_raw, 2)
+    ratios = {name: round(r, 2) for name, r in raw.items()}
+    normalized = {name: round(r / band_raw, 2) for name, r in raw.items()}
     outliers = sorted(
         name
-        for name, r in ratios.items()
-        if r / band > OUTLIER_OVER_BAND
-        and timings[name] - base[name] * band > OUTLIER_MIN_EXCESS_SEC
+        for name, r in raw.items()
+        if r / band_raw > OUTLIER_OVER_BAND
+        and timings[name] - base[name] * band_raw > OUTLIER_MIN_EXCESS_SEC
     )
     return {
         "ratios": ratios,
@@ -197,6 +201,12 @@ def main() -> None:
         "queries": timings,
         "sf": detail["sf"],
     }
+    # a crashed query is EXCLUDED from the headline total (its -1
+    # sentinel would otherwise read as a speedup) — name it explicitly
+    # so the failure survives even the truncation fallback below
+    failed = sorted(n for n, t in timings.items() if t < 0)
+    if failed:
+        compact["failed"] = failed
     vs = detail.get("vs_baseline")
     if vs:
         compact["host_band"] = vs["host_band"]

@@ -27,7 +27,21 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+def _default_cpus() -> int:
+    """SPARK_GRAFT_CPUS, parsed lazily with a clear error — an
+    import-time int('') would kill every entry point with a bare
+    ValueError before argparse could say anything useful."""
+    raw = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        n = int(raw)
+    except ValueError as exc:
+        raise ValueError(
+            f"SPARK_GRAFT_CPUS must be an integer, got {raw!r}"
+        ) from exc
+    if n < 1:
+        raise ValueError(f"SPARK_GRAFT_CPUS must be >= 1, got {n}")
+    return n
 
 
 def get_spark(
@@ -38,8 +52,16 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with scale-minded defaults."""
-    master = master or f"local[{DEFAULT_CPUS}]"
-    shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
+    cpus = _default_cpus()
+    master = master or f"local[{cpus}]"
+    # explicit None check — `or` would silently replace a passed 0
+    # with the default instead of surfacing the invalid value
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    elif shuffle_partitions < 1:
+        raise ValueError(
+            f"shuffle_partitions must be >= 1, got {shuffle_partitions}"
+        )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

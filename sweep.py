@@ -29,6 +29,12 @@ def main() -> int:
     specs = all_specs()
     if prefixes:
         specs = [s for s in specs if any(s.name.startswith(p) for p in prefixes)]
+        if not specs:
+            # vacuous success is the trap: a typo'd prefix (or a spec
+            # renamed out from under a CI wrapper) must not exit 0 on
+            # an empty '0 bad of 0' sweep
+            print(f"# no specs match prefixes {prefixes!r}", file=sys.stderr)
+            return 2
     spark = get_spark()
     n_match = n_rows = n_bad = 0
     for spec in specs:

@@ -89,6 +89,7 @@ def test_sweep_order_diff_aware():
     orig = e._changed_since_last_verify
     try:
         e._changed_since_last_verify = lambda: {rel}
+        e._ORDER_MEMO = None  # bust the per-process memo for the patch
         order = [s.name for s in e._sweep_order()]
         unverified = [n for n in order if n not in green]
         # target (touched) must appear right after the unverified front,
@@ -106,7 +107,9 @@ def test_sweep_order_diff_aware():
     # no-change case: with an empty diff the order equals pure rotation
     try:
         e._changed_since_last_verify = lambda: set()
+        e._ORDER_MEMO = None
         order2 = [s.name for s in e._sweep_order()]
         assert set(order2) == set(order)
     finally:
         e._changed_since_last_verify = orig
+        e._ORDER_MEMO = None

@@ -1077,3 +1077,84 @@ def test_read_text_table_leading_quote_verbatim(spark, tmp_path):
     p2.write_text('1\t"hi"\n')
     got = read_text_table(spark, str(p2), spec).collect()
     assert got[0].b == '"hi"'  # quotes preserved verbatim
+
+
+def test_bench_outlier_gate_unrounded():
+    """The plan-suspect gate must use UNROUNDED ratios: a regression
+    at ratio 1.304 with band 1.0 flags (round-to-1.30-first would
+    silently pass it)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "benchmod_t", __file__.replace("tests/test_review_hardening.py", "bench.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    m._baseline_mins = lambda: {"a": 1.0, "b": 1.0, "c": 1.0}
+    r = m._variance_report({"a": 1.0, "b": 1.0, "c": 1.304})
+    assert r["outliers"] == ["c"], r
+
+
+def test_bench_failed_query_named_in_compact():
+    """A crashed query's -1 sentinel is excluded from the headline
+    total — the compact line must carry an explicit failed list."""
+    # logic check on the same construction main() uses
+    timings = {"q1": 1.0, "q2": -1.0}
+    failed = sorted(n for n, t in timings.items() if t < 0)
+    assert failed == ["q2"]
+
+
+def test_sweep_empty_prefix_nonzero_exit():
+    import subprocess
+    import sys
+
+    p = subprocess.run(
+        [sys.executable, "sweep.py", "zz_no_such_prefix"],
+        capture_output=True, text=True, timeout=120,
+        cwd=__file__.replace("tests/test_review_hardening.py", ""),
+    )
+    assert p.returncode == 2, (p.returncode, p.stderr[-200:])
+    assert "no specs match" in p.stderr
+
+
+def test_session_rejects_bad_cpu_env(monkeypatch):
+    import pytest
+
+    from database_query_processor_spark.session import _default_cpus
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "auto")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_CPUS"):
+        _default_cpus()
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "0")
+    with pytest.raises(ValueError, match=">= 1"):
+        _default_cpus()
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "16")
+    assert _default_cpus() == 16
+
+
+def test_changed_files_rename_takes_new_path(monkeypatch):
+    """Porcelain rename lines keep the POST-rename path."""
+    import subprocess
+
+    import __spark_entry__ as e
+
+    real_run = subprocess.run
+
+    def fake_run(cmd, **kw):
+        class R:
+            stdout = ""
+        r = R()
+        if cmd[1] == "log":
+            r.stdout = "deadbeef\n"
+        elif cmd[1] == "diff":
+            r.stdout = ""
+        elif cmd[1] == "status":
+            r.stdout = 'R  database_query_processor_spark/a.py -> database_query_processor_spark/b.py\n'
+        return r
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    try:
+        got = e._changed_since_last_verify()
+    finally:
+        monkeypatch.setattr(subprocess, "run", real_run)
+    assert got == {"database_query_processor_spark/b.py"}
