@@ -170,9 +170,15 @@ def ann_sq8_rerank(
     per-partition heaps), exact rerank on ≤pool rows. At 100 TB the
     quantized representation would be materialized once as an int8
     column, making the prefilter scan ~4x lighter than float32."""
+    # greatest(·, 1e-300) guards the all-zero-corpus edge: sc = 0 would
+    # make the _q8 divide a job-killing ANSI DIVIDE_BY_ZERO (same class
+    # as the nq*nv norm guard below). Identity on any real corpus, and
+    # the degenerate case quantizes to all-zero vectors in both engines.
     scale = df.agg(
-        F.max(F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x))))
-        .alias("sc")
+        F.greatest(
+            F.max(F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))),
+            F.lit(1e-300),
+        ).alias("sc")
     )
     q = (
         df.filter(F.col(id_col) == query_id)
@@ -229,7 +235,8 @@ def sql_ann_sq8_rerank(query_id: int, k: int = 10, pool: int = 50) -> str:
     nv = idot.format(a="v8", b="v8")
     dq = idot.format(a="v8", b="q8")
     return f"""
-WITH s AS (SELECT MAX(list_max([abs(x) for x in embedding])) AS sc FROM embeddings),
+WITH s AS (SELECT greatest(MAX(list_max([abs(x) for x in embedding])), 1e-300) AS sc
+           FROM embeddings),
 q AS (SELECT embedding AS qv, {q8} AS q8
       FROM embeddings, s WHERE vec_id = {query_id}),
 base AS (SELECT vec_id, embedding, qv, {q8} AS v8, q8

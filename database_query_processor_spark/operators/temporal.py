@@ -437,12 +437,19 @@ def time_weighted_avg(
     num = F.sum(F.col("_v_cents").cast("decimal(38,0)") * F.col("_dt"))
     # Keys whose surviving observations ALL have zero duration (ties on
     # the timestamp) have no time-weighted average — drop them rather
-    # than divide by zero (ANSI crash). Mirrored by HAVING SUM(dt) > 0
-    # in the oracle.
+    # than divide by zero (mirrored by HAVING SUM(dt) > 0 in the
+    # oracle). The divide itself must still be try_divide: the filter
+    # sits ABOVE the aggregate expression, so a plain ANSI divide on a
+    # zero-duration group crashes whenever codegen doesn't defer the
+    # unused column past the fused filter (confirmed with
+    # spark.sql.codegen.wholeStage=false). try_divide yields NULL there
+    # and the filter then drops the row — identical output either way.
     return (
         weighted.groupBy(key_col)
         .agg(
-            F.round(num.cast("double") / (F.lit(100.0) * F.sum("_dt")), 9).alias("twa"),
+            F.round(
+                F.try_divide(num.cast("double"), F.lit(100.0) * F.sum("_dt")), 9
+            ).alias("twa"),
             F.sum("_dt").alias("total_us"),
             F.count("*").alias("n_obs"),
         )

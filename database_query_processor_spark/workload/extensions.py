@@ -295,10 +295,10 @@ WITH inj AS (
               ELSE text END AS t
   FROM documents)
 SELECT doc_id,
-       regexp_replace(regexp_replace(t, 'https?://\S+', '<URL>', 'g'),
+       regexp_replace(regexp_replace(t, '{TX.URL_RE}', '<URL>', 'g'),
                       '{TX.EMAIL_RE}', '<EMAIL>', 'g') AS clean_text,
        regexp_matches(t, '{TX.EMAIL_RE}') AS had_email,
-       regexp_matches(t, 'https?://\S+') AS had_url
+       regexp_matches(t, '{TX.URL_RE}') AS had_url
 FROM inj
 """
 
@@ -348,7 +348,7 @@ PIPELINE_SQL = f"""
 WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
 gated AS (
   SELECT doc_id,
-         regexp_replace(regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+         regexp_replace(regexp_replace(text, '{TX.URL_RE}', '<URL>', 'g'),
                         '{TX.EMAIL_RE}', '<EMAIL>', 'g') AS clean_text,
          md5({NORM_SQL}) AS fingerprint
   FROM t

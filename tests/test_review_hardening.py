@@ -1158,3 +1158,73 @@ def test_changed_files_rename_takes_new_path(monkeypatch):
     finally:
         monkeypatch.setattr(subprocess, "run", real_run)
     assert got == {"database_query_processor_spark/b.py"}
+
+
+def test_twa_zero_duration_group_survives_codegen_off(spark):
+    """The total_us > 0 filter sits ABOVE the aggregate, so the twa
+    divide must be try_divide: with whole-stage codegen disabled the
+    engine evaluates the aggregate expressions eagerly and a plain
+    ANSI divide crashes on a group whose observations all tie on the
+    timestamp (r6 ADVICE, temporal.py)."""
+    import datetime as dt
+
+    from database_query_processor_spark.operators.temporal import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.0, 1),
+        (1, t0, 20.0, 2),  # all of key 1 ties on ts -> every dt = 0
+        (2, t0, 1.0, 3),
+        (2, t0 + dt.timedelta(seconds=10), 3.0, 4),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double, id long")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        got = {r.k: r.twa for r in time_weighted_avg(df, "k", "ts", "v", "id").collect()}
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert got == {2: 1.0}  # key 1 dropped, no DIVIDE_BY_ZERO
+
+
+def test_ann_sq8_all_zero_corpus_does_not_crash(spark):
+    """A corpus of all-zero embeddings makes the corpus-global SQ8
+    scale 0; the quantization divide must be guarded (r6 ADVICE,
+    similarity.py) — expect rows (cos ties at 0) instead of an ANSI
+    DIVIDE_BY_ZERO, matching the DuckDB oracle's NULL-propagation."""
+    from database_query_processor_spark.operators.similarity import ann_sq8_rerank
+
+    df = spark.createDataFrame(
+        [(i, [0.0, 0.0, 0.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = ann_sq8_rerank(df, "vec_id", "embedding", query_id=0, k=3).collect()
+    assert [r.vec_id for r in rows] == [1, 2, 3]  # id tie-break, no crash
+
+
+def test_protoshim_two_level_vivification_attaches_chain():
+    """msg.a.b.c = x with BOTH a and b unset must attach the whole
+    chain (r6 ADVICE, protoshim): the child's first write fires the
+    parent's own __setattr__ recursively, so serialization carries the
+    subtree instead of silently dropping it."""
+    from tests.test_property import _shim_sm
+
+    sm = _shim_sm()
+    req = sm.StateRequest()
+    req.stateVariableRequest.valueStateCall.stateName = "sess"
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    assert back.stateVariableRequest.valueStateCall.stateName == "sess"
+
+
+def test_scrub_sql_interpolates_shared_url_pattern():
+    """The URL pattern in the DuckDB oracles is interpolated from
+    functions/text.py URL_RE (r6 ADVICE) — no hand-duplicated regex
+    literal that can drift or re-introduce the \\S SyntaxWarning."""
+    from database_query_processor_spark.functions import text as TX
+    from database_query_processor_spark.workload.extensions import (
+        PIPELINE_SQL,
+        SCRUB_SQL,
+    )
+
+    assert SCRUB_SQL.count(TX.URL_RE) == 2
+    assert PIPELINE_SQL.count(TX.URL_RE) == 1
