@@ -128,7 +128,12 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return _signature_from_shingles(doc_shingles(df, id_col, text_col))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+LSH_BUCKET_CAP = 50  # successors each doc pairs with inside one (band, key) bucket
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = LSH_BANDS, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
     """Band the signatures and emit candidate pairs that collide in ≥1
     band. The shuffle key is (band, band_signature) — linear in corpus
     size; pairs materialize only inside colliding buckets."""
@@ -162,18 +167,33 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     # Bucket-then-pair instead of a self-join: ONE shuffle on
     # (band, key), the upstream signature pipeline is evaluated once
     # (a self-join would recompute it per side), and pairs materialize
-    # only inside multi-occupant buckets. At 100 TB a pathological
-    # mega-bucket (all-identical docs) is the skew risk — cap bucket
-    # size or df-cap shingles upstream if that appears.
+    # only inside multi-occupant buckets. Pairing is CAPPED: within a
+    # bucket sorted by doc_id, each doc pairs with its next
+    # `bucket_cap` neighbors only (posexplode + slice — an empty slice
+    # explodes to nothing). For every bucket of ≤ cap+1 docs this is
+    # EXACTLY the all-pairs set (every doc meets all its successors);
+    # a pathological mega-bucket (a 100 TB corpus of near-identical
+    # boilerplate collapsing into one (band, key)) emits a sorted
+    # chain of O(N·cap) candidates instead of O(N²) — the same df-cap
+    # idea as NGRAM_DF_CAP below — while downstream
+    # connected-components dedup still sees one connected component
+    # (adjacent true duplicates verify at jaccard 1.0). Remaining
+    # skew cost is the O(bucket) id array in one aggregation buffer
+    # (8 bytes/doc — 1M-doc bucket = 8 MB); a window-lead pairing
+    # avoids even that but costs ~35% on the whole query at bench
+    # scale because the sort + per-row lead frames run on ALL banded
+    # rows, singletons included (measured both forms at sf0.1).
     buckets = (
         banded.groupBy("band", "key")
-        .agg(F.collect_list("doc_id").alias("ids"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
     return (
-        buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.posexplode("ids").alias("_pos", "id_a"), F.col("ids"))
+        .select(
+            "id_a",
+            F.explode(F.slice("ids", F.col("_pos") + 2, bucket_cap)).alias("id_b"),
+        )
         .distinct()
     )
 
