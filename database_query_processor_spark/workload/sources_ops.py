@@ -34,6 +34,25 @@ def randomdb_generate(spark, sf_dir):
     return generate_table(spark, parse_det(_ACCOUNT_DET), 10_000, seed=42)
 
 
+# DuckDB lacks xxhash64, but the expected table has an INDEPENDENT
+# pure-Python derivation (tests/xxh64_ref.py implements the public
+# XXH64 spec with Spark's per-column chaining; verified against the
+# official test vectors). The committed golden parquet is that
+# derivation's output (tests/fixtures/make_randomdb_golden.py), so
+# the oracle is a plain read — a full 4-column hash gate instead of
+# the former rows-only check. tests/test_sources.py re-derives a
+# slice pure-Python each run, so a stale golden fails there first.
+_RANDOMDB_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "randomdb_account_golden.parquet",
+)
+
+_RANDOMDB_ORACLE = f"""
+SELECT aid, branch, owner, balance
+FROM read_parquet('{_RANDOMDB_GOLDEN}')
+"""
+
+
 _ROUNDTRIP_ORACLE = "SELECT doc_id, text FROM documents"
 
 _JAVASER_FIXTURE = os.path.join(
@@ -761,9 +780,10 @@ SPECS = [
               "small-file ingest -> append -> compaction commit -> physical "
               "GC of unreferenced files; post-VACUUM read proves content "
               "preservation"),
-    QuerySpec("src01_randomdb_generate", randomdb_generate, None,
+    QuerySpec("src01_randomdb_generate", randomdb_generate, _RANDOMDB_ORACLE,
               "distributed .det-spec datagen (RandomDB equivalent): "
-              "deterministic hash cells, affine-permutation PKs"),
+              "deterministic hash cells, affine-permutation PKs; oracle = "
+              "golden parquet from the pure-Python XXH64 reference"),
     QuerySpec("src02_orc_roundtrip", orc_roundtrip, _ROUNDTRIP_ORACLE,
               "ORC sink + source roundtrip (native columnar format #2)"),
     QuerySpec("src03_csv_roundtrip", csv_roundtrip, _ROUNDTRIP_ORACLE,

@@ -236,3 +236,50 @@ def test_snapshot_optimize_empty_table_raises(tmp_path):
 
     with pytest.raises(ValueError, match="empty"):
         SNAP.optimize(None, str(tmp_path / "none"))
+
+
+def test_randomdb_matches_pure_python_reference(spark):
+    """The src01 oracle is a committed golden parquet derived from the
+    pure-Python XXH64 reference (tests/xxh64_ref.py). Re-derive a
+    slice here on every run so EITHER side drifting — a generator
+    change, a Spark hash change, or a stale golden — fails loudly
+    rather than hiding behind the committed file."""
+    import pandas as pd
+
+    from database_query_processor_spark.workload.sources_ops import (
+        _ACCOUNT_DET,
+        _RANDOMDB_GOLDEN,
+    )
+    from tests.fixtures.make_randomdb_golden import account_rows
+
+    n = 300
+    exp = pd.DataFrame(
+        list(account_rows(n)), columns=["aid", "branch", "owner", "balance"]
+    )
+    got = (
+        generate_table(spark, parse_det(_ACCOUNT_DET), n, seed=42)
+        .toPandas()
+    )
+    assert got["aid"].tolist() == exp["aid"].tolist()
+    assert got["branch"].tolist() == exp["branch"].tolist()
+    assert got["owner"].tolist() == exp["owner"].tolist()
+    assert got["balance"].tolist() == exp["balance"].tolist()  # float32 bit-exact
+
+    golden = pd.read_parquet(_RANDOMDB_GOLDEN).head(n)
+    assert golden["aid"].tolist() == exp["aid"].tolist()
+    assert golden["owner"].tolist() == exp["owner"].tolist()
+    assert golden["balance"].tolist() == exp["balance"].tolist()
+
+
+def test_xxh64_ref_official_vectors():
+    """Pin the pure-Python XXH64 to the published spec vectors so the
+    golden's provenance is anchored to the PUBLIC algorithm, not to
+    whatever Spark happens to compute."""
+    from tests.xxh64_ref import hash_bytes
+
+    assert hash_bytes(b"", 0) == 0xEF46DB3751D8E999
+    assert hash_bytes(b"a", 0) == 0xD24EC4F1A98C6E5B
+    assert hash_bytes(b"abc", 0) == 0x44BC2CF5AD770999
+    # >= 32 bytes exercises the 4-lane path; constant cross-checked
+    # against Spark's F.xxhash64 on the same bytes (seed 42)
+    assert hash_bytes(b"this is a thirty-five byte string!!", 42) == 0x105D9BA1B7796829
