@@ -30,17 +30,21 @@ from database_query_processor_spark.workload import QuerySpec, all_specs
 _RISK_PREFIXES = ("s0", "s1", "src", "d0", "d1", "t0", "t1", "x", "c", "p")
 
 
-def _latest_green() -> set[str]:
+def _latest_green(root=None) -> set[str]:
     """Names whose LATEST driver CORRECTNESS row is hash-green.
 
     Later rounds override earlier ones per query, so a query that
     regresses in round N re-enters the front of the sweep in round
-    N+1 even if round N-1 had it green."""
+    N+1 even if round N-1 had it green. ``root`` overrides the
+    artifact directory for tests; default is the repo root."""
     import json
     import re
     from pathlib import Path
 
-    root = Path(__file__).resolve().parent
+    if root is None:
+        root = Path(__file__).resolve().parent
+    else:
+        root = Path(root)
     reports = []
     for p in root.glob("CORRECTNESS_r*.json"):
         m = re.search(r"r(\d+)", p.stem)

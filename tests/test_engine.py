@@ -113,3 +113,63 @@ def test_sweep_order_diff_aware():
     finally:
         e._changed_since_last_verify = orig
         e._ORDER_MEMO = None
+
+
+def test_latest_green_latest_row_wins(tmp_path):
+    """_latest_green parses REAL artifact files with latest-row-wins
+    semantics: green in r1, red in r2 → not green; red in r1, green
+    in r2 → green; unparseable artifacts are skipped, not fatal."""
+    import json
+
+    import __spark_entry__ as e
+
+    g = {"rows_match": True, "schema_match": True, "hash_match": True,
+         "spark_rows": 1, "oracle_rows": 1, "err": None}
+    r = dict(g, hash_match=False)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_regressed": g, "q_recovered": r, "q_stable": g}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_regressed": r, "q_recovered": g}))
+    (tmp_path / "CORRECTNESS_r03.json").write_text("{not json")
+    assert e._latest_green(tmp_path) == {"q_recovered", "q_stable"}
+
+
+def test_sweep_order_fronts_planted_regression():
+    """Plant-a-regression drill (r6 verdict): a query whose LATEST
+    driver row went red AND whose module changed must land in the
+    unverified FRONT block — ahead of every green — so the driver's
+    bounded budget re-verifies it THIS round. The router is
+    load-bearing for 205 queries; this pins the failure path, not
+    just the happy rotation."""
+    import __spark_entry__ as e
+    from database_query_processor_spark.workload import all_specs
+
+    real_green = e._latest_green()
+    if not real_green:
+        return  # fresh checkout: no artifacts to regress against
+    specs = {s.name: s for s in all_specs()}
+    victim = sorted(n for n in real_green if specs[n].oracle is not None)[0]
+    import pathlib
+    import sys
+
+    rel = str(pathlib.Path(
+        sys.modules[specs[victim].build.__module__].__file__
+    ).resolve().relative_to(pathlib.Path(e.__file__).resolve().parent))
+
+    orig_green, orig_changed = e._latest_green, e._changed_since_last_verify
+    try:
+        # the fake red row: victim drops out of the green set
+        e._latest_green = lambda root=None: real_green - {victim}
+        e._changed_since_last_verify = lambda: {rel}
+        e._ORDER_MEMO = None
+        order = [s.name for s in e._sweep_order()]
+        front = [n for n in order if n not in real_green or n == victim]
+        n_unverified = len([n for n in order if n not in (real_green - {victim})])
+        # victim is inside the unverified front block, before ALL greens
+        assert order.index(victim) < n_unverified
+        first_green = next(i for i, n in enumerate(order)
+                           if n in real_green and n != victim)
+        assert order.index(victim) < first_green, front[:5]
+    finally:
+        e._latest_green, e._changed_since_last_verify = orig_green, orig_changed
+        e._ORDER_MEMO = None
