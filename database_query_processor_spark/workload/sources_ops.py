@@ -110,6 +110,42 @@ def javaser_read(spark, sf_dir):
     )
 
 
+def javaser_write_roundtrip(spark, sf_dir):
+    """documents → reference-NATIVE `.md`/`.tbl` export (Java Object
+    Serialization streams byte-identical to the reference's own
+    tools: sources/javaser_writer.py, inverse of Scan.java:49,69 /
+    ConvertTxtToTbl.java:68-71) → parallel read-back. One shard per
+    partition, encoded executor-side; the read decodes one shard per
+    task. doc_id is cast to INT and a REAL column is derived because
+    the reference's data model has exactly INT/STRING/REAL
+    (Attribute.java:11-13); float32(length) is exact for any document
+    length below 2^24, so the oracle mirrors it bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.sources import javaser
+    from database_query_processor_spark.sources.javaser_writer import (
+        write_tbl_shards,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("int").alias("doc_id"),
+        F.col("text"),
+        F.length("text").cast("float").alias("flen"),
+    )
+    out = scratch_dir("dqps_javaser_w_")
+    write_tbl_shards(d, out, "DOCS")
+    return javaser.read_tbl_dataset(
+        spark, os.path.join(out, "DOCS.md"), os.path.join(out, "DOCS-p*.tbl")
+    )
+
+
+_JAVASER_WRITE_ORACLE = """
+SELECT CAST(doc_id AS INTEGER) AS doc_id, text,
+       CAST(length(text) AS FLOAT) AS flen
+FROM documents
+"""
+
+
 def orc_roundtrip(spark, sf_dir):
     """documents → ORC sink → ORC scan. ORC is the second columnar
     format Spark ships natively (splittable, predicate-pushdown-
@@ -797,4 +833,9 @@ SPECS = [
               "custom Spark data source (Python DataSource API) for the "
               "reference-native format: .md schema at plan time, one "
               "InputPartition per .tbl shard"),
+    QuerySpec("src18_javaser_write_roundtrip", javaser_write_roundtrip,
+              _JAVASER_WRITE_ORACLE,
+              "reference-native .md/.tbl WRITER (byte-identical Java "
+              "Object Serialization; per-partition shards encoded "
+              "executor-side) + parallel read-back"),
 ]

@@ -151,3 +151,120 @@ def test_long_string_tag():
 def test_plain_utf8_fast_path_unchanged():
     b = "héllo wörld".encode("utf-8")
     assert javaser._decode_modified_utf8(b) == "héllo wörld"
+
+
+# ---------------------------------------------------------------- writer
+
+
+@needs_java
+def test_writer_byte_identical_to_reference_tools(ref_table):
+    """The STRONGEST read-back guarantee: for the same logical
+    content, our writer emits byte-for-byte what the reference's own
+    ObjectOutputStream wrote — so anything the reference can read of
+    its own, it can read of ours. Covers the Integer.valueOf small-int
+    cache (back-references), interned field signatures, and the .md's
+    shared tblname string."""
+    from database_query_processor_spark.sources import javaser_writer as jw
+
+    with open(os.path.join(ref_table, "CART.md"), "rb") as f:
+        md = f.read()
+    sch = javaser.JavaSerReader(md).read_content()
+    attrs = sch["attset"]
+    w = jw.JavaSerWriter()
+    w.write_schema(
+        attrs[0]["tblname"],
+        [(a["colname"], a["type"], a["attrsize"]) for a in attrs],
+        sch["tupleSize"],
+    )
+    assert w.getvalue() == md
+
+    with open(os.path.join(ref_table, "CART.tbl"), "rb") as f:
+        tbl = f.read()
+    types = [a["type"] for a in attrs]
+    assert jw.tuples_bytes(javaser.read_tuples(tbl), types) == tbl
+
+
+@needs_java
+def test_reference_jvm_reads_our_md(ref_table, tmp_path):
+    """Inverse migration, executed by the reference itself: write an
+    .md with OUR writer, feed it (plus a .txt) to the reference's
+    javac'd ConvertTxtToTbl — its ObjectInputStream must accept our
+    Schema stream (serialVersionUID, field order, handles) and its
+    .tbl output must byte-match our encoding of the same rows."""
+    from database_query_processor_spark.sources import javaser_writer as jw
+
+    work = str(tmp_path)
+    table = "OURS"
+    cols = [("k", javaser.ATTR_INT, 4), ("name", javaser.ATTR_STRING, 16),
+            ("score", javaser.ATTR_REAL, 4)]
+    rows = [[7, "alpha", 1.5], [7, "beta", 2.25], [300, "gamma", -0.5]]
+    w = jw.JavaSerWriter()
+    w.write_schema(table, cols, 24)
+    with open(os.path.join(work, table + ".md"), "wb") as f:
+        f.write(w.getvalue())
+    with open(os.path.join(work, table + ".txt"), "w") as f:
+        for r in rows:
+            f.write(f"{r[0]}\t{r[1]}\t{r[2]}\n")
+
+    classes = os.path.join(ref_table, "classes")
+    if not os.path.isdir(classes):  # ref_table fixture compiled into cwd
+        classes = ref_table
+    env = dict(os.environ, CLASSPATH=f"{classes}:.")
+    subprocess.run(["java", "ConvertTxtToTbl", table], cwd=work, env=env,
+                   check=True, capture_output=True)
+    with open(os.path.join(work, table + ".tbl"), "rb") as f:
+        ref_tbl = f.read()
+    types = [t for _, t, _ in cols]
+    assert ref_tbl == jw.tuples_bytes(rows, types)
+    assert javaser.read_tuples(ref_tbl) == rows
+
+
+def test_writer_rejects_non_native_types(spark):
+    """The reference's data model has INT/STRING/REAL only — a LONG
+    column must fail the migration loudly, not truncate silently."""
+    from database_query_processor_spark.sources import javaser_writer as jw
+
+    df = spark.range(3)  # id: bigint
+    with pytest.raises(ValueError, match="reference-native"):
+        jw.schema_bytes(df, "T")
+
+
+def test_shard_write_parallel_readback(spark, tmp_path):
+    """Distributed export: one Java-ser shard per partition, encoded
+    executor-side; read back in parallel via read_tbl_dataset with one
+    task per shard."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.sources import javaser_writer as jw
+
+    df = (
+        spark.range(200)
+        .repartition(4)
+        .select(
+            F.col("id").cast("int").alias("k"),
+            F.concat(F.lit("row_"), F.col("id")).alias("name"),
+            (F.col("id") * 0.5).cast("float").alias("score"),
+        )
+    )
+    n = jw.write_tbl_shards(df, str(tmp_path), "ACC")
+    assert n == 4
+    back = javaser.read_tbl_dataset(
+        spark, os.path.join(str(tmp_path), "ACC.md"),
+        os.path.join(str(tmp_path), "ACC-p*.tbl"),
+    )
+    assert back.rdd.getNumPartitions() == 4
+    got = sorted(tuple(r) for r in back.collect())
+    want = sorted(tuple(r) for r in df.collect())
+    assert got == want
+
+
+def test_modified_utf8_encode_roundtrips_nul_and_astral():
+    """Encode side of the Java writeUTF format: NUL -> C0 80 and
+    astral -> CESU-8, inverse of the reader's decoder."""
+    from database_query_processor_spark.sources.javaser_writer import (
+        _encode_modified_utf8,
+    )
+
+    for s in ["a\x00b", "\U0001F600", "plain ascii", "héllo wörld"]:
+        assert javaser._decode_modified_utf8(_encode_modified_utf8(s)) == s
+    assert _encode_modified_utf8("a\x00b") == bytes([0x61, 0xC0, 0x80, 0x62])
