@@ -300,6 +300,132 @@ def recent_top_tws(stream: DataFrame) -> DataFrame:
     )
 
 
+TWS_SESSION_SCHEMA = (
+    "user_id BIGINT, start_us BIGINT, end_us BIGINT, n BIGINT, closed_by STRING"
+)
+SESSION_GAP_US = 30 * 60 * 1_000_000  # same 30-min gap as batch sessionize (t04)
+
+
+class _SessionExpiryProcessor(_StatefulProcessor):
+    """StatefulProcessor: ValueState + EVENT-TIME TIMERS — the third
+    and last typed-state primitive of the Spark 4 API (MapState = s10,
+    ListState = s11). Per user, the open session (start, last, n)
+    lives in a ValueState; events that jump the inactivity gap close
+    the previous session inline ('data'); ONE timer is kept armed at
+    last + gap, so when the WATERMARK passes a session's expiry with
+    no further events, handleExpiredTimer emits it ('timer') and
+    clears the state — the users' final sessions, which no data row
+    can ever close, are exactly what the timer path contributes.
+
+    State is O(1) per live user and timers are 1 per user, so at
+    100 TB/day the state store holds |active users| entries, not
+    events; RocksDB + changelog checkpointing is the scale path."""
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState(
+            "sess", "start_us BIGINT, last_us BIGINT, n BIGINT"
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        evts: list[int] = []
+        for pdf in rows:
+            if pdf.empty:
+                continue
+            evts.extend(
+                int(t) for t in pdf["ts"].astype("datetime64[us]").astype("int64")
+            )
+        if not evts:
+            return
+        evts.sort()
+        if self._sess.exists():
+            start, last, n = (int(x) for x in self._sess.get())
+        else:
+            start, last, n = -1, -1, 0
+        closed: list[tuple[int, int, int]] = []
+        for t in evts:
+            if n == 0:
+                start, last, n = t, t, 1
+            elif t - last > SESSION_GAP_US:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        self._sess.update((start, last, n))
+        # exactly one armed timer per user: re-arm at the new expiry
+        for old in self._handle.listTimers():
+            self._handle.deleteTimer(old)
+        self._handle.registerTimer((last + SESSION_GAP_US) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * len(closed),
+                    "start_us": [c[0] for c in closed],
+                    "end_us": [c[1] for c in closed],
+                    "n": [c[2] for c in closed],
+                    "closed_by": ["data"] * len(closed),
+                }
+            )
+
+    # NB: PySpark invokes this with KEYWORD arguments (key=, timerValues=,
+    # expiredTimerInfo= — stateful_processor_util.py:231) so the parameter
+    # names must match the base class exactly.
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+
+        if not self._sess.exists():
+            return
+        start, last, n = (int(x) for x in self._sess.get())
+        self._sess.clear()
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "start_us": [start],
+                "end_us": [last],
+                "n": [n],
+                "closed_by": ["timer"],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def session_expiry_tws(stream: DataFrame) -> DataFrame:
+    """Per-user gap sessions closed by data OR by event-time timer
+    (timeMode='EventTime' requires a watermark; 0s delay — the finite
+    replayed parquet arrives in one batch, and the trailing no-data
+    batch fires every timer the final watermark passed)."""
+    _activate_protobuf_shim(stream.sparkSession)
+    return (
+        stream.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _SessionExpiryProcessor(),
+            outputStructType=TWS_SESSION_SCHEMA,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )
+
+
+def run_session_expiry_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive session_expiry_tws over the finite events parquet
+    (RocksDB state store, update-mode memory sink). Every session is
+    emitted exactly once (a session closes once under any batching),
+    so no reduction is needed — only a typed projection."""
+    sink = _run_tws_topology(spark, sf_dir, session_expiry_tws, "session_expiry")
+    return sink.select(
+        "user_id",
+        F.timestamp_micros(F.col("start_us")).cast("timestamp_ntz").alias("session_start"),
+        F.timestamp_micros(F.col("end_us")).cast("timestamp_ntz").alias("session_end"),
+        "n", "closed_by",
+    )
+
+
 def _run_tws_topology(spark: SparkSession, sf_dir: str, transform, prefix: str) -> DataFrame:
     """Shared transformWithState drive scaffold: set the RocksDB state
     store provider (transformWithState requires it) for the run's

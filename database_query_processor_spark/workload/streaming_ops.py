@@ -713,6 +713,52 @@ FROM r WHERE rn <= 3 GROUP BY user_id, n_seen
 """
 
 
+def stream_session_expiry_tws(spark, sf_dir):
+    """s12: transformWithStateInPandas with VALUE STATE + EVENT-TIME
+    TIMERS — the last typed-state primitive (s10 = MapState, s11 =
+    ListState). Per-user 30-min gap sessions: a new event past the gap
+    closes the previous session inline ('data'); one armed timer per
+    user fires via handleExpiredTimer when the WATERMARK passes
+    last + gap, emitting the user's final session ('timer') — the
+    rows no data-close can ever produce. RocksDB state store,
+    update-mode memory sink."""
+    from database_query_processor_spark.streaming.stateful import (
+        run_session_expiry_stream,
+    )
+
+    return run_session_expiry_stream(spark, sf_dir)
+
+
+# Timer semantics mirrored exactly: Spark watermarks and timers are
+# MILLISECOND-granular (micros truncate), the final watermark is
+# max(ts) - 0s delay, and a user's last session fires iff its expiry
+# ms precedes that watermark ms ('<' vs '<=' verified indistinguishable
+# on this data at both sweep scales: no session expiry lands on the
+# exact watermark ms). Non-final sessions are closed by data rows by
+# construction.
+TWS_SESSION_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+s AS (SELECT user_id, tus,
+      CASE WHEN LAG(tus) OVER w IS NULL
+                OR tus - LAG(tus) OVER w > {30 * 60 * 1_000_000} THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+g AS (SELECT user_id, tus, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus) AS sid FROM s),
+sess AS (SELECT user_id, sid, MIN(tus) AS start_us, MAX(tus) AS end_us,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM g GROUP BY 1, 2),
+mx AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+l AS (SELECT user_id, MAX(sid) AS last_sid FROM sess GROUP BY user_id)
+SELECT sess.user_id,
+       make_timestamp(start_us) AS session_start,
+       make_timestamp(end_us) AS session_end,
+       n,
+       CASE WHEN sid = last_sid THEN 'timer' ELSE 'data' END AS closed_by
+FROM sess JOIN l USING (user_id), mx
+WHERE sid <> last_sid
+   OR (end_us + {30 * 60 * 1_000_000}) // 1000 < max_us // 1000
+"""
+
+
 def gap_detect(spark, sf_dir):
     """t16: outage detection — every silence longer than 24h between
     a user's consecutive events (operators/temporal.py:detect_gaps).
@@ -829,6 +875,12 @@ SPECS = [
               "transformWithStateInPandas ListState: per-user append-only "
               "recent-events state, running count + 3 most recent ids, "
               "batching-invariant max-emission reduce"),
+    QuerySpec("s12_session_expiry_tws", stream_session_expiry_tws,
+              TWS_SESSION_SQL,
+              "transformWithStateInPandas ValueState + EVENT-TIME TIMERS: "
+              "gap sessions closed by data or by watermark-fired "
+              "handleExpiredTimer (completes the Spark 4 typed-state "
+              "matrix begun with s10/s11)"),
     QuerySpec("t14_ewma_smooth", ewma_smooth, EWMA_SQL,
               "EWMA smoothing: sequential recurrence as ONE hash aggregate "
               "+ JVM ordered fold, bit-identical to DuckDB list_reduce"),

@@ -371,3 +371,50 @@ def test_tws_liststate_topology_runs(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_tws_timer_session_expiry_planted(spark, tmp_path):
+    """ValueState + event-time timers on a PLANTED stream where every
+    expected row is hand-derivable: user 1 has two sessions — the
+    second event pair closes the first inline ('data'), and the
+    watermark (driven to t0+5h by user 2's lone event) fires the
+    armed timer for the second ('timer'). User 2 holds the global max
+    timestamp, so its own session's expiry never precedes the final
+    watermark and must NOT be emitted."""
+    import datetime as dt
+
+    from database_query_processor_spark.streaming.stateful import (
+        run_session_expiry_stream,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def us(delta_min):
+        return t0 + dt.timedelta(minutes=delta_min)
+
+    rows = [
+        (1, 1, us(0), "a", 0.0),
+        (1, 2, us(10), "a", 0.0),   # same session (gap 10min < 30)
+        (1, 3, us(120), "a", 0.0),  # jumps the gap -> closes session 1
+        (2, 4, us(300), "a", 0.0),  # global max ts, drives the watermark
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    # one parquet FILE named events.parquet (the stream's pathGlobFilter
+    # matches the file name, like the driver-generated testdata layout)
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        __import__("pyarrow").Table.from_pandas(df.toPandas()),
+        str(tmp_path / "events.parquet"),
+    )
+
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n, r.closed_by)
+        for r in run_session_expiry_stream(spark, str(tmp_path)).collect()
+    )
+    assert got == [
+        (1, us(0), us(10), 2, "data"),
+        (1, us(120), us(120), 1, "timer"),
+    ]
