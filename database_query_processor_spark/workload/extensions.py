@@ -1792,7 +1792,7 @@ SPECS = [
     QuerySpec("x55_substring_dedup", substring_dedup, SUBSTRING_DEDUP_SQL,
               "exact repeated-substring spans (suffix-array-style dedup via "
               "k-gram chaining): duplicated-gram COUNT window + consecutive-"
-              "position run chaining, linear cost, no pair space"),
+              "position run chaining, linear cost, no pair space", bench=True),
     QuerySpec("x56_dsir_select", corpus_dsir_select, DSIR_SQL,
               "DSIR importance-resampling selection: hashed-unigram "
               "log-likelihood ratio vs a target slice, 256-bucket broadcast "
@@ -1852,7 +1852,7 @@ SPECS = [
     QuerySpec("x40_bm25_search", bm25_search, _bm25_oracle(),
               "Okapi BM25 top-k retrieval: filtered (doc,term) shuffle, "
               "broadcast df/corpus stats, TakeOrderedAndProject top-k, "
-              "order-deterministic score fold"),
+              "order-deterministic score fold", bench=True),
     QuerySpec("x50_bigram_lm_quality", bigram_lm_quality, _bigram_oracle(),
               "corpus-trained interpolated bigram-LM NLL quality score "
               "(scan-side bigram extraction, one (prev,cur) count shuffle, "
