@@ -8,10 +8,27 @@ cardinality and row count scale 10x — the growth profile a real
 sf-scaled TPC-H has).
 
 nation/region stay fixed (constant-size dims in TPC-H at every sf).
-documents/embeddings are NOT generated: the dedup/similarity family
-has its own 10x/100x probes (artifacts/PROBE{10,100}X_r04.json) with
-a hazard-controlled corpus; exact 10x text replication would instead
-flood the dup detectors.
+
+documents/embeddings (round 6): the text analog of key-shifted
+replication. Exact 10x text replication would flood the dup
+detectors (every doc would gain 9 verbatim twins — dup mass 100x),
+so each copy i >= 1 rewrites every CONTENT token t -> t + 'q{i}x'
+(one alnum run stays one token), a bijective token remap: within a
+copy, shingle sets / fingerprints / df distributions / k-gram chains
+are exactly isomorphic to the originals (per-cluster dup structure
+preserved, like per-key group sizes in the relational tables), while
+cross-copy token universes are disjoint (no new dup pairs — dup mass
+scales 10x, linear). STOPWORDS and the retrieval query terms are
+EXEMPT from the remap: language-ID profiles hold per copy and BM25
+hits scale 10x with the corpus, exactly as a real 10x web corpus
+behaves (function-word df grows with corpus size).
+
+embeddings: per-copy ORTHOGONAL transform (dimension rotation by 7i
++ deterministic sign flips) — an isometry, so every within-copy
+cosine (near-dup pairs, cluster structure) is preserved bit-exact in
+geometry, while cross-copy cosines are near-random for a spread
+corpus (E[cos] ~ N(0, 1/64), far below the 0.9-ish dup thresholds).
+vec_id shifts by the domain span like every other key.
 
 Output: /tmp/dqps_sf1/*.parquet (regenerable scratch, never
 committed). Usage: python artifacts/gen_sf1.py
@@ -84,9 +101,74 @@ def main() -> None:
         )
         print(f"{table}: written")
 
-    for table in ["lineitem", "orders", "customer", "events"]:
+    _write_documents(spark)
+    _write_embeddings()
+
+    for table in ["lineitem", "orders", "customer", "events", "documents",
+                  "embeddings"]:
         n = spark.read.parquet(f"{DST}/{table}.parquet").count()
         print(f"{table}: {n} rows")
+
+
+def _write_documents(spark) -> None:
+    from database_query_processor_spark.functions.text import STOPWORDS
+    from database_query_processor_spark.workload.extensions import BM25_TERMS
+
+    exempt = sorted({w for ws in STOPWORDS.values() for w in ws} | set(BM25_TERMS))
+    # case-insensitive: capitalized stopwords keep their identity too
+    pat = r"(?i)\b(?!(?:" + "|".join(exempt) + r")\b)([a-z0-9]+)\b"
+
+    src = load_table(spark, SRC, "documents")
+    span = int(src.agg(F.max("doc_id")).first()[0]) + 1
+    parts = []
+    for i in range(COPIES):
+        d = src.withColumn("doc_id", F.col("doc_id") + F.lit(i * span))
+        if i > 0:
+            d = d.withColumn(
+                "text", F.regexp_replace("text", pat, f"$1q{i}x")
+            ).withColumn("n_chars", F.length("text"))
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+    print("documents: written")
+
+
+def _write_embeddings() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SRC}/embeddings.parquet")
+    vec_ids = np.asarray(t["vec_id"])
+    labels = np.asarray(t["label"])
+    emb = t["embedding"].combine_chunks()
+    n = len(emb)
+    dim = len(emb[0])
+    vecs = np.asarray(emb.flatten(), dtype=np.float32).reshape(n, dim)
+    span = int(vec_ids.max()) + 1
+    rng = np.random.default_rng(20260815)
+    signs = rng.choice([1.0, -1.0], size=(COPIES, dim)).astype(np.float32)
+    ids_out, lab_out, vec_out = [], [], []
+    for i in range(COPIES):
+        ids_out.append(vec_ids + i * span)
+        lab_out.append(labels)
+        if i == 0:
+            vec_out.append(vecs)
+        else:
+            vec_out.append(np.roll(vecs, 7 * i, axis=1) * signs[i])
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(ids_out), pa.int64()),
+            "embedding": pa.array(
+                [v for block in vec_out for v in block], pa.list_(pa.float32())
+            ),
+            "label": pa.array(np.concatenate(lab_out), pa.int32()),
+        }
+    )
+    pq.write_table(table, f"{DST}/embeddings.parquet")
+    print("embeddings: written")
 
 
 if __name__ == "__main__":
