@@ -114,12 +114,31 @@ def _write_documents(spark) -> None:
     from database_query_processor_spark.functions.text import STOPWORDS
     from database_query_processor_spark.workload.extensions import BM25_TERMS
 
+    import re as _re
+
     exempt = sorted({w for ws in STOPWORDS.values() for w in ws} | set(BM25_TERMS))
-    # case-insensitive: capitalized stopwords keep their identity too
-    pat = r"(?i)\b(?!(?:" + "|".join(exempt) + r")\b)([a-z0-9]+)\b"
+    # Token boundaries must match the ENGINE's tokenizer ([^a-z0-9]+
+    # split), not Java's \b (which treats '_' as a word char — 'foo_bar'
+    # would keep 'foo'/'bar' identical across copies and silently break
+    # the cross-copy disjointness the scaling numbers depend on). So:
+    # explicit [a-z0-9] lookarounds, case-insensitive, escaped exempts.
+    alts = "|".join(_re.escape(w) for w in exempt)
+    pat = (
+        r"(?i)(?<![a-z0-9])(?!(?:" + alts + r")(?![a-z0-9]))([a-z0-9]+)(?![a-z0-9])"
+    )
 
     src = load_table(spark, SRC, "documents")
     span = int(src.agg(F.max("doc_id")).first()[0]) + 1
+    # a raw token already shaped like a copy suffix (…q3x) would
+    # collide with copy 3's remapped tokens — assert the precondition
+    n_preshaped = src.filter(
+        F.lower("text").rlike(r"(?<![a-z0-9])[a-z0-9]+q[1-9]x(?![a-z0-9])")
+    ).count()
+    if n_preshaped:
+        raise RuntimeError(
+            f"{n_preshaped} source docs already contain q<i>x-shaped tokens; "
+            "pick a different copy-suffix scheme"
+        )
     parts = []
     for i in range(COPIES):
         d = src.withColumn("doc_id", F.col("doc_id") + F.lit(i * span))
@@ -132,7 +151,17 @@ def _write_documents(spark) -> None:
     for p in parts[1:]:
         out = out.unionByName(p)
     out.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
-    print("documents: written")
+
+    # hard invariant: dup mass must scale EXACTLY 10x (cross-copy token
+    # universes disjoint) — fail loudly instead of quietly invalidating
+    # every scaling number measured on this corpus
+    dup = lambda df: df.count() - df.select("text").distinct().count()  # noqa: E731
+    d_src, d_out = dup(src), dup(spark.read.parquet(f"{DST}/documents.parquet"))
+    if d_out != COPIES * d_src:
+        raise RuntimeError(
+            f"sf1 dup-mass invariant broken: {d_out} != {COPIES} * {d_src}"
+        )
+    print(f"documents: written (dup surplus {d_src} -> {d_out}, exactly {COPIES}x)")
 
 
 def _write_embeddings() -> None:

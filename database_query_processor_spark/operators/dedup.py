@@ -164,38 +164,56 @@ def lsh_candidate_pairs(
     # would be pushed beneath it and re-evaluate the tokenize+shingle
     # pipeline once more per row (measured 3x on the x02 bench).
     banded = banded.filter(F.col("key") != "")
-    # Bucket-then-pair instead of a self-join: ONE shuffle on
-    # (band, key), the upstream signature pipeline is evaluated once
-    # (a self-join would recompute it per side), and pairs materialize
-    # only inside multi-occupant buckets. Pairing is CAPPED: within a
-    # bucket sorted by doc_id, each doc pairs with its next
-    # `bucket_cap` neighbors only (posexplode + slice — an empty slice
-    # explodes to nothing). For every bucket of ≤ cap+1 docs this is
-    # EXACTLY the all-pairs set (every doc meets all its successors);
-    # a pathological mega-bucket (a 100 TB corpus of near-identical
-    # boilerplate collapsing into one (band, key)) emits a sorted
-    # chain of O(N·cap) candidates instead of O(N²) — the same df-cap
-    # idea as NGRAM_DF_CAP below — while downstream
-    # connected-components dedup still sees one connected component
-    # (adjacent true duplicates verify at jaccard 1.0). Remaining
-    # skew cost is the O(bucket) id array in one aggregation buffer
-    # (8 bytes/doc — 1M-doc bucket = 8 MB); a window-lead pairing
-    # avoids even that but costs ~35% on the whole query at bench
-    # scale because the sort + per-row lead frames run on ALL banded
-    # rows, singletons included (measured both forms at sf0.1).
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
+    # Bucket-then-pair instead of a self-join (_bucket_pairs): ONE
+    # shuffle on (band, key), the upstream signature pipeline is
+    # evaluated once (a self-join would recompute it per side), and
+    # pairs materialize only inside multi-occupant buckets. Pairing is
+    # CAPPED at `bucket_cap` successors per doc. RECALL CONTRACT: for
+    # every bucket of ≤ cap+1 docs this is EXACTLY the all-pairs set
+    # (minhash band keys are 128-bit-ish concatenations, so real
+    # buckets are tiny — measured max 4 at sf0.1, 50k-doc sf1 alike);
+    # a pathological mega-bucket (near-identical boilerplate
+    # collapsing into one (band, key)) emits a sorted O(N·cap) chain
+    # instead of O(N²) candidates — the same df-cap recall trade as
+    # NGRAM_DF_CAP below: a true pair sitting > cap apart in doc_id
+    # order inside an over-cap bucket (and within cap in no other
+    # band) is forgone to bound the blow-up, while downstream
+    # connected-components dedup still sees one component for
+    # identical-doc floods (adjacent pairs verify at jaccard 1.0).
+    # Remaining skew cost is the O(bucket) id array in one aggregation
+    # buffer (8 bytes/doc — 1M-doc bucket = 8 MB); a window-lead
+    # pairing avoids even that but costs ~35% on the whole query at
+    # bench scale because the sort + per-row lead frames run on ALL
+    # banded rows, singletons included (measured both forms at sf0.1).
     return (
-        buckets.select(F.posexplode("ids").alias("_pos", "id_a"), F.col("ids"))
-        .select(
-            "id_a",
-            F.explode(F.slice("ids", F.col("_pos") + 2, bucket_cap)).alias("id_b"),
-        )
+        _bucket_pairs(banded, ["band", "key"], F.col("doc_id"), bucket_cap)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
     )
+
+
+def _bucket_pairs(
+    banded: DataFrame, key_cols: list[str], payload, cap: int | None
+) -> DataFrame:
+    """Shared bucket-then-pair shape for every banding scheme (minhash
+    LSH, simhash pigeonhole): group the banded rows, sort each bucket
+    by payload (doc_id, or a struct whose FIRST field is doc_id — so
+    the order is doc_id order either way), and pair each item with its
+    successors — ALL of them when ``cap`` is None (exact all-pairs,
+    the oracle-parity setting), or at most ``cap`` (the skew-bounded
+    setting: a mega-bucket of N items emits an O(N·cap) sorted chain
+    instead of O(N²) pairs). a.doc_id < b.doc_id by construction.
+    Returns (a, b) payload pairs; callers project and ``distinct()``
+    across bands themselves."""
+    buckets = (
+        banded.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(payload)).alias("items"))
+        .filter(F.size("items") >= 2)
+    )
+    length = F.size("items") if cap is None else F.lit(cap)
+    return buckets.select(
+        F.posexplode("items").alias("_pos", "a"), F.col("items")
+    ).select("a", F.explode(F.slice("items", F.col("_pos") + 2, length)).alias("b"))
 
 
 NGRAM_DF_CAP = 100  # stop-shingle cutoff: shingles in more docs than this are excluded from the Jaccard universe

@@ -56,6 +56,7 @@ from database_query_processor_spark.sources.javaser import (
     TC_BLOCKDATA,
     TC_CLASSDESC,
     TC_ENDBLOCKDATA,
+    TC_LONGSTRING,
     TC_OBJECT,
     TC_REFERENCE,
     TC_STRING,
@@ -124,6 +125,17 @@ class JavaSerWriter:
     def getvalue(self) -> bytes:
         return bytes(self.out)
 
+    def drain(self) -> bytes:
+        """Return the bytes buffered so far and CLEAR the buffer,
+        keeping all handle/dedup state (the emitted prefix is never
+        re-read — back-references are by handle index). Lets callers
+        stream a large table to disk in bounded memory instead of
+        holding the whole serialized stream (the first drain includes
+        the magic header)."""
+        b = bytes(self.out)
+        self.out = bytearray()
+        return b
+
     # --- low level ---
     def _new_handle(self) -> int:
         h = self._n_handles
@@ -137,14 +149,27 @@ class JavaSerWriter:
         b = _encode_modified_utf8(s)
         self.out += struct.pack(">H", len(b)) + b
 
+    def _string_body(self, s: str) -> None:
+        """TC_STRING / TC_LONGSTRING per ObjectOutputStream.writeString:
+        the JVM switches to the 8-byte-length form when the modified-
+        UTF-8 payload exceeds 0xFFFF — a >=64 KiB document must not
+        crash the 2-byte length pack (and would not be byte-identical
+        otherwise)."""
+        b = _encode_modified_utf8(s)
+        if len(b) > 0xFFFF:
+            self.out.append(TC_LONGSTRING)
+            self.out += struct.pack(">Q", len(b)) + b
+        else:
+            self.out.append(TC_STRING)
+            self.out += struct.pack(">H", len(b)) + b
+
     def _string(self, s: str, interned: dict[str, int] | None = None) -> None:
-        """TC_STRING with optional value-keyed dedup (JVM-interned
+        """String object with optional value-keyed dedup (JVM-interned
         strings: field signatures)."""
         if interned is not None and s in interned:
             self._ref(interned[s])
             return
-        self.out.append(TC_STRING)
-        self._utf(s)
+        self._string_body(s)
         h = self._new_handle()
         if interned is not None:
             interned[s] = h
@@ -201,8 +226,7 @@ class JavaSerWriter:
         if shared and id(s) in self._shared_str:
             self._ref(self._shared_str[id(s)])
             return
-        self.out.append(TC_STRING)
-        self._utf(s)
+        self._string_body(s)
         h = self._new_handle()
         if shared:
             self._shared_str[id(s)] = h
@@ -310,10 +334,12 @@ def write_table(df, out_prefix: str, table: str | None = None, attr_sizes=None) 
     with open(out_prefix + ".md", "wb") as fh:
         fh.write(schema_bytes(df, table, attr_sizes))
     w = JavaSerWriter()
-    for row in df.toLocalIterator():
-        w.write_tuple([row[c] for c, _, _ in cols], types)
     with open(out_prefix + ".tbl", "wb") as fh:
-        fh.write(w.getvalue())
+        for i, row in enumerate(df.toLocalIterator()):
+            w.write_tuple([row[c] for c, _, _ in cols], types)
+            if i % 1000 == 999:  # bounded memory: flush, keep handle state
+                fh.write(w.drain())
+        fh.write(w.drain())
 
 
 def write_tbl_shards(df, out_dir: str, table: str, attr_sizes=None) -> int:
@@ -335,19 +361,34 @@ def write_tbl_shards(df, out_dir: str, table: str, attr_sizes=None) -> int:
         fh.write(schema_bytes(df, table, attr_sizes))
 
     def encode(batches):
+        import tempfile
+
         from pyspark import TaskContext
 
         w = JavaSerWriter()
         wrote = False
-        for pdf in batches:
-            for row in pdf[names].itertuples(index=False):
-                w.write_tuple(list(row), types)
-                wrote = True
-        if wrote:  # empty partitions produce no shard, not an empty stream
-            pid = TaskContext.get().partitionId()
-            path = os.path.join(out_dir, f"{table}-p{pid:05d}.tbl")
-            with open(path, "wb") as fh:
-                fh.write(w.getvalue())
+        # stage into a temp file, publish by rename only on success —
+        # bounded executor memory (drain per Arrow batch) and a failed
+        # or retried task never leaves a half-written shard behind
+        fh = tempfile.NamedTemporaryFile(
+            dir=out_dir, prefix=f".staging-{table}-", delete=False
+        )
+        try:
+            for pdf in batches:
+                for row in pdf[names].itertuples(index=False):
+                    w.write_tuple(list(row), types)
+                    wrote = True
+                fh.write(w.drain())
+            fh.close()
+            if wrote:  # empty partitions produce no shard, not an empty stream
+                pid = TaskContext.get().partitionId()
+                os.replace(fh.name, os.path.join(out_dir, f"{table}-p{pid:05d}.tbl"))
+            else:
+                os.unlink(fh.name)
+        except BaseException:
+            fh.close()
+            os.unlink(fh.name)
+            raise
         yield pd.DataFrame({"wrote": [1 if wrote else 0]})
 
     shards = df.mapInPandas(encode, schema="wrote int")

@@ -731,11 +731,12 @@ def stream_session_expiry_tws(spark, sf_dir):
 
 # Timer semantics mirrored exactly: Spark watermarks and timers are
 # MILLISECOND-granular (micros truncate), the final watermark is
-# max(ts) - 0s delay, and a user's last session fires iff its expiry
-# ms precedes that watermark ms ('<' vs '<=' verified indistinguishable
-# on this data at both sweep scales: no session expiry lands on the
-# exact watermark ms). Non-final sessions are closed by data rows by
-# construction.
+# max(ts) - 0s delay, and a timer fires when its expiry ms is <= the
+# watermark ms — INCLUSIVE, determined by experiment with a planted
+# expiry exactly on the watermark and pinned by
+# test_tws_timer_fires_at_exact_watermark (not inferable from this
+# data alone: no sweep-scale session lands on the boundary).
+# Non-final sessions are closed by data rows by construction.
 TWS_SESSION_SQL = f"""
 WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
 s AS (SELECT user_id, tus,
@@ -755,7 +756,7 @@ SELECT sess.user_id,
        CASE WHEN sid = last_sid THEN 'timer' ELSE 'data' END AS closed_by
 FROM sess JOIN l USING (user_id), mx
 WHERE sid <> last_sid
-   OR (end_us + {30 * 60 * 1_000_000}) // 1000 < max_us // 1000
+   OR (end_us + {30 * 60 * 1_000_000}) // 1000 <= max_us // 1000
 """
 
 

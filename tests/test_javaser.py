@@ -268,3 +268,38 @@ def test_modified_utf8_encode_roundtrips_nul_and_astral():
     for s in ["a\x00b", "\U0001F600", "plain ascii", "héllo wörld"]:
         assert javaser._decode_modified_utf8(_encode_modified_utf8(s)) == s
     assert _encode_modified_utf8("a\x00b") == bytes([0x61, 0xC0, 0x80, 0x62])
+
+
+def test_writer_long_string_roundtrip():
+    """>=64 KiB strings must switch to TC_LONGSTRING (8-byte length)
+    exactly as ObjectOutputStream.writeString does — a large document
+    must not crash the 2-byte writeUTF pack mid-export (r6 review)."""
+    from database_query_processor_spark.sources import javaser_writer as jw
+
+    big = "x" * 70_000 + "\x00tail"
+    w = jw.JavaSerWriter()
+    w.write_tuple([1, big], [javaser.ATTR_INT, javaser.ATTR_STRING])
+    rows = javaser.read_tuples(w.getvalue())
+    assert rows == [[1, big]]
+
+
+def test_writer_drain_streams_in_bounded_memory():
+    """drain() flushes buffered bytes while keeping handle state, so a
+    multi-chunk write concatenates to exactly the one-shot stream —
+    the mechanism write_table/write_tbl_shards use to bound memory."""
+    from database_query_processor_spark.sources import javaser_writer as jw
+
+    types = [javaser.ATTR_INT, javaser.ATTR_STRING]
+    rows = [[i % 5, f"r{i}"] for i in range(50)]  # small-int cache refs cross chunks
+    one = jw.JavaSerWriter()
+    for r in rows:
+        one.write_tuple(r, types)
+    chunked = jw.JavaSerWriter()
+    parts = []
+    for j, r in enumerate(rows):
+        chunked.write_tuple(r, types)
+        if j % 7 == 6:
+            parts.append(chunked.drain())
+    parts.append(chunked.drain())
+    assert b"".join(parts) == one.getvalue()
+    assert javaser.read_tuples(b"".join(parts)) == rows

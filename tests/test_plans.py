@@ -38,6 +38,9 @@ PANDAS_OK = {
     # non-splittable foreign format: whole-file decode is necessarily
     # Python (pure-Python Java-deserialization), Arrow-batched per file
     "src06_javaser_native_read",
+    # inverse path: per-partition Java-serialization ENCODE
+    # (javaser_writer via mapInPandas) + the decode read-back
+    "src18_javaser_write_roundtrip",
 }
 # Streaming specs execute during build (memory-sink result table);
 # their returned plan is the sink read, not the streaming topology.

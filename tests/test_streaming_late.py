@@ -418,3 +418,33 @@ def test_tws_timer_session_expiry_planted(spark, tmp_path):
         (1, us(0), us(10), 2, "data"),
         (1, us(120), us(120), 1, "timer"),
     ]
+
+
+def test_tws_timer_fires_at_exact_watermark(spark, tmp_path):
+    """Pins Spark's timer-expiry comparison as INCLUSIVE (fires when
+    expiry ms == watermark ms), which the s12 oracle mirrors with
+    '<='. Planted: user 1's session expiry lands EXACTLY on the final
+    watermark (user 2's lone max-ts event, whole-second timestamps so
+    the ms floor is exact) — the 'timer' row must be emitted."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_query_processor_spark.streaming.stateful import (
+        SESSION_GAP_US,
+        run_session_expiry_stream,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, 1, t0, "a", 0.0),
+        (2, 2, t0 + dt.timedelta(microseconds=SESSION_GAP_US), "a", 0.0),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "event_type", "value"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    pq.write_table(pa.Table.from_pandas(df), os.path.join(str(tmp_path), "events.parquet"))
+    got = run_session_expiry_stream(spark, str(tmp_path)).collect()
+    assert [(r.user_id, r.closed_by) for r in got] == [(1, "timer")]
