@@ -93,6 +93,10 @@ SHOWCASE = [
     ("x62_hard_negatives", "batch BM25 hard negatives: corpus term "
      "shuffle prefiltered to the query vocabulary (semi-join), "
      "stats broadcast, near-dup screen is a broadcast anti-join"),
+    ("x40_bm25_search", "BM25 top-k (bench headline since r6): the "
+     "(doc,term) shuffle is prefiltered to the query terms at the "
+     "scan, df/corpus stats ride a broadcast, TakeOrderedAndProject "
+     "caps the result driver-side"),
 ]
 
 
