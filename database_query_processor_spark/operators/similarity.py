@@ -447,6 +447,182 @@ def ann_ivf_topk(
     )
 
 
+PQ_M = 8   # subspaces (64-dim -> 8 subvectors of 8)
+PQ_K = 16  # centroids per subspace codebook
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Σ (double(a_i) − double(b_i))², sequential fold — the same
+    bit-stable shape as dot_d, mirrored by _sql_l2sq_sub."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _py_l2sq(a, b) -> float:
+    """Driver-side mirror of _l2sq (same fold order and IEEE ops)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        s += d * d
+    return s
+
+
+def ann_pq_rerank(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+    pool: int = 50,
+    m: int = PQ_M,
+    ncodes: int = PQ_K,
+) -> DataFrame:
+    """ANN via PRODUCT QUANTIZATION with asymmetric distance (ADC) —
+    the memory-bandwidth workhorse of production vector search
+    (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011): the vector is split into ``m`` subvectors,
+    each coarse-quantized against a per-subspace codebook of
+    ``ncodes`` centroids, so a D-dim float32 vector compresses to m
+    code bytes (here 64×4 B → 8 B, 32×). The query is NOT quantized:
+    per subspace, a table of query↔centroid distances is precomputed
+    once, and a corpus vector's approximate distance is m table
+    lookups summed — no float math per vector at scan time. The
+    approximate pool is then reranked with exact cosine.
+
+    Codebook: the subvectors of the ``ncodes`` smallest-id vectors
+    (the IVF ids-codebook trick) — deterministic and reproducible by
+    the DuckDB oracle in plain SQL; a k-means codebook is a centroid-
+    QUALITY knob (same algebra), like ann_ivf_topk's. RECALL SIZING:
+    with the coarse 16-centroid ids-codebooks, the pool must absorb
+    the quantization error — measured on the sf0.01 corpus: top-10
+    recall 5/10 at pool=50 but 10/10 at pool=150 or ncodes=32+
+    (gated in tests/test_recall.py); production tuning is
+    per-subspace k-means + pool ≈ 10-20×k.
+
+    Cross-engine exactness: encode is argmin of bit-identical
+    sequential L2² folds with code-index tie-break; ADC sums m
+    doubles in subspace order (first-element-init fold both sides);
+    ROUND 9 + id tie-break before the pool cut; rerank is the proven
+    cosine contract.
+
+    Scale shape (100 TB): ONE bounded collect (ncodes rows); encode
+    is a scan-side literal expression (m·ncodes small 8-dim folds —
+    far below the IVF literal-argmax cliff documented at
+    _ASSIGN_LITERAL_MAX); at scale the codes column is materialized
+    once and the ADC scan reads m bytes/vector instead of the float
+    corpus, with the distance tables riding the task closure."""
+    cents = _ids_codebook(df, id_col, vec_col, ncodes)
+    q_row = df.filter(F.col(id_col) == query_id).select(vec_col).first()
+    if q_row is None:
+        return df.select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("approx"),
+            F.lit(None).cast("double").alias("cos"),
+        ).limit(0)
+    qv = [float(x) for x in q_row[0]]
+    dim = len(qv)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    d = dim // m
+    # driver-side query↔centroid distance tables: T[s][j], O(m·ncodes·d)
+    tables = [
+        [
+            _py_l2sq(qv[s * d : (s + 1) * d], cv[s * d : (s + 1) * d])
+            for _, cv in cents
+        ]
+        for s in range(m)
+    ]
+    vec = F.col(vec_col)
+    # per-subspace code: argmin L2² over the literal codebook, ties to
+    # the smaller code index (struct sort is lexicographic)
+    approx_terms = []
+    for s in range(m):
+        sub = F.slice(vec, s * d + 1, d)
+        entries = F.array(
+            *[
+                F.struct(
+                    _l2sq(sub, _lit_vec(cv[s * d : (s + 1) * d])).alias("dist"),
+                    F.lit(j).alias("j"),
+                )
+                for j, (_, cv) in enumerate(cents)
+            ]
+        )
+        code = F.element_at(F.sort_array(entries), 1)["j"]
+        approx_terms.append(
+            F.element_at(F.array(*[F.lit(t) for t in tables[s]]), code + 1)
+        )
+    approx = approx_terms[0]
+    for t in approx_terms[1:]:  # left-assoc: first-element-init fold
+        approx = approx + t
+    cand = (
+        df.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), vec.alias("_v"), F.round(approx, 9).alias("approx"))
+        .orderBy(F.col("approx").asc(), F.col(id_col).asc())
+        .limit(pool)
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            "approx",
+            F.round(cosine(F.col("_v"), _lit_vec(qv)), 9).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _sql_l2sq_sub(a: str, b: str, s: str, d: int) -> str:
+    """DuckDB expression mirroring _l2sq over subspace ``s`` (0-based
+    column/expr) of ``a``/``b``: 1-based element indexing, same diff
+    product (NOT pow — integer-exponent pow may take a different
+    libm path), same sequential fold."""
+    diff = f"(cast({a}[{s}*{d}+i] as double) - cast({b}[{s}*{d}+i] as double))"
+    return f"list_sum([{diff} * {diff} for i in range(1, {d + 1})])"
+
+
+def sql_ann_pq_rerank(query_id: int, k: int = 10, pool: int = 50,
+                      m: int = PQ_M, ncodes: int = PQ_K, dim: int = _EMB_DIM) -> str:
+    """DuckDB oracle mirroring ann_pq_rerank: same ids-codebook, same
+    argmin encode (row_number with code tie-break), same per-subspace
+    distance tables, ordered ADC fold, ROUND 9 + id tie-break at both
+    cuts."""
+    d = dim // m
+    return f"""
+WITH cents AS (SELECT embedding AS cv,
+                      row_number() OVER (ORDER BY vec_id) - 1 AS j
+               FROM embeddings ORDER BY vec_id LIMIT {ncodes}),
+subs AS (SELECT unnest(range({m})) AS s),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id}),
+enc AS (
+  SELECT e.vec_id, subs.s, cents.j,
+         row_number() OVER (PARTITION BY e.vec_id, subs.s
+           ORDER BY {_sql_l2sq_sub('e.embedding', 'cents.cv', 'subs.s', d)} ASC,
+                    cents.j ASC) AS rn
+  FROM embeddings e CROSS JOIN subs CROSS JOIN cents),
+codes AS (SELECT vec_id, s, j AS code FROM enc WHERE rn = 1),
+qtab AS (SELECT subs.s, cents.j,
+                {_sql_l2sq_sub('q.qv', 'cents.cv', 'subs.s', d)} AS t
+         FROM q CROSS JOIN subs CROSS JOIN cents),
+approx AS (
+  SELECT codes.vec_id, ROUND(list_sum(list(qtab.t ORDER BY codes.s)), 9) AS approx
+  FROM codes JOIN qtab ON qtab.s = codes.s AND qtab.j = codes.code
+  GROUP BY codes.vec_id),
+cand AS (SELECT vec_id, approx FROM approx WHERE vec_id <> {query_id}
+         ORDER BY approx ASC, vec_id ASC LIMIT {pool})
+SELECT cand.vec_id, cand.approx,
+       ROUND({sql_cosine('e.embedding', 'qv')}, 9) AS cos
+FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id CROSS JOIN q
+ORDER BY cos DESC, cand.vec_id ASC LIMIT {k}
+"""
+
+
 DUP_BANDS = 3
 _BITS_PER_BAND = NUM_HYPERPLANES // DUP_BANDS
 

@@ -1425,6 +1425,19 @@ def ann_sq8(spark, sf_dir):
     )
 
 
+def ann_pq(spark, sf_dir):
+    """x66: product-quantization ANN with asymmetric distance (ADC) —
+    64-dim vectors compress to 8 code bytes against per-subspace
+    ids-codebooks; approximate distance is 8 table lookups summed
+    (zero float math per corpus vector at scan time), exact cosine
+    reranks the 50-pool to top-10 (similarity.py:ann_pq_rerank). The
+    third production ANN memory-layout beside SQ8 (x65) and IVF
+    (x13)."""
+    return SIM.ann_pq_rerank(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", query_id=0, k=10
+    )
+
+
 def _hybrid_oracle():
     from database_query_processor_spark.operators import retrieval as RT
 
@@ -1821,6 +1834,10 @@ SPECS = [
               "scalar-quantized ANN: int8-range integer-dot prefilter "
               "(global scale, floor quantization, exact int arithmetic) + "
               "exact cosine rerank of the constant pool"),
+    QuerySpec("x66_ann_pq_rerank", ann_pq, SIM.sql_ann_pq_rerank(0, k=10),
+              "product-quantization ANN (ADC): per-subspace ids-codebooks, "
+              "argmin encode, query distance tables, m-lookup approximate "
+              "distance + exact cosine rerank of the constant pool"),
     QuerySpec("x47_budget_select", corpus_budget_select, BUDGET_SELECT_SQL,
               "token-budget-capped quality-first corpus selection: "
               "range-partitioned two-pass prefix sum on the ranking key, "
