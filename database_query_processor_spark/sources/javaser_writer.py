@@ -321,18 +321,37 @@ def tuples_bytes(rows: Iterable[Sequence], types: Sequence[int]) -> bytes:
     return w.getvalue()
 
 
-def write_table(df, out_prefix: str, table: str | None = None, attr_sizes=None) -> None:
+def write_table(
+    df, out_prefix: str, table: str | None = None, attr_sizes=None, stats: bool = True
+) -> None:
     """Single-file export for the reference engine itself: `<prefix>.md`
-    + `<prefix>.tbl`, rows streamed through the driver partition by
-    partition (toLocalIterator — bounded driver memory; the consumer
-    is a single-node engine, so a single stream is the point)."""
+    + `<prefix>.tbl` (+ `<prefix>.stat` — the reference's optimizer
+    REQUIRES it: PlanCost.java:239-288 reads line 1 = tuple count,
+    line 2 = per-attribute distinct counts, and System.exits without
+    it, so an export omitting stats is unqueryable). Rows stream
+    through the driver partition by partition (toLocalIterator +
+    drain — bounded driver memory; the consumer is a single-node
+    engine, so a single stream is the point). Stats are one extra
+    distributed aggregate: exact count + HLL distinct per column
+    (costing stats — approximation is what every optimizer uses)."""
     import os
+
+    from pyspark.sql import functions as F
 
     table = table or os.path.basename(out_prefix)
     cols = _ref_cols(df, table, attr_sizes)
     types = [t for _, t, _ in cols]
     with open(out_prefix + ".md", "wb") as fh:
         fh.write(schema_bytes(df, table, attr_sizes))
+    if stats:
+        agg = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.approx_count_distinct(c).alias(f"_d{i}")
+              for i, (c, _, _) in enumerate(cols)],
+        ).first()
+        with open(out_prefix + ".stat", "w") as fh:
+            fh.write(f"{agg['_n']}\n")
+            fh.write(" ".join(str(agg[f"_d{i}"]) for i in range(len(cols))) + "\n")
     w = JavaSerWriter()
     with open(out_prefix + ".tbl", "wb") as fh:
         for i, row in enumerate(df.toLocalIterator()):
