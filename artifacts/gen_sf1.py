@@ -96,9 +96,25 @@ def main() -> None:
             span = shifted_cols.get((table, col))
             if span is not None:
                 rep = rep.withColumn(col, F.col(col) + F.col("_copy") * span)
-        rep.drop("_copy").write.mode("overwrite").parquet(
-            f"{DST}/{table}.parquet"
-        )
+        rep = rep.drop("_copy")
+        if table == "events":
+            # the streaming topologies read the sf dir with
+            # pathGlobFilter='events.parquet', which matches FILE names
+            # only — consolidate to a single file like the driver
+            # testdata layout (1M rows, trivially single-file)
+            import glob
+            import shutil
+
+            tmp_dir = f"{DST}/_events_tmp"
+            rep.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+            part = glob.glob(f"{tmp_dir}/part-*.parquet")[0]
+            dest = f"{DST}/events.parquet"
+            if os.path.isdir(dest):
+                shutil.rmtree(dest)
+            shutil.move(part, dest)
+            shutil.rmtree(tmp_dir)
+        else:
+            rep.write.mode("overwrite").parquet(f"{DST}/{table}.parquet")
         print(f"{table}: written")
 
     _write_documents(spark)

@@ -18,7 +18,11 @@ def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
+        if os.path.isdir(path):  # Spark-written dataset (e.g. the sf1 scratch)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/*.parquet')"
+            )
+        elif os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con.execute(sql).fetchdf()
 
