@@ -440,12 +440,16 @@ def sql_simhash60(nibs_expr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+SIMHASH_BUCKET_CAP = 50  # successors each doc pairs with inside one (band, bits) bucket
+
+
 def simhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
+    bucket_cap: int | None = SIMHASH_BUCKET_CAP,
 ) -> DataFrame:
     """SimHash near-dup pairs within hamming distance ≤ max_hamming.
     Pigeonhole banding: split the signature into 4 bands; any pair
@@ -453,7 +457,23 @@ def simhash_dedup_pairs(
     generation is an equi-join on (band, band_bits), not O(n²).
     ``hash_fn='xxhash64'`` → 64-bit/4×16 production form;
     ``hash_fn='md5'`` → 60-bit/4×15 oracle-parity form (DuckDB can
-    reproduce it exactly; see simhash60_md5)."""
+    reproduce it exactly; see simhash60_md5).
+
+    THE DEFAULT IS SCALE-SAFE: pairing runs through the shared
+    ``_bucket_pairs`` chain with ``bucket_cap`` successors per doc,
+    so a hot (band, bits) bucket — templated crawl text collapses
+    millions of near-boilerplate docs into the SAME 16-bit band value
+    — emits an O(N·cap) sorted chain instead of O(N²) pairs. The
+    recall trade is the same one lsh_candidate_pairs documents: a
+    true pair sitting > cap apart in doc_id order inside an over-cap
+    bucket (and within cap in no other band) is forgone; for the
+    hamming-0 floods that actually create hot buckets the chain still
+    verifies every adjacent pair at distance 0, so connected-
+    components dedup keeps the flood ONE component. ``bucket_cap=
+    None`` is the exact-hamming all-pairs form — the x03 oracle-
+    parity setting, test scales only (its candidate space is
+    quadratic in the hottest bucket: 1700+-doc buckets at sf0.1
+    already mean ~1.4M pairs from one bucket)."""
     if hash_fn == "md5":
         sig, band_bits, mask = simhash60_md5(text_col), 15, 0x7FFF
     else:
@@ -484,18 +504,23 @@ def simhash_dedup_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "sh", "bk.band", "bk.bits")
-    # Bucket-then-pair (see lsh_candidate_pairs): one shuffle on
-    # (band, bits), signatures computed once, pairs only within
-    # multi-occupant buckets.
-    buckets = (
-        banded.groupBy("band", "bits")
-        .agg(F.collect_list(F.struct("doc_id", "sh")).alias("docs"))
-        .filter(F.size("docs") >= 2)
-    )
+    # Bucket-then-pair through the SHARED helper (see
+    # lsh_candidate_pairs): one shuffle on (band, bits), signatures
+    # computed once, pairs only within multi-occupant buckets, and —
+    # with the default cap — at most `bucket_cap` successors per doc
+    # even in a hot bucket. The payload struct leads with doc_id, so
+    # _bucket_pairs' sort_array gives doc_id order and a.doc_id <
+    # b.doc_id by construction. Remaining skew cost is the O(bucket)
+    # (doc_id, sh) array in one aggregation buffer (16 bytes/doc —
+    # a 1M-doc bucket is 16 MB), the same bounded buffer the minhash
+    # path carries; the pair space itself is capped.
     pairs = (
-        buckets.select(F.explode("docs").alias("a"), F.col("docs"))
-        .select("a", F.explode("docs").alias("b"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        _bucket_pairs(
+            banded.select("doc_id", "sh", "band", "bits"),
+            ["band", "bits"],
+            F.struct("doc_id", "sh"),
+            bucket_cap,
+        )
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),

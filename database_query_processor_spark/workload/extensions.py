@@ -183,8 +183,14 @@ def dedup_minhash(spark, sf_dir):
 
 
 def dedup_simhash(spark, sf_dir):
+    # bucket_cap=None = the exact-hamming all-pairs form the quadratic
+    # DuckDB oracle computes — a TEST-SCALE setting (sf0.01/sf0.1
+    # buckets are small enough to pair exhaustively). The FUNCTION
+    # default is the capped scale-safe chain (SIMHASH_BUCKET_CAP);
+    # test_skew.py proves its candidate bound on a planted mega-bucket.
     return DD.simhash_dedup_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", hash_fn="md5"
+        _t(spark, sf_dir, "documents"), "doc_id", "text", hash_fn="md5",
+        bucket_cap=None,
     )
 
 
@@ -1901,7 +1907,8 @@ SPECS = [
               "LSH recall ≈1 at observed dup similarity)", bench=True),
     QuerySpec("x03_dedup_simhash", dedup_simhash, _simhash_oracle(),
               "SimHash near-dups, hamming ≤3 via pigeonhole banding (md5-60 "
-              "oracle-parity variant; simhash64/xxhash64 is the production form)"),
+              "oracle-parity variant, uncapped exact pairing at test scale; "
+              "production default = simhash64/xxhash64 with capped bucket chains)"),
     QuerySpec("x04_dedup_ngram_jaccard", dedup_ngram_jaccard, JACCARD_CAPPED_SQL,
               "word-3-gram Jaccard pairs via df-capped inverted-index join + exact verify"),
     QuerySpec("x05_dedup_embedding", dedup_embedding, COSINE_PAIRS_SQL,

@@ -205,3 +205,64 @@ def test_lsh_bucket_cap_is_all_pairs_below_cap(spark):
         ).collect()
     )
     assert got == [(a, b) for a in range(4) for b in range(a + 1, 4)]
+
+
+def test_simhash_bucket_cap_bounds_identical_doc_flood(spark):
+    """Planted simhash mega-bucket: N verbatim-identical docs share
+    ONE signature, so every band puts all N into the SAME
+    (band, bits) bucket — the templated-crawl hot-bucket shape.
+    The production DEFAULT must emit the O(N·cap) sorted chain, not
+    the O(N²) all-pairs set, while connected-components dedup still
+    collapses the flood into one cluster; bucket_cap=None (the x03
+    oracle-parity test-scale form) is exhaustive on the same input."""
+    from database_query_processor_spark.operators.corpus import (
+        connected_components,
+    )
+    from database_query_processor_spark.operators.dedup import (
+        simhash_dedup_pairs,
+    )
+
+    n, cap = 40, 5
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+    got = simhash_dedup_pairs(df, "doc_id", "text", bucket_cap=cap).collect()
+    # chain shape: doc i pairs with exactly min(cap, n-1-i) successors,
+    # all at hamming 0 — NOT the 780-pair quadratic set
+    assert len(got) == sum(min(cap, n - 1 - i) for i in range(n))  # 185 << 780
+    assert all(
+        r.id_a < r.id_b and r.id_b - r.id_a <= cap and r.hamming == 0 for r in got
+    )
+
+    # the capped chain keeps the flood ONE component
+    labels = connected_components(
+        df.select("doc_id"),
+        simhash_dedup_pairs(df, "doc_id", "text", bucket_cap=cap).select(
+            "id_a", "id_b"
+        ),
+    )
+    assert labels.select("cluster_id").distinct().count() == 1
+
+    # uncapped = exact all-pairs (the oracle-parity contract)
+    exact = simhash_dedup_pairs(df, "doc_id", "text", bucket_cap=None).collect()
+    assert len(exact) == n * (n - 1) // 2
+
+
+def test_simhash_default_cap_is_all_pairs_below_cap(spark):
+    """Real sf0.01-scale buckets sit far under SIMHASH_BUCKET_CAP, so
+    the scale-safe default is EXACTLY the all-pairs output there —
+    capping only engages on hot buckets."""
+    from database_query_processor_spark.operators.dedup import (
+        SIMHASH_BUCKET_CAP,
+        simhash_dedup_pairs,
+    )
+
+    rows = [(i, "pack my box with five dozen liquor jugs today") for i in range(4)]
+    rows.append((99, "completely different words entirely about engines"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert SIMHASH_BUCKET_CAP >= 4
+    got = sorted(
+        (r.id_a, r.id_b) for r in simhash_dedup_pairs(df, "doc_id", "text").collect()
+    )
+    assert got == [(a, b) for a in range(4) for b in range(a + 1, 4)]
