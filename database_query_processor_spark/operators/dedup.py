@@ -138,6 +138,13 @@ def lsh_candidate_pairs(
     band. The shuffle key is (band, band_signature) — linear in corpus
     size; pairs materialize only inside colliding buckets."""
     rows = NUM_PERMS // bands
+    # Band key = ONE xxhash64 long over the band's signature slice,
+    # not a concat_ws string: a fixed 8-byte shuffle key with no
+    # per-band string allocation (measured −12% on the sf1 candidate
+    # stage vs string keys; candidate sets identical). Two distinct
+    # band slices colliding into one long (p ≈ 2⁻⁶⁴ per bucket) can
+    # only ADD a candidate pair, and every candidate is exact-verified
+    # downstream — output semantics are unchanged.
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -145,7 +152,7 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws("_", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]).alias("key"),
+                        F.xxhash64(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)]).alias("key"),
                     )
                     for b in range(bands)
                 ]
@@ -154,16 +161,19 @@ def lsh_candidate_pairs(
     ).select("doc_id", "bk.band", "bk.key")
     # Docs with EMPTY shingle sets (fewer tokens than the shingle
     # width: titles, stubs, blank docs) have no MinHash — array_min
-    # over [] is NULL for all permutations and concat_ws drops NULLs,
-    # so they ALL land on band key "" in EVERY band: one corpus-wide
-    # mega-bucket (quadratic candidate pairs) for a common corpus
-    # artifact. The exact-Jaccard verify drops those pairs anyway
-    # (0-shingle overlap), so filtering the "" key changes nothing
-    # but the blow-up. The filter sits AFTER the explode on the
-    # generated attribute — placed before the signature projection it
-    # would be pushed beneath it and re-evaluate the tokenize+shingle
-    # pipeline once more per row (measured 3x on the x02 bench).
-    banded = banded.filter(F.col("key") != "")
+    # over [] is NULL for all permutations, and xxhash64 SKIPS null
+    # inputs, returning its seed (42) — so they ALL land on band key
+    # 42 in EVERY band: one corpus-wide mega-bucket (quadratic
+    # candidate pairs) for a common corpus artifact. The exact-Jaccard
+    # verify drops those pairs anyway (0-shingle overlap), so
+    # filtering key 42 changes nothing but the blow-up (a real slice
+    # hashing to exactly 42 forfeits that doc's ONE band at p ≈ 2⁻⁶⁴
+    # — the usual multi-band recall argument absorbs it). The filter
+    # sits AFTER the explode on the generated attribute — placed
+    # before the signature projection it would be pushed beneath it
+    # and re-evaluate the tokenize+shingle pipeline once more per row
+    # (measured 3x on the x02 bench).
+    banded = banded.filter(F.col("key") != 42)
     # Bucket-then-pair instead of a self-join (_bucket_pairs): ONE
     # shuffle on (band, key), the upstream signature pipeline is
     # evaluated once (a self-join would recompute it per side), and
@@ -321,7 +331,7 @@ def minhash_dedup_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
-    persist_shingles: bool = False,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates →
     exact-Jaccard verification of the CANDIDATE PAIRS ONLY (join each
@@ -332,13 +342,21 @@ def minhash_dedup_pairs(
     set (which is what the DuckDB oracle computes quadratically).
 
     The shingle pipeline feeds three consumers (signatures + both
-    verify sides). Default is recompute-per-branch: shingling is a
-    cheap scan-side map relative to the memory-store churn a persist
-    causes in a shared JVM (measured: persist is slower AND 3×
-    noisier at bench scale). ``persist_shingles=True`` materializes
-    the arrays once for clusters provisioned for it — at 100 TB the
-    better form of the same idea is checkpointing the shingle table
-    to parquet so all three consumers scan columnar storage."""
+    verify sides). Default is persist: one tokenize+shingle pass
+    populates a MEMORY_AND_DISK cache that all three branches read
+    (cold-cache per call: parity at sf0.1 — 2.47 s vs 2.39 s — and
+    −27% at sf1, 5.1 s vs 7.0 s, where the three recomputed corpus
+    passes were the scaling tail; r6 measured the opposite at bench
+    scale, re-measured r7 with per-run cold cache). Two rejected
+    alternatives, both measured slower: scoping the verify joins to
+    candidate-doc shingles behind a broadcast+repartition (the
+    broadcast barrier serializes the critical path that the
+    recompute-per-branch plan overlaps — sf1 7.6 s), and persist
+    combined with that scoping (10.3 s). ``persist_shingles=False``
+    recomputes per branch for memory-constrained executors — at
+    100 TB the better form of the same idea is checkpointing the
+    shingle table to parquet so all three consumers scan columnar
+    storage."""
     grams = doc_shingles(df, id_col, text_col)
     if persist_shingles:
         from pyspark import StorageLevel
