@@ -11,9 +11,11 @@ Verification-budget routing lives HERE (harness policy, not library
 behavior — the library's all_specs() is fixed declaration order):
 the driver verifies a bounded prefix of queries() per round, so we
 order (1) queries with no green driver row yet — highest-risk
-families first — then (2) previously-green queries rotated by round
-count, so every green query is periodically re-verified and a
-regression cannot hide forever behind its old green row.
+families first — then (2) previously-green queries by STALENESS of
+their latest driver row (oldest round first, diff-touched modules
+first within a round), so every green query cycles through the
+driver's independent re-check and a regression cannot hide forever
+behind its old green row.
 """
 
 from __future__ import annotations
@@ -30,13 +32,14 @@ from database_query_processor_spark.workload import QuerySpec, all_specs
 _RISK_PREFIXES = ("s0", "s1", "src", "d0", "d1", "t0", "t1", "x", "c", "p")
 
 
-def _latest_green(root=None) -> set[str]:
-    """Names whose LATEST driver CORRECTNESS row is hash-green.
-
-    Later rounds override earlier ones per query, so a query that
-    regresses in round N re-enters the front of the sweep in round
-    N+1 even if round N-1 had it green. ``root`` overrides the
-    artifact directory for tests; default is the repo root."""
+def _latest_rounds(root=None) -> dict[str, tuple[int, bool]]:
+    """Per query: (round of the LATEST driver CORRECTNESS row, whether
+    that row is hash-green). Later rounds override earlier ones per
+    query, so a query that regresses in round N re-enters the front
+    of the sweep in round N+1 even if round N-1 had it green — and
+    the round number doubles as the STALENESS key for re-verification
+    ordering. ``root`` overrides the artifact directory for tests;
+    default is the repo root."""
     import json
     import re
     from pathlib import Path
@@ -50,16 +53,21 @@ def _latest_green(root=None) -> set[str]:
         m = re.search(r"r(\d+)", p.stem)
         if m:
             reports.append((int(m.group(1)), p))
-    latest: dict[str, bool] = {}
-    for _, report in sorted(reports):
+    latest: dict[str, tuple[int, bool]] = {}
+    for rnd, report in sorted(reports):
         try:
             data = json.loads(report.read_text())
         except (OSError, ValueError):
             continue
         for name, row in data.items():
             if isinstance(row, dict):
-                latest[name] = bool(row.get("hash_match"))
-    return {name for name, ok in latest.items() if ok}
+                latest[name] = (rnd, bool(row.get("hash_match")))
+    return latest
+
+
+def _latest_green(root=None) -> set[str]:
+    """Names whose LATEST driver CORRECTNESS row is hash-green."""
+    return {name for name, (_, ok) in _latest_rounds(root).items() if ok}
 
 
 def _changed_since_last_verify() -> set[str]:
@@ -166,6 +174,9 @@ def _sweep_order() -> list[QuerySpec]:
 
 def _sweep_order_uncached() -> list[QuerySpec]:
     specs = all_specs()
+    rounds = _latest_rounds()
+    # the green SET comes from _latest_green (separately patchable in
+    # the plant-a-regression drill); rounds supplies staleness only
     green = _latest_green()
 
     def risk(s: QuerySpec) -> int:
@@ -181,27 +192,31 @@ def _sweep_order_uncached() -> list[QuerySpec]:
         return len(_RISK_PREFIXES)
 
     front = sorted((s for s in specs if s.name not in green), key=risk)
-    back = [s for s in specs if s.name in green]
-    # Diff-aware re-verification: greens whose implementing modules
-    # changed since the last driver verification point jump ahead of
-    # the rotation — a regression in a touched module gets re-checked
-    # THIS round instead of hiding for a full rotation cycle.
+    # Green block: STALENESS-ordered — the driver re-verifies first
+    # whatever IT confirmed least recently (the round number of each
+    # query's latest driver row). This self-rotates: the block the
+    # driver re-checks this round gets stamped with the current round
+    # and sinks to the back, so the next-stalest block fronts next
+    # round, and every green cycles through the driver's bounded
+    # budget with period ≈ total/budget rounds. Within one staleness
+    # round, greens whose implementing modules changed since the last
+    # verification point sort first (diff-aware tie-break: equal
+    # driver-staleness, higher regression risk) — but staleness
+    # dominates, because the builder's own pre-commit sweeps already
+    # re-verify the fresh diff while only the driver can refresh its
+    # own independent signal on a years-old green row. Declaration
+    # order breaks remaining ties (determinism).
     changed = _changed_since_last_verify()
-    touched = [s for s in back if _spec_touched(s, changed)]
-    untouched = [s for s in back if s not in touched]
-    # Rotate the untouched-green block by a round-dependent stride so
-    # successive rounds re-verify different greens with leftover budget.
-    import re
-    from pathlib import Path
-
-    n_rounds = len(
-        [p for p in Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")
-         if re.search(r"r(\d+)", p.stem)]
+    decl_index = {s.name: i for i, s in enumerate(specs)}
+    back = sorted(
+        (s for s in specs if s.name in green),
+        key=lambda s: (
+            rounds.get(s.name, (0, False))[0],
+            0 if _spec_touched(s, changed) else 1,
+            decl_index[s.name],
+        ),
     )
-    if untouched:
-        k = (17 * n_rounds) % len(untouched)
-        untouched = untouched[k:] + untouched[:k]
-    return front + touched + untouched
+    return front + back
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -62,53 +62,64 @@ def test_sweep_order_policy():
     assert order == list(e.queries())
 
 
-def test_sweep_order_diff_aware():
-    """Greens whose implementing modules changed since the last driver
-    verification point sort immediately after the unverified front —
-    a regression in a touched module is re-checked the same round
-    instead of hiding for a full rotation cycle. Verified by
-    monkeypatching the changed-file provider."""
+def test_sweep_order_staleness_first_diff_tiebreak():
+    """The green block is ordered by STALENESS of each query's latest
+    driver row (oldest round first) so the driver's bounded budget
+    refreshes its own oldest independent signal each round — the
+    ordering self-rotates as re-checked queries get stamped with the
+    current round. Within one staleness round, greens whose
+    implementing modules changed since the last verification point
+    sort first. Verified by monkeypatching the changed-file
+    provider."""
     import __spark_entry__ as e
 
-    green = e._latest_green()
+    rounds = e._latest_rounds()
+    green = {n for n, (_, ok) in rounds.items() if ok}
     if not green:  # fresh checkout: nothing to order
         return
-    # pick any green spec and pretend its module changed
     from database_query_processor_spark.workload import all_specs
 
     specs = {s.name: s for s in all_specs()}
-    target = sorted(green & set(specs))[0]
-    import sys
-
-    mod_file = sys.modules[specs[target].build.__module__].__file__
-    import pathlib
-
-    rel = str(pathlib.Path(mod_file).resolve().relative_to(
-        pathlib.Path(e.__file__).resolve().parent))
 
     orig = e._changed_since_last_verify
     try:
-        e._changed_since_last_verify = lambda: {rel}
-        e._ORDER_MEMO = None  # bust the per-process memo for the patch
-        order = [s.name for s in e._sweep_order()]
-        unverified = [n for n in order if n not in green]
-        # target (touched) must appear right after the unverified front,
-        # before any untouched green from a different module
-        touched_block = order[len(unverified):]
-        assert target in touched_block
-        t_idx = touched_block.index(target)
-        # everything before target in the green block is also touched
-        # (imports the changed module, per _spec_touched's own rule)
-        for n in touched_block[:t_idx]:
-            assert e._spec_touched(specs[n], {rel}), n
-    finally:
-        e._changed_since_last_verify = orig
-
-    # no-change case: with an empty diff the order equals pure rotation
-    try:
         e._changed_since_last_verify = lambda: set()
         e._ORDER_MEMO = None
+        order = [s.name for s in e._sweep_order()]
+        green_block = [n for n in order if n in green]
+        # staleness rounds are non-decreasing through the green block
+        rs = [rounds[n][0] for n in green_block]
+        assert rs == sorted(rs)
+        # the stalest green driver round fronts the green block
+        assert rs[0] == min(rounds[n][0] for n in green)
+    finally:
+        e._changed_since_last_verify = orig
+        e._ORDER_MEMO = None
+
+    # diff-aware tie-break: pretend the module of the LAST green in
+    # the stalest round changed — it must jump to the head of its own
+    # staleness cohort, but NOT ahead of any staler cohort
+    oldest = min(rounds[n][0] for n in green)
+    cohort = [n for n in green_block if rounds[n][0] == oldest]
+    target = cohort[-1]
+    import pathlib
+    import sys
+
+    rel = str(pathlib.Path(
+        sys.modules[specs[target].build.__module__].__file__
+    ).resolve().relative_to(pathlib.Path(e.__file__).resolve().parent))
+    try:
+        e._changed_since_last_verify = lambda: {rel}
+        e._ORDER_MEMO = None
         order2 = [s.name for s in e._sweep_order()]
+        gb2 = [n for n in order2 if n in green]
+        # staleness still dominates
+        rs2 = [rounds[n][0] for n in gb2]
+        assert rs2 == sorted(rs2)
+        cohort2 = [n for n in gb2 if rounds[n][0] == oldest]
+        # within the cohort every touched name precedes every untouched
+        flags = [e._spec_touched(specs[n], {rel}) for n in cohort2]
+        assert target in cohort2 and flags == sorted(flags, reverse=True), cohort2
         assert set(order2) == set(order)
     finally:
         e._changed_since_last_verify = orig
