@@ -20,11 +20,18 @@ import time
 
 from database_query_processor_spark.session import get_spark
 from database_query_processor_spark.workload import all_specs
-from tests.oracle import compare, duckdb_run
+from tests.oracle import compare, duckdb_run, hashed_compare
 
 
 def main() -> int:
     sf_dir = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.01")
+    # Comma-separated name prefixes compared via the in-engine
+    # order-insensitive hash (tests/oracle.hashed_compare) instead of
+    # pandas materialization — for queries whose RESULT is too large
+    # to collect at the sweep scale (d06/d07 6M-row SELECT-* at sf1).
+    # Reported as MATCH-HASHED so the weaker float contract (6 dp
+    # canonicalization vs bit-equal) stays visible in artifacts.
+    hashed = [p for p in os.environ.get("SWEEP_HASHED", "").split(",") if p]
     prefixes = sys.argv[1:]
     specs = all_specs()
     if prefixes:
@@ -46,7 +53,11 @@ def main() -> int:
                 print(f"{time.time() - t0:7.2f}s {spec.name} ROWS-ONLY ({rows} rows)")
                 n_rows += 1
                 continue
-            probs = compare(df, duckdb_run(spec.oracle, sf_dir))
+            use_hashed = any(spec.name.startswith(p) for p in hashed)
+            if use_hashed:
+                probs = hashed_compare(df, spec.oracle, sf_dir)
+            else:
+                probs = compare(df, duckdb_run(spec.oracle, sf_dir))
         except Exception as exc:  # noqa: BLE001 - harness reports, never dies
             print(f"{time.time() - t0:7.2f}s {spec.name} ERROR {type(exc).__name__}: {exc}")
             n_bad += 1
@@ -55,7 +66,8 @@ def main() -> int:
             print(f"{time.time() - t0:7.2f}s {spec.name} MISMATCH: {'; '.join(probs)}")
             n_bad += 1
         else:
-            print(f"{time.time() - t0:7.2f}s {spec.name} MATCH")
+            tag = "MATCH-HASHED" if use_hashed else "MATCH"
+            print(f"{time.time() - t0:7.2f}s {spec.name} {tag}")
             n_match += 1
     print(f"# {n_match} MATCH, {n_rows} rows-only, {n_bad} bad, of {len(specs)}")
     return 1 if n_bad else 0

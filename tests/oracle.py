@@ -95,3 +95,122 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
                 i = bad.idxmax()
                 probs.append(f"col {c}: {int(bad.sum())} diffs, first@{i}: {av[i]!r} vs {bv[i]!r}")
     return probs
+
+
+# --- streaming (in-engine) compare for results too large for pandas ---
+
+_SEP = "\x1f"  # unit separator between canonicalized columns
+_NULLS = "\x02N"  # NULL sentinel (concat_ws SKIPS null args in BOTH engines)
+
+
+def _spark_canon(col, dtype):
+    """Canonical string for one Spark column, by type. The per-type
+    rules are mirrored EXACTLY by _duck_canon so both engines hash
+    identical row strings:
+
+    - integers / strings / dates: plain string cast (identical text).
+    - doubles/floats/decimals: ROUND(x, 6) -> DECIMAL(28,6) -> string,
+      both engines. 6 dp is EXACT for the relational family (the
+      exact-decimal contract makes its float outputs 2-dp money), and
+      cutting at 6 dp stays inside the ~16 reliable significant
+      digits, where Spark's shortest-repr double->decimal conversion
+      and DuckDB's binary-expansion conversion can diverge.
+    - timestamps: epoch micros (cross-engine text formats differ).
+    - booleans: int cast (text forms differ in case conventions).
+    - binary: lowercase hex.
+    Arrays/structs/maps are unsupported: those queries are small
+    aggregates — keep them on the bit-exact pandas path."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
+        return F.round(col.cast("double"), 6).cast("decimal(28,6)").cast("string")
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(col.cast("timestamp")).cast("string")
+    if isinstance(dtype, T.BooleanType):
+        return col.cast("int").cast("string")
+    if isinstance(dtype, T.BinaryType):
+        return F.lower(F.hex(col))
+    if isinstance(dtype, (T.ArrayType, T.StructType, T.MapType)):
+        raise ValueError(f"hashed compare: unsupported Spark type {dtype}")
+    return col.cast("string")
+
+
+def _duck_canon(name, type_name):
+    """DuckDB expression mirroring _spark_canon for column ``name`` of
+    DESCRIBE type ``type_name``."""
+    t = type_name.upper()
+    q = f'"{name}"'
+    if t in ("DOUBLE", "FLOAT", "REAL") or t.startswith("DECIMAL"):
+        return f"CAST(CAST(ROUND(CAST({q} AS DOUBLE), 6) AS DECIMAL(28,6)) AS VARCHAR)"
+    if t.startswith("TIMESTAMP"):
+        return f"CAST(epoch_us({q}) AS VARCHAR)"
+    if t == "BOOLEAN":
+        return f"CAST(CAST({q} AS INT) AS VARCHAR)"
+    if t == "BLOB":
+        return f"lower(hex({q}))"
+    if t.startswith("STRUCT") or t.endswith("[]") or t.startswith("MAP"):
+        raise ValueError(f"hashed compare: unsupported DuckDB type {type_name}")
+    return f"CAST({q} AS VARCHAR)"
+
+
+def hashed_compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
+    """Order-insensitive compare WITHOUT materializing rows: each
+    engine aggregates (COUNT(*), SUM(md5-prefix row hash)) over the
+    canonicalized row strings internally, and only the two scalars
+    cross the harness boundary. SUM of 60-bit row hashes is exact in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) and commutative, so the
+    comparison is row-order-free — the same row-count + value-hash
+    strength as the driver's check, for results (d06/d07's 6M-row
+    SELECT-* stars at sf1) where the pandas path OOMs."""
+    from pyspark.sql import functions as F
+
+    import duckdb
+
+    cols = sorted(spark_df.columns)
+
+    # --- Spark side ---
+    by_name = {f.name: f.dataType for f in spark_df.schema.fields}
+    parts = [
+        F.coalesce(_spark_canon(F.col(c), by_name[c]), F.lit(_NULLS)) for c in cols
+    ]
+    row = F.concat_ws(_SEP, *parts)
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("decimal(38,0)")
+    n_s, sum_s = spark_df.select(h.alias("h")).agg(
+        F.count(F.lit(1)), F.sum("h")
+    ).first()
+
+    # --- DuckDB side ---
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/*.parquet')"
+            )
+        elif os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    desc = con.execute(f"DESCRIBE SELECT * FROM ({oracle_sql}) q").fetchall()
+    o_types = {r[0]: r[1] for r in desc}
+    if sorted(o_types) != cols:
+        return [f"columns: spark={cols} oracle={sorted(o_types)}"]
+    o_parts = [
+        f"COALESCE({_duck_canon(c, o_types[c])}, '{_NULLS}')" for c in cols
+    ]
+    o_row = "concat_ws('" + _SEP + "', " + ", ".join(o_parts) + ")"
+    nib = "+".join(
+        f"((strpos('0123456789abcdef', substr(md5({o_row}), {i + 1}, 1)) - 1)::BIGINT << {4 * (14 - i)})"
+        for i in range(15)
+    )
+    n_o, sum_o = con.execute(
+        f"SELECT COUNT(*), SUM({nib}) FROM ({oracle_sql}) q"
+    ).fetchone()
+
+    probs: list[str] = []
+    if int(n_s) != int(n_o):
+        probs.append(f"row count: spark={n_s} oracle={n_o}")
+    sv = None if sum_s is None else int(sum_s)
+    ov = None if sum_o is None else int(sum_o)
+    if sv != ov:
+        probs.append(f"value hash: spark={sv} oracle={ov}")
+    return probs
