@@ -344,6 +344,14 @@ def write_table(
     with open(out_prefix + ".md", "wb") as fh:
         fh.write(schema_bytes(df, table, attr_sizes))
     if stats:
+        # Distinct counts via HLL (approx_count_distinct, ~2% rel.
+        # error): the .stat file feeds the reference optimizer's
+        # SELECTIVITY math only (PlanCost.java reads it to cost
+        # plans), where approximate cardinalities are the norm — the
+        # estimate never affects query RESULTS. HLL of a non-empty
+        # column is >= 1, so a degenerate 0 estimate can only occur
+        # for all-NULL columns (unreachable for reference-shaped
+        # tables, whose schema has no nullable attributes).
         agg = df.agg(
             F.count(F.lit(1)).alias("_n"),
             *[F.approx_count_distinct(c).alias(f"_d{i}")
@@ -368,11 +376,21 @@ def write_tbl_shards(df, out_dir: str, table: str, attr_sizes=None) -> int:
     work is the .md and the count). Read back in parallel with
     javaser.read_tbl_dataset(md, '<out_dir>/<table>-p*.tbl'). Returns
     the number of shards written."""
+    import glob
     import os
 
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
+    # A re-export into the same directory with FEWER partitions would
+    # otherwise leave stale <table>-pNNNNN.tbl shards from the prior
+    # run, and the read-back glob would silently mix them into the
+    # dataset — clear this table's shards (and dead staging files)
+    # before writing, like a mode("overwrite") parquet write does.
+    for stale in glob.glob(os.path.join(out_dir, f"{table}-p*.tbl")) + glob.glob(
+        os.path.join(out_dir, f".staging-{table}-*")
+    ):
+        os.unlink(stale)
     cols = _ref_cols(df, table, attr_sizes)
     types = [t for _, t, _ in cols]
     names = [c for c, _, _ in cols]

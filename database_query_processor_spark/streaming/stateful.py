@@ -354,8 +354,12 @@ class _SessionExpiryProcessor(_StatefulProcessor):
             else:
                 last, n = max(last, t), n + 1
         self._sess.update((start, last, n))
-        # exactly one armed timer per user: re-arm at the new expiry
-        for old in self._handle.listTimers():
+        # exactly one armed timer per user: re-arm at the new expiry.
+        # Materialize listTimers() BEFORE deleting: the PySpark timer
+        # iterator is backed by state-server round-trips, and mutating
+        # timer state while that iterator is live is undefined (works
+        # today only because a single timer is armed).
+        for old in list(self._handle.listTimers()):
             self._handle.deleteTimer(old)
         self._handle.registerTimer((last + SESSION_GAP_US) // 1000)
         if closed:
@@ -416,7 +420,25 @@ def run_session_expiry_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive session_expiry_tws over the finite events parquet
     (RocksDB state store, update-mode memory sink). Every session is
     emitted exactly once (a session closes once under any batching),
-    so no reduction is needed — only a typed projection."""
+    so no reduction is needed — only a typed projection.
+
+    SINGLE-BATCH CONTRACT: the s12 oracle (TWS_SESSION_SQL) assumes
+    every non-final session is closed by a DATA row — true exactly
+    when the finite events table replays as ONE microbatch, so no
+    intermediate watermark can fire a timer mid-history. One parquet
+    FILE -> one file-source batch guarantees it; a multi-file events
+    dir (or a maxFilesPerTrigger split) could let a timer close a
+    non-final session and flip its closed_by. Assert the precondition
+    loudly instead of letting the oracle go quietly stale (gen_sf1
+    consolidates events to one file for the same reason)."""
+    import os
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    if not os.path.isfile(events_path):
+        raise ValueError(
+            "run_session_expiry_stream requires a SINGLE-FILE events.parquet "
+            f"(single-microbatch replay; the closed_by oracle depends on it): {events_path}"
+        )
     sink = _run_tws_topology(spark, sf_dir, session_expiry_tws, "session_expiry")
     return sink.select(
         "user_id",

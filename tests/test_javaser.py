@@ -257,6 +257,23 @@ def test_shard_write_parallel_readback(spark, tmp_path):
     want = sorted(tuple(r) for r in df.collect())
     assert got == want
 
+    # Re-export into the SAME dir with fewer partitions: stale
+    # p00002/p00003 shards from the 4-partition run must be cleared,
+    # or the read-back glob would silently mix them into the dataset.
+    df2 = df.filter(F.col("k") < 100).repartition(2)
+    n2 = jw.write_tbl_shards(df2, str(tmp_path), "ACC")
+    assert n2 == 2
+    import glob as _glob
+
+    assert len(_glob.glob(os.path.join(str(tmp_path), "ACC-p*.tbl"))) == 2
+    back2 = javaser.read_tbl_dataset(
+        spark, os.path.join(str(tmp_path), "ACC.md"),
+        os.path.join(str(tmp_path), "ACC-p*.tbl"),
+    )
+    assert sorted(tuple(r) for r in back2.collect()) == sorted(
+        tuple(r) for r in df2.collect()
+    )
+
 
 def test_modified_utf8_encode_roundtrips_nul_and_astral():
     """Encode side of the Java writeUTF format: NUL -> C0 80 and

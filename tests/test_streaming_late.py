@@ -448,3 +448,21 @@ def test_tws_timer_fires_at_exact_watermark(spark, tmp_path):
     pq.write_table(pa.Table.from_pandas(df), os.path.join(str(tmp_path), "events.parquet"))
     got = run_session_expiry_stream(spark, str(tmp_path)).collect()
     assert [(r.user_id, r.closed_by) for r in got] == [(1, "timer")]
+
+
+def test_session_expiry_requires_single_file_events(spark, tmp_path):
+    """The s12 closed_by oracle assumes single-microbatch replay (no
+    intermediate watermark can fire a timer mid-history); a DIRECTORY
+    events.parquet (multi-file) must be refused loudly instead of
+    quietly flipping closed_by values."""
+    import os
+
+    import pytest
+
+    from database_query_processor_spark.streaming.stateful import (
+        run_session_expiry_stream,
+    )
+
+    os.makedirs(tmp_path / "events.parquet")
+    with pytest.raises(ValueError, match="SINGLE-FILE"):
+        run_session_expiry_stream(spark, str(tmp_path))
