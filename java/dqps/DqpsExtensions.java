@@ -19,7 +19,7 @@ public class DqpsExtensions extends AbstractFunction1<SparkSessionExtensions, Bo
         ext.injectOptimizerRule(new AbstractFunction1<SparkSession, Rule<LogicalPlan>>() {
             @Override
             public Rule<LogicalPlan> apply(SparkSession session) {
-                return new CaseNormalizationRule();
+                return new TrimIdempotenceRule();
             }
         });
         return BoxedUnit.UNIT;
