@@ -798,11 +798,13 @@ def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"
 
 
-def sql_hyperplane_bucket(vec: str) -> str:
-    """DuckDB expression mirroring hyperplane_bucket. Float literals
-    use repr() round-tripping so both engines parse identical doubles."""
+def sql_hyperplane_bucket(vec: str, planes: list[list[float]] | None = None) -> str:
+    """DuckDB expression mirroring hyperplane_bucket (same optional
+    ``planes`` override — pass _hyperplanes(num=N) on both sides for
+    scale-sized bandings). Float literals use repr() round-tripping
+    so both engines parse identical doubles."""
     terms = []
-    for j, h in enumerate(HYPERPLANES):
+    for j, h in enumerate(HYPERPLANES if planes is None else planes):
         lit = "[" + ", ".join(repr(x) for x in h) + "]"
         terms.append(f"(case when {sql_dot(vec, lit)} > 0 then {1 << j} else 0 end)")
     return "(" + " + ".join(terms) + ")"

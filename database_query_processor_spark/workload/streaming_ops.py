@@ -881,7 +881,9 @@ SPECS = [
               "transformWithStateInPandas ValueState + EVENT-TIME TIMERS: "
               "gap sessions closed by data or by watermark-fired "
               "handleExpiredTimer (completes the Spark 4 typed-state "
-              "matrix begun with s10/s11)"),
+              "matrix begun with s10/s11); bench-gated r7 so streaming "
+              "throughput regressions can't hide behind correctness",
+              bench=True),
     QuerySpec("t14_ewma_smooth", ewma_smooth, EWMA_SQL,
               "EWMA smoothing: sequential recurrence as ONE hash aggregate "
               "+ JVM ordered fold, bit-identical to DuckDB list_reduce"),
