@@ -11,7 +11,7 @@ SemDeDup cells ≈ sqrt(n) = 316) — the knobs the 10x probe added.
 
 min of 2 after 1 warm for the fast ops; the two heaviest (x04/x60,
 whose candidate index is output-bound) use a single timed run,
-labeled as such. Writes artifacts/PROBE100X_r04.json. Run:
+labeled as such. Writes artifacts/PROBE100X_r07.json. Run:
   PYTHONPATH=/root/repo python -u artifacts/run_probe100x.py
 """
 
@@ -29,7 +29,7 @@ HEAVY_OPS = ["x04_dedup_ngram_jaccard", "x60_dedup_containment"]
 SF01 = "/root/testdata/sf0.1"
 P10 = os.path.join(os.path.dirname(__file__), "probe10x")
 P100 = os.path.join(os.path.dirname(__file__), "probe100x")
-OUT = os.path.join(os.path.dirname(__file__), "PROBE100X_r04.json")
+OUT = os.path.join(os.path.dirname(__file__), "PROBE100X_r07.json")
 
 
 def timed(spark, build, runs=2, warm=True):
@@ -99,7 +99,7 @@ def main() -> None:
     # NOTE: requires the vectorized _assign_cells path (similarity.py)
     # — the literal-argmax assignment at cells=316 stalls planning/
     # codegen indefinitely (the cliff this probe found; recorded in
-    # SCALE.md and PROBE100X_r04.json's note field)
+    # SCALE.md and PROBE100X_r07.json's note field)
     x49 = {
         "20k_cells141": prior["x49_semantic_dedup"]["20k_cells141"],
         "100k_cells316_vectorized_assign": timed(

@@ -5,7 +5,7 @@ artifacts/gen_probe10x.py), and demonstrate the embedding-LSH /
 SemDeDup resolution knobs restoring near-linear growth where the
 demo-sized defaults go quadratic. min of 2 after 1 warm (Spark side
 only — this is a perf probe, correctness is the sweeps' job).
-Writes artifacts/PROBE10X_r04.json. Run:
+Writes artifacts/PROBE10X_r07.json. Run:
   PYTHONPATH=/root/repo python -u artifacts/run_probe10x.py
 """
 
@@ -24,7 +24,7 @@ DOC_OPS = [
 ]
 SF01 = "/root/testdata/sf0.1"
 PROBE = os.path.join(os.path.dirname(__file__), "probe10x")
-OUT = os.path.join(os.path.dirname(__file__), "PROBE10X_r04.json")
+OUT = os.path.join(os.path.dirname(__file__), "PROBE10X_r07.json")
 
 
 def timed(spark, build, runs=2):

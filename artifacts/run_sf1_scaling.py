@@ -28,7 +28,7 @@ SCALES = [
     ("0.1", "/root/testdata/sf0.1", 3),
     ("1", "/tmp/dqps_sf1", 3),
 ]
-FAMILIES = ("c", "p", "t", "x")  # r6: x-family joins the probe (sf1 documents/embeddings now synthesized)
+FAMILIES = ("c", "p", "t", "x", "s")  # r6: x-family joins; r7: s12 (first bench-gated streaming query)
 
 
 def main() -> None:
@@ -66,7 +66,7 @@ def main() -> None:
         out[spec.name] = row
         print(spec.name, row)
     dest = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "SCALING_SF1_r06.json")
+                        "SCALING_SF1_r07.json")
     with open(dest, "w") as fh:
         json.dump(out, fh, indent=1)
     print("written", dest)
