@@ -32,8 +32,18 @@ def main() -> int:
     # Reported as MATCH-HASHED so the weaker float contract (6 dp
     # canonicalization vs bit-equal) stays visible in artifacts.
     hashed = [p for p in os.environ.get("SWEEP_HASHED", "").split(",") if p]
+    # Comma-separated name prefixes to SKIP (reported, not silent) —
+    # for oracles that are infeasible at the sweep scale and verified
+    # by a dedicated script instead (e.g. x62 at sf1, whose quadratic
+    # DuckDB oracle OOMs: run_sf1_x_specials.py holds its sampled form).
+    excluded = [p for p in os.environ.get("SWEEP_EXCLUDE", "").split(",") if p]
     prefixes = sys.argv[1:]
     specs = all_specs()
+    if excluded:
+        skipped = [s.name for s in specs if any(s.name.startswith(p) for p in excluded)]
+        for name in skipped:
+            print(f"# SKIP {name} (SWEEP_EXCLUDE)")
+        specs = [s for s in specs if s.name not in set(skipped)]
     if prefixes:
         specs = [s for s in specs if any(s.name.startswith(p) for p in prefixes)]
         if not specs:

@@ -16,6 +16,13 @@ from database_query_processor_spark.catalog import TABLES
 
 def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
+    # big-scale sweeps set DUCKDB_MEMLIMIT (e.g. '48GB') so a
+    # quadratic oracle fails as a DuckDB exception (an ERROR row)
+    # instead of driving the host into the OOM killer; unset, DuckDB's
+    # default (80% of RAM) applies — the driver-mirror behavior
+    lim = os.environ.get("DUCKDB_MEMLIMIT")
+    if lim:
+        con.execute(f"SET memory_limit='{lim}'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(path):  # Spark-written dataset (e.g. the sf1 scratch)
