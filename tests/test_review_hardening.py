@@ -269,8 +269,9 @@ def test_asof_null_right_val_stays_paired_with_its_ts(spark):
 
 def test_minhash_short_docs_do_not_mega_bucket(spark):
     """Docs below the shingle width have no MinHash; they must be
-    excluded from banding (all-NULL signatures collapsed to band key
-    '' and put every short doc in one corpus-wide bucket) without
+    excluded from banding (all-NULL signatures collapse to one band
+    key — xxhash64 skips null inputs and returns its seed, 42 — and
+    would put every short doc in one corpus-wide bucket) without
     changing the verified pair output."""
     from database_query_processor_spark.operators.dedup import (
         lsh_candidate_pairs,
