@@ -527,3 +527,20 @@ def test_salted_join_plan_shape(spark):
     # one aggregate shuffle only — salting must not add exchanges
     # (the replicated dim side still broadcasts at test scale)
     assert count_exchanges(df) <= 1, plan
+
+
+def test_x02_minhash_plan_shape(spark):
+    """r7 x02 shape: the tokenize+shingle pipeline materializes ONCE
+    (InMemoryRelation feeds the signature branch and both verify
+    sides — previously 3 full corpus passes, the sf1 scaling tail),
+    LSH band keys are single xxhash64 longs (no per-band string
+    concat in the plan), the empty-shingle mega-bucket guard filters
+    the null-input seed key (42), in-bucket pairing is capped via
+    slice, and nothing drops to Python."""
+    df = _specs()["x02_dedup_minhash"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "InMemoryRelation" in plan, plan[:800]
+    assert "concat_ws" not in plan.split("InMemoryRelation")[0], plan[:800]
+    assert "= 42" in plan, plan[:800]
+    assert "slice(items" in plan, plan[:800]
+    assert "pythonUDF" not in plan.lower(), plan[:800]
