@@ -53,8 +53,25 @@ def main() -> None:
         s for s in all_specs()
         if any(s.name.startswith(p + "_") for p in NEW_PREFIXES)
     ]
+    # NEWOPS_SKIP: comma list of names to skip with a note (e.g. x49 —
+    # its demo cells=8 sizing makes the sf1 Spark side a ~10-minute
+    # interpreted-cosine pair join; its sf1 wall is recorded by the
+    # correctness sweep instead, and the production √n-cells sizing is
+    # verified by run_sf1_x_specials.py). NEWOPS_MERGE: start from an
+    # existing output file and only run missing names (resume).
+    skip = {n for n in os.environ.get("NEWOPS_SKIP", "").split(",") if n}
     out: dict[str, dict] = {}
+    if os.environ.get("NEWOPS_MERGE") and os.path.exists(OUT):
+        with open(OUT) as fh:
+            out = json.load(fh)
     for spec in specs:
+        if spec.name in out:
+            continue
+        if spec.name in skip:
+            out[spec.name] = {"skipped": os.environ.get(
+                "NEWOPS_SKIP_NOTE", "see sweep artifact for sf1 wall")}
+            print(spec.name, out[spec.name], flush=True)
+            continue
         row: dict[str, float | str] = {}
         try:
             row["sf0.1"] = timed(spark, lambda: spec.build(spark, SF01))

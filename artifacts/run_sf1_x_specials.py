@@ -93,6 +93,21 @@ WHERE {SIM.sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.5
     df = SIM.embedding_dup_pairs(emb, "vec_id", "embedding", num_planes=NP, bands=BANDS)
     ok &= check("x05_dedup_embedding[30planes@sf1]", df, oracle, SF1)
 
+    # --- x49 SemDeDup at the √n cell sizing (production knob) ---
+    # cells=8 is the oracle-parity demo sizing; its cell size grows
+    # linearly with the corpus, so the within-cell pair join is the
+    # slowest sf1 query (~17 min in the sweep — still MATCH). The
+    # docstring's production rule is cells ≈ √n: verify THAT sizing
+    # cross-engine at sf1 too (ids codebook stays deterministic, the
+    # oracle just changes its LIMIT).
+    from database_query_processor_spark.workload.extensions import SEMDEDUP_SQL
+
+    cells = 141  # ≈ √20k
+    sem_oracle = SEMDEDUP_SQL.replace(f"LIMIT {SIM.SEM_CELLS}", f"LIMIT {cells}")
+    assert f"LIMIT {cells}" in sem_oracle
+    df = SIM.semantic_dedup(emb, "vec_id", "embedding", cells=cells)
+    ok &= check(f"x49_dedup_semantic[cells{cells}@sf1]", df, sem_oracle, SF1)
+
     with open(OUT, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("wrote", OUT, flush=True)
