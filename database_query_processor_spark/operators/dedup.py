@@ -190,11 +190,11 @@ def lsh_candidate_pairs(
     # band) is forgone to bound the blow-up, while downstream
     # connected-components dedup still sees one component for
     # identical-doc floods (adjacent pairs verify at jaccard 1.0).
-    # Remaining skew cost is the O(bucket) id array in one aggregation
-    # buffer (8 bytes/doc — 1M-doc bucket = 8 MB); a window-lead
-    # pairing avoids even that but costs ~35% on the whole query at
-    # bench scale because the sort + per-row lead frames run on ALL
-    # banded rows, singletons included (measured both forms at sf0.1).
+    # Skew cost: the capped path holds each bucket in WindowExec's
+    # SPILLABLE row buffer (never a single collect_list array row —
+    # r7's residual 2 GB-row risk for a 100M-doc degenerate bucket,
+    # closed r8 via the bounded-frame window; singleton buckets emit
+    # empty frames, so no prefilter pass is needed).
     return (
         _bucket_pairs(banded, ["band", "key"], F.col("doc_id"), bucket_cap)
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
@@ -206,24 +206,67 @@ def _bucket_pairs(
     banded: DataFrame, key_cols: list[str], payload, cap: int | None
 ) -> DataFrame:
     """Shared bucket-then-pair shape for every banding scheme (minhash
-    LSH, simhash pigeonhole): group the banded rows, sort each bucket
-    by payload (doc_id, or a struct whose FIRST field is doc_id — so
-    the order is doc_id order either way), and pair each item with its
-    successors — ALL of them when ``cap`` is None (exact all-pairs,
-    the oracle-parity setting), or at most ``cap`` (the skew-bounded
+    LSH, simhash pigeonhole): sort each (key_cols) bucket by payload
+    (doc_id, or a struct whose FIRST field is doc_id — so the order is
+    doc_id order either way) and pair each item with its successors —
+    ALL of them when ``cap`` is None (exact all-pairs, the
+    oracle-parity setting), or at most ``cap`` (the skew-bounded
     setting: a mega-bucket of N items emits an O(N·cap) sorted chain
     instead of O(N²) pairs). a.doc_id < b.doc_id by construction.
     Returns (a, b) payload pairs; callers project and ``distinct()``
-    across bands themselves."""
-    buckets = (
-        banded.groupBy(*key_cols)
-        .agg(F.sort_array(F.collect_list(payload)).alias("items"))
-        .filter(F.size("items") >= 2)
+    across bands themselves.
+
+    The two paths materialize buckets differently, and the difference
+    IS the scale story:
+
+    * ``cap=None`` groups via sort_array(collect_list) — the whole
+      bucket becomes ONE aggregation-buffer array row, fine at test
+      scales (real minhash buckets measured max 4 docs at sf0.1/sf1)
+      but a 100M-doc degenerate bucket would blow Spark's 2 GB
+      single-row limit. That is acceptable ONLY because this path is
+      the oracle-parity / recall-testing setting; production callers
+      get a cap by default.
+    * capped (the DEFAULT) never builds a bucket row at all: ONE
+      window function — collect_list over the bounded row frame
+      (1 FOLLOWING, cap FOLLOWING) — gives each row its next ≤cap
+      successors in bucket order, the EXACT same sorted-chain pair
+      set as slicing a collected array, with per-ROW state bounded by
+      ``cap`` and the bucket itself held in WindowExec's spillable
+      row buffer (disk-backed beyond the in-memory threshold), never
+      a single row. A 100M-doc flood bucket costs one sorted spill,
+      not a 2 GB array. Singleton buckets (the vast majority of
+      banded rows) emit an empty frame that explodes to nothing — no
+      pre-filter pass needed. Measured at sf0.1 on the x02 pairing
+      stage (80k banded rows, min-of-5 on a cached input): bounded
+      frame 0.50 s vs collect_list+slice 0.72 s vs 50-lead-expression
+      window 1.09 s vs rank+shard self-join 3.4 s whole-query (the
+      self-join re-evaluates the signature pipeline per side — the
+      reason bucket-then-pair replaced self-joins in the first
+      place). Determinism: payloads are unique within a bucket (one
+      row per doc per band), so the orderBy has no ties and the
+      chain is reproducible across runs and partitionings."""
+    if cap is None:
+        buckets = (
+            banded.groupBy(*key_cols)
+            .agg(F.sort_array(F.collect_list(payload)).alias("items"))
+            .filter(F.size("items") >= 2)
+        )
+        return buckets.select(
+            F.posexplode("items").alias("_pos", "a"), F.col("items")
+        ).select(
+            "a",
+            F.explode(F.slice("items", F.col("_pos") + 2, F.size("items"))).alias("b"),
+        )
+
+    from pyspark.sql.window import Window
+
+    w_s = Window.partitionBy(*key_cols).orderBy("_p").rowsBetween(1, cap)
+    # the successor array materializes in its own projection — window
+    # expressions are not allowed inside a generator (explode)
+    chained = banded.select(*key_cols, payload.alias("_p")).select(
+        F.col("_p").alias("a"), F.collect_list("_p").over(w_s).alias("_succ")
     )
-    length = F.size("items") if cap is None else F.lit(cap)
-    return buckets.select(
-        F.posexplode("items").alias("_pos", "a"), F.col("items")
-    ).select("a", F.explode(F.slice("items", F.col("_pos") + 2, length)).alias("b"))
+    return chained.select("a", F.explode("_succ").alias("b"))
 
 
 NGRAM_DF_CAP = 100  # stop-shingle cutoff: shingles in more docs than this are excluded from the Jaccard universe
@@ -356,7 +399,14 @@ def minhash_dedup_pairs(
     recomputes per branch for memory-constrained executors — at
     100 TB the better form of the same idea is checkpointing the
     shingle table to parquet so all three consumers scan columnar
-    storage."""
+    storage.
+
+    CACHE LIFECYCLE: the persist is lazy and this function returns an
+    unmaterialized DataFrame, so nothing here can unpersist it —
+    Spark frees the blocks at context shutdown, and long-lived
+    sessions issuing MANY dedup queries should call
+    ``spark.catalog.clearCache()`` between queries (bench.py and
+    sweep.py both do); disk-backed blocks are not LRU-evicted."""
     grams = doc_shingles(df, id_col, text_col)
     if persist_shingles:
         from pyspark import StorageLevel
@@ -527,11 +577,11 @@ def simhash_dedup_pairs(
     # computed once, pairs only within multi-occupant buckets, and —
     # with the default cap — at most `bucket_cap` successors per doc
     # even in a hot bucket. The payload struct leads with doc_id, so
-    # _bucket_pairs' sort_array gives doc_id order and a.doc_id <
-    # b.doc_id by construction. Remaining skew cost is the O(bucket)
-    # (doc_id, sh) array in one aggregation buffer (16 bytes/doc —
-    # a 1M-doc bucket is 16 MB), the same bounded buffer the minhash
-    # path carries; the pair space itself is capped.
+    # _bucket_pairs' bucket ordering is doc_id order and a.doc_id <
+    # b.doc_id by construction. Skew cost: the capped path buckets
+    # live in WindowExec's spillable row buffer — no single
+    # aggregation-array row even for a degenerate flood bucket — and
+    # the pair space itself is capped.
     pairs = (
         _bucket_pairs(
             banded.select("doc_id", "sh", "band", "bits"),

@@ -7,8 +7,12 @@ plumbing. Mandated by BASELINE.json's north star; no reference analog.
 Every oracle mirrors the Spark logic expression-for-expression
 (tokenizer regex, stopword lists, hyperplane constants, double-cast
 sequential sums) so even the approximate-algorithm pipelines
-hash-match where their output is deterministic. SimHash is the one
-rows-only entry (needs xxhash64, which DuckDB lacks).
+hash-match where their output is deterministic. ALL queries in this
+module are oracle-backed — including SimHash, whose x03 query runs
+the md5-based 60-bit parity variant (simhash60_md5) that DuckDB can
+reproduce nibble-for-nibble; the xxhash64 production variant is
+covered by equivalence tests against it (tests/test_skew.py) since
+DuckDB lacks xxhash64. See COVERAGE.md for the per-query oracle map.
 """
 
 from __future__ import annotations

@@ -55,6 +55,11 @@ def main() -> int:
     spark = get_spark()
     n_match = n_rows = n_bad = 0
     for spec in specs:
+        # builders that persist() intermediates (x02/x04/x24 …) would
+        # otherwise accumulate one MEMORY_AND_DISK copy per query in
+        # this long-lived session — disk-backed blocks are not
+        # LRU-evicted and live until context shutdown
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             df = spec.build(spark, sf_dir)

@@ -14,12 +14,17 @@ import pandas as pd
 from database_query_processor_spark.catalog import TABLES
 
 
-def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+def duck_connect(sf_dir: str):
+    """DuckDB connection with the standard table views registered.
+
+    Big-scale sweeps set DUCKDB_MEMLIMIT (e.g. '48GB') so a quadratic
+    oracle fails as a DuckDB exception (an ERROR row) instead of
+    driving the host into the OOM killer; unset, DuckDB's default
+    (80% of RAM) applies — the driver-mirror behavior. Shared by the
+    pandas path (duckdb_run) and the big-scale path (hashed_compare)
+    alike: hashed_compare is precisely the path used at the scales
+    the OOM guard was added for."""
     con = duckdb.connect()
-    # big-scale sweeps set DUCKDB_MEMLIMIT (e.g. '48GB') so a
-    # quadratic oracle fails as a DuckDB exception (an ERROR row)
-    # instead of driving the host into the OOM killer; unset, DuckDB's
-    # default (80% of RAM) applies — the driver-mirror behavior
     lim = os.environ.get("DUCKDB_MEMLIMIT")
     if lim:
         con.execute(f"SET memory_limit='{lim}'")
@@ -31,7 +36,11 @@ def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
             )
         elif os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
-    return con.execute(sql).fetchdf()
+    return con
+
+
+def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    return duck_connect(sf_dir).execute(sql).fetchdf()
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -148,7 +157,17 @@ def _duck_canon(name, type_name):
     DESCRIBE type ``type_name``."""
     t = type_name.upper()
     q = f'"{name}"'
-    if t in ("DOUBLE", "FLOAT", "REAL") or t.startswith("DECIMAL"):
+    if t.startswith("DECIMAL"):
+        # DuckDB's direct DECIMAL->DOUBLE cast double-rounds
+        # (int128/10^scale = two float roundings) and drifts 1 ulp at
+        # >=16 significant digits — the exact c02-at-sf1 bug class.
+        # Bridge through VARCHAR: string->double is correctly rounded
+        # in both engines and equals Spark's BigDecimal.doubleValue.
+        return (
+            f"CAST(CAST(ROUND(CAST(CAST({q} AS VARCHAR) AS DOUBLE), 6)"
+            f" AS DECIMAL(28,6)) AS VARCHAR)"
+        )
+    if t in ("DOUBLE", "FLOAT", "REAL"):
         return f"CAST(CAST(ROUND(CAST({q} AS DOUBLE), 6) AS DECIMAL(28,6)) AS VARCHAR)"
     if t.startswith("TIMESTAMP"):
         return f"CAST(epoch_us({q}) AS VARCHAR)"
@@ -172,8 +191,6 @@ def hashed_compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     SELECT-* stars at sf1) where the pandas path OOMs."""
     from pyspark.sql import functions as F
 
-    import duckdb
-
     cols = sorted(spark_df.columns)
 
     # --- Spark side ---
@@ -188,15 +205,7 @@ def hashed_compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     ).first()
 
     # --- DuckDB side ---
-    con = duckdb.connect()
-    for t in TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.isdir(path):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/*.parquet')"
-            )
-        elif os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    con = duck_connect(sf_dir)
     desc = con.execute(f"DESCRIBE SELECT * FROM ({oracle_sql}) q").fetchall()
     o_types = {r[0]: r[1] for r in desc}
     if sorted(o_types) != cols:

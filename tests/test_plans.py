@@ -536,11 +536,19 @@ def test_x02_minhash_plan_shape(spark):
     LSH band keys are single xxhash64 longs (no per-band string
     concat in the plan), the empty-shingle mega-bucket guard filters
     the null-input seed key (42), in-bucket pairing is capped via
-    slice, and nothing drops to Python."""
+    a bounded-frame collect_list window (r8: never a collect_list
+    bucket AGGREGATE array — the 2 GB-single-row mega-bucket risk),
+    and nothing drops to Python."""
     df = _specs()["x02_dedup_minhash"].build(spark, SF)
     plan = explain_str(df, "simple")
     assert "InMemoryRelation" in plan, plan[:800]
     assert "concat_ws" not in plan.split("InMemoryRelation")[0], plan[:800]
     assert "= 42" in plan, plan[:800]
-    assert "slice(items" in plan, plan[:800]
+    # capped pairing = ONE bounded-frame collect_list WINDOW (rows
+    # 1..cap following) — no bucket ever materializes as one
+    # aggregation-buffer array (grep: collect_list appears only as a
+    # window function, never inside an Aggregate)
+    assert "windowspecdefinition" in plan and "collect_list" in plan, plan[:800]
+    assert "HashAggregate(keys=[band" not in plan, plan[:800]
+    assert "ObjectHashAggregate" not in plan, plan[:800]
     assert "pythonUDF" not in plan.lower(), plan[:800]

@@ -266,3 +266,53 @@ def test_simhash_default_cap_is_all_pairs_below_cap(spark):
         (r.id_a, r.id_b) for r in simhash_dedup_pairs(df, "doc_id", "text").collect()
     )
     assert got == [(a, b) for a in range(4) for b in range(a + 1, 4)]
+
+
+def test_bucket_pairs_capped_path_never_materializes_bucket_rows(spark):
+    """The r8 mega-bucket bound: the CAPPED _bucket_pairs path must
+    never hold a bucket as one collect_list aggregation-buffer row
+    (16 B/doc was survivable at 1M docs but a 100M-doc degenerate
+    bucket would blow Spark's 2 GB single-row limit). The capped plan
+    routes buckets through WindowExec's spillable row buffer instead:
+    one collect_list over the bounded row frame (1, cap) gives each
+    doc its next <=cap successors; singleton buckets emit empty
+    frames. Pinned two ways: plan-level (collect_list appears only as
+    a bounded-frame window function, never as an aggregate over the
+    bucket keys) and execution-level (a
+    5000-doc planted flood — 125x the cap, far beyond anything the
+    small flood tests exercise — yields the exact O(N*cap) chain
+    count). The UNCAPPED path (oracle-parity, test scales only) keeps
+    the collect_list form by design."""
+    from database_query_processor_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    n, cap = 5000, 40
+    text = "sphinx of black quartz judge my vow again and again today"
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(text).alias("text")
+    )
+    cands = lsh_candidate_pairs(minhash_signature(df, "doc_id", "text"), bucket_cap=cap)
+
+    plan = cands._sc._jvm.PythonSQLUtils.explainString(
+        cands._jdf.queryExecution(), "simple"
+    )
+    # collect_list appears ONLY as a bounded-frame window function
+    # (rows 1..cap following) — never inside an Aggregate over the
+    # bucket keys, which is what materialized the single bucket row
+    assert "windowspecdefinition" in plan, plan[:1500]
+    assert f"specifiedwindowframe(RowFrame, 1, {cap})" in plan, plan[:1500]
+    assert "HashAggregate(keys=[band" not in plan, plan[:1500]
+    assert "ObjectHashAggregate" not in plan, plan[:1500]
+
+    assert cands.count() == sum(min(cap, n - 1 - i) for i in range(n))
+
+    # uncapped keeps the exact all-pairs collect_list AGGREGATE form
+    exact = lsh_candidate_pairs(
+        minhash_signature(df.limit(60), "doc_id", "text"), bucket_cap=None
+    )
+    eplan = exact._sc._jvm.PythonSQLUtils.explainString(
+        exact._jdf.queryExecution(), "simple"
+    )
+    assert "collect_list" in eplan and "slice(items" in eplan, eplan[:1500]
