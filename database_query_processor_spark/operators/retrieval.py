@@ -567,6 +567,8 @@ def bm25_hard_negatives(
     query_cond,
     k: int = 3,
     dup_threshold: float = 0.5,
+    pool_m: int = 10,
+    persist_tokens: bool = True,
 ) -> DataFrame:
     """Hard-negative mining for retrieval/embedding training: for
     every query document (rows matching ``query_cond``), the top-k
@@ -574,21 +576,40 @@ def bm25_hard_negatives(
     benchmark — lexically close enough to be hard, but screened so no
     unlabeled positive (a near-dup) is ever used as a negative. The
     standard BM25-negatives recipe (e.g. DPR/SBERT training data),
-    with the x52 decontamination gate fused in.
+    with the x52 decontamination gate fused in as retrieve-then-
+    filter: the top ``pool_m`` BM25 candidates per query form the
+    pool, the dup screen removes contaminated pool members, and the
+    survivors re-rank to k — the usual production shape (a query
+    whose ENTIRE top-m pool is contaminated yields < k negatives,
+    which is the honest answer: everything lexically close was a dup).
 
-    Output: (query_id, neg_id, score, rank) with rank 1..k per query,
-    score rounded to 9 decimals BEFORE the cut (cross-engine
-    contract; per-term scores fold in term order).
+    Output: (query_id, neg_id, score, rank) with rank 1..k per query.
+    score = Σ_terms floor(term_score·1e9 + 0.5) / 1e9 — each per-term
+    BM25 score (a deterministic IEEE chain over exact integer tf, df,
+    dl and a single-divide avgdl, so bit-identical cross-engine) is
+    quantized ONCE to integer nano-units; the sum is then an exact
+    BIGINT (order-free, shuffle-safe) and the final /1e9 is one IEEE
+    divide. r7 used sort_array(collect_list)+ordered-fold for the
+    same determinism — the r8 quantized sum replaces that with a
+    plain hash aggregate, which is both the 100 TB shape (partial
+    map-side combine; no per-group array buffer) and the sf1 tail
+    fix: 297 s → see ROUND8_NOTES for the measured cut.
 
     Scale shape: corpus stats and tf come from one token-count
     shuffle over the CORPUS side, prefiltered to tokens that appear
     in any query (a semi-join against the query vocabulary — the
     shuffle carries query-relevant terms only); the scoring join
-    fans out one row per (query, doc, shared term); the dup screen
-    reuses jaccard_decontaminate's broadcast inverted index. At
-    production query-set sizes, df-cap the query vocabulary first
-    (drop stop-terms) exactly like x04 — the pair space is bounded by
-    Σ_t df(t)·qf(t) and stop-terms dominate it."""
+    fans out one row per (query, doc, shared term); the per-query
+    top-m pool cut plans as WindowGroupLimit, so map tasks prune to
+    ≤m rows per query BEFORE the window exchange — the (query × doc)
+    score matrix never ships; the dup screen (a broadcast inverted
+    index) then touches only queries × m rows. The token table is
+    persisted by default (one tokenize pass feeds dl, qterms, tf —
+    same lifecycle contract as minhash_dedup_pairs' shingle cache).
+    At production query-set sizes, additionally df-cap the query
+    vocabulary (drop stop-terms) exactly like x04 — the residual
+    term fan-out is bounded by Σ_t df(t)·qf(t) and stop-terms
+    dominate it."""
     from database_query_processor_spark.operators.corpus import jaccard_decontaminate
 
     toks = df.select(
@@ -596,6 +617,10 @@ def bm25_hard_negatives(
         query_cond.alias("is_q"),
         F.explode(tokens(text_col)).alias("tok"),
     )
+    if persist_tokens:
+        from pyspark import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     cand = toks.filter(~F.col("is_q"))
     dl = cand.groupBy("doc_id").agg(F.count("*").alias("dl"))
     corpus = dl.agg(
@@ -613,32 +638,38 @@ def bm25_hard_negatives(
     )
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     tscore = _bm25_term_score()
+    # quantize each term score to integer nano-units; floor(x + 0.5)
+    # rather than round() because round-half rules differ across
+    # engines (scores are non-negative, so this IS half-up)
     ts = (
         qterms.join(tf, "tok")
         .join(F.broadcast(dfreq), "tok")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
-        .select("query_id", "doc_id", F.struct(F.col("tok"), tscore.alias("s")).alias("ts"))
-    )
-    scored = (
-        ts.groupBy("query_id", "doc_id")
-        .agg(F.sort_array(F.collect_list("ts")).alias("arr"))
         .select(
             "query_id",
             "doc_id",
-            F.round(
-                F.aggregate(F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["s"]), 9
-            ).alias("score"),
+            F.floor(tscore * F.lit(1e9) + F.lit(0.5)).cast("long").alias("su"),
         )
+    )
+    scored = (
+        ts.groupBy("query_id", "doc_id")
+        .agg(F.sum("su").alias("su"))
+        .select("query_id", "doc_id", (F.col("su") / F.lit(1e9)).alias("score"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    pool = (
+        scored.withColumn("_pm", F.row_number().over(w))
+        .filter(F.col("_pm") <= pool_m)
+        .drop("_pm")
     )
     contam = jaccard_decontaminate(
         df, id_col, text_col, query_cond, threshold=dup_threshold
     ).filter("contaminated").select(F.col("doc_id"))
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.join(contam, "doc_id", "left_anti")
+        pool.join(contam, "doc_id", "left_anti")
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("doc_id").alias("neg_id"), "score", "rank")

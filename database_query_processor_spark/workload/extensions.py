@@ -1697,9 +1697,10 @@ WHERE shared / least(sa.n, sb.n) >= 0.8
 
 def bm25_hard_negatives_query(spark, sf_dir):
     """x62: hard-negative mining — for each benchmark doc (doc_id %
-    97 == 0, the x19/x52 query slice), the top-3 BM25-scored corpus
-    docs that are not near-dups of the benchmark
-    (operators/retrieval.py:bm25_hard_negatives)."""
+    97 == 0, the x19/x52 query slice), the top-3 of the top-10
+    BM25-scored candidate pool that are not near-dups of the
+    benchmark (operators/retrieval.py:bm25_hard_negatives;
+    retrieve-m-then-filter, quantized integer score sums)."""
     from database_query_processor_spark.operators import retrieval as RT
 
     d = _t(spark, sf_dir, "documents")
@@ -1720,21 +1721,26 @@ tf AS (SELECT doc_id, tok, count(*) AS tf FROM toksall
        WHERE NOT is_q AND tok IN (SELECT DISTINCT tok FROM qterms)
        GROUP BY doc_id, tok),
 dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-ts AS (SELECT q.query_id, tf.doc_id, tf.tok,
-              ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+ts AS (SELECT q.query_id, tf.doc_id,
+              CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
               * (tf * ({RT.BM25_K1} + 1.0))
               / (tf + {RT.BM25_K1} * (1.0 - {RT.BM25_B}
-                 + {RT.BM25_B} * dl / avgdl)) AS s
+                 + {RT.BM25_B} * dl / avgdl)) * 1e9 + 0.5) AS BIGINT) AS su
        FROM qterms q JOIN tf USING (tok) JOIN dfreq USING (tok)
             JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus),
 scored AS (SELECT query_id, doc_id,
-                  round(list_sum(list(s ORDER BY tok)), 9) AS score
+                  CAST(SUM(su) AS BIGINT) / 1e9 AS score
            FROM ts GROUP BY query_id, doc_id),
+pool AS (SELECT query_id, doc_id, score
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, doc_id ASC) AS pm
+               FROM scored)
+         WHERE pm <= 10),
 contam AS (SELECT doc_id FROM ({FUZZY_DECONTAM_SQL}) WHERE contaminated)
 SELECT query_id, doc_id AS neg_id, score, CAST(rn AS BIGINT) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY score DESC, doc_id ASC) AS rn
-      FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+      FROM pool WHERE doc_id NOT IN (SELECT doc_id FROM contam))
 WHERE rn <= 3
 """
 
@@ -1792,8 +1798,10 @@ SPECS = [
               "total_chars as the sanity anchor)"),
     QuerySpec("x62_hard_negatives", bm25_hard_negatives_query, _hardneg_oracle(),
               "hard-negative mining: batch BM25 (query-vocabulary-"
-              "prefiltered term shuffle) anti-joined against the near-dup "
-              "decontamination gate — top-3 safe negatives per query"),
+              "prefiltered term shuffle, integer nano-unit score sums) -> "
+              "per-query top-10 pool via WindowGroupLimit -> near-dup "
+              "decontamination screen -> top-3 safe negatives per query "
+              "(retrieve-then-filter; r8 tail fix)"),
     QuerySpec("x61_bpe_tokenize", bpe_tokenize, _bpe_vocab_oracle(),
               "BPE apply: segment the corpus with the learned merges and "
               "report the resulting symbol vocabulary — train+apply round "

@@ -325,6 +325,37 @@ def test_lateral_topk_decorrelated(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
 
 
+def test_window_topk_group_limit(spark):
+    """c11 (the one r7 driver-bench plan suspect — adjudicated as
+    scheduling noise, formally pinned here): rn = row_number() <= 3
+    must plan as WindowGroupLimit PARTIAL below the exchange and
+    FINAL above it, so each map task prunes to <=3 rows per nation
+    before anything ships, and the whole query is ONE exchange. If
+    this gate holds, the canonical top-k-per-group plan is intact and
+    any bench flag on c11 is host noise, not a plan change."""
+    df = _specs()["c11_window_topk_per_group"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert plan.count("WindowGroupLimit") == 2, plan
+    assert "Partial" in plan and "Final" in plan, plan
+    assert count_exchanges(df) == 1, plan
+
+
+def test_hard_negatives_pool_group_limit(spark):
+    """x62 (the r7 sf1 tail, exponent 0.99): the per-query top-m pool
+    cut must plan as WindowGroupLimit so map tasks prune the (query ×
+    doc) score matrix to ≤m rows per query BEFORE the window
+    exchange, the score aggregation must be a plain hash aggregate
+    over integer nano-units (never a sort_array/collect_list ordered
+    fold — the r7 shape whose per-group array buffers dominated the
+    sf1 tail), and nothing drops to Python."""
+    df = _specs()["x62_hard_negatives"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "WindowGroupLimit" in plan, plan[:1200]
+    assert "collect_list" not in plan, plan[:1200]
+    assert "partial_sum" in plan, plan[:1200]
+    assert "pythonUDF" not in plan.lower(), plan[:1200]
+
+
 def test_ohlc_single_shuffle_partial_agg(spark):
     """t07: OHLC bars must be ONE exchange with a map-side partial
     aggregate below it (struct MIN/MAX combine locally; Spark plans

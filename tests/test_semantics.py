@@ -508,6 +508,40 @@ def test_hard_negatives_exclude_near_dups(spark):
     assert ranks == [1, 2]
 
 
+def test_hard_negatives_pool_is_retrieve_then_filter(spark):
+    """x62 r8 pool semantics: candidates are the top POOL_M by BM25
+    and the dup screen filters WITHIN that pool — a query whose
+    entire pool is contaminated honestly yields fewer than k
+    negatives (everything lexically close was a dup), it does not
+    back-fill from rank pool_m+1. Also pins the quantized-score
+    contract: score is an exact multiple of 1e-9."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators.retrieval import bm25_hard_negatives
+
+    q = "zebra quokka lantern harvest moonlight sonata quartz"
+    docs = spark.createDataFrame(
+        [(0, q)]
+        # pool_m=2: both pool slots are near-dups -> screened out
+        + [(1, q + " alpha"), (2, q + " beta")]
+        # lexically related but outside the size-2 pool
+        + [(3, "zebra quokka in the field today")],
+        ["doc_id", "text"],
+    )
+    got = bm25_hard_negatives(
+        docs, "doc_id", "text", F.col("doc_id") == 0, k=2, pool_m=2
+    ).collect()
+    assert got == []  # whole pool contaminated -> no negatives
+
+    # with a wide pool the survivor ranks re-pack to 1..k
+    wide = bm25_hard_negatives(
+        docs, "doc_id", "text", F.col("doc_id") == 0, k=2, pool_m=10
+    ).collect()
+    assert [r["neg_id"] for r in wide] == [3]
+    assert wide[0]["rank"] == 1
+    assert abs(wide[0]["score"] * 1e9 - round(wide[0]["score"] * 1e9)) < 1e-3
+
+
 def test_merge_and_refresh_treat_null_delete_flag_as_not_delete(spark):
     """Malformed changelogs with a NULL delete flag: three-valued
     logic must not silently turn NULL into a delete. merge_into keeps
