@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Round-4 100x scale probe (SCALE.md): third scaling point for the
+"""Round-8 100x scale probe (refresh of the r4 artifact on round-8 code) (SCALE.md): third scaling point for the
 pair-space-risk family — sf0.1 (≈5k docs) → 10x (50k) → 100x (500k
 docs / 100k vectors, artifacts/gen_probe100x.py). Cluster-size-held
 scaling (see the generator): the TRUE near-dup output grows linearly,
@@ -11,7 +11,7 @@ SemDeDup cells ≈ sqrt(n) = 316) — the knobs the 10x probe added.
 
 min of 2 after 1 warm for the fast ops; the two heaviest (x04/x60,
 whose candidate index is output-bound) use a single timed run,
-labeled as such. Writes artifacts/PROBE100X_r07.json. Run:
+labeled as such. Writes artifacts/PROBE100X_r08.json. Run:
   PYTHONPATH=/root/repo python -u artifacts/run_probe100x.py
 """
 
@@ -25,11 +25,11 @@ from database_query_processor_spark.session import get_spark
 from database_query_processor_spark.workload import all_specs
 
 FAST_OPS = ["x02_dedup_minhash", "x55_substring_dedup"]
-HEAVY_OPS = ["x04_dedup_ngram_jaccard", "x60_dedup_containment"]
+HEAVY_OPS = ["x04_dedup_ngram_jaccard", "x60_dedup_containment", "x62_hard_negatives"]
 SF01 = "/root/testdata/sf0.1"
 P10 = os.path.join(os.path.dirname(__file__), "probe10x")
 P100 = os.path.join(os.path.dirname(__file__), "probe100x")
-OUT = os.path.join(os.path.dirname(__file__), "PROBE100X_r07.json")
+OUT = os.path.join(os.path.dirname(__file__), "PROBE100X_r08.json")
 
 
 def timed(spark, build, runs=2, warm=True):
@@ -49,7 +49,7 @@ def main() -> None:
     spark = get_spark(app_name="probe100x", driver_memory="64g")
     out: dict[str, dict] = {}
     prior = json.load(
-        open(os.path.join(os.path.dirname(__file__), "PROBE10X_r04.json"))
+        open(os.path.join(os.path.dirname(__file__), "PROBE10X_r08.json"))
     )
 
     specs = {s.name: s for s in all_specs() if s.name in FAST_OPS + HEAVY_OPS}

@@ -1,11 +1,11 @@
 #!/usr/bin/env python
-"""Round-4 10x scale probe (SCALE.md): time the pair-space-risk
+"""Round-8 10x scale probe (COMPLETE refresh of the r4/r7-partial runs on round-8 code; originally the round-4 probe) (SCALE.md): time the pair-space-risk
 family at sf0.1 vs the 10x probe corpus (50k docs / 20k vecs,
 artifacts/gen_probe10x.py), and demonstrate the embedding-LSH /
 SemDeDup resolution knobs restoring near-linear growth where the
 demo-sized defaults go quadratic. min of 2 after 1 warm (Spark side
 only — this is a perf probe, correctness is the sweeps' job).
-Writes artifacts/PROBE10X_r07.json. Run:
+Writes artifacts/PROBE10X_r08.json. Run:
   PYTHONPATH=/root/repo python -u artifacts/run_probe10x.py
 """
 
@@ -20,15 +20,16 @@ from database_query_processor_spark.workload import all_specs
 
 DOC_OPS = [
     "x02_dedup_minhash", "x04_dedup_ngram_jaccard", "x60_dedup_containment",
-    "x55_substring_dedup",
+    "x55_substring_dedup", "x62_hard_negatives",  # x62 added r8 (tail fix evidence)
 ]
 SF01 = "/root/testdata/sf0.1"
 PROBE = os.path.join(os.path.dirname(__file__), "probe10x")
-OUT = os.path.join(os.path.dirname(__file__), "PROBE10X_r07.json")
+OUT = os.path.join(os.path.dirname(__file__), "PROBE10X_r08.json")
 
 
-def timed(spark, build, runs=2):
-    build().write.format("noop").mode("overwrite").save()  # warm
+def timed(spark, build, runs=2, warm=True):
+    if warm:  # documented-cliff demo rows skip the warm run (cost, not signal)
+        build().write.format("noop").mode("overwrite").save()
     ts = []
     for _ in range(runs):
         spark.catalog.clearCache()
@@ -72,7 +73,7 @@ def main() -> None:
 
     x05 = {
         "sf0.1_default(6p/3b)": timed(spark, lambda: dup(emb_small, 6, 3)),
-        "10k_default(6p/3b)": timed(spark, lambda: dup(emb_mid, 6, 3), runs=1),
+        "10k_default(6p/3b)": timed(spark, lambda: dup(emb_mid, 6, 3), runs=1, warm=False),
         "10k_scaled(24p/3b)": timed(spark, lambda: dup(emb_mid, 24, 3)),
         "20k_scaled(24p/3b)": timed(spark, lambda: dup(emb_big, 24, 3)),
     }
@@ -86,7 +87,7 @@ def main() -> None:
         "10k_cells8": timed(
             spark,
             lambda: semantic_dedup(emb_mid, "vec_id", "embedding", cells=8),
-            runs=1,
+            runs=1, warm=False,
         ),
         "20k_cells141": timed(
             spark,

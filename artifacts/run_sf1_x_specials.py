@@ -18,7 +18,8 @@ mirrored exactly in the oracle via the planes override — proves the
 production-resolution knob is cross-engine verifiable, alongside the
 sweep's default-banding x05 row (oracle feasible at sf1, 344 s).
 
-Writes artifacts/SF1_X_SPECIALS_r07.txt. Run:
+Writes artifacts/SF1_X_SPECIALS_<round>.txt (SPECIALS_ROUND env,
+default r08); SPECIALS_ONLY selects sections. Run:
   PYTHONPATH=/root/repo python -u artifacts/run_sf1_x_specials.py
 """
 from __future__ import annotations
@@ -38,7 +39,14 @@ from tests.oracle import compare, duckdb_run  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/dqps_sf1"
-OUT = os.path.join(os.path.dirname(__file__), "SF1_X_SPECIALS_r07.txt")
+OUT = os.path.join(
+    os.path.dirname(__file__),
+    f"SF1_X_SPECIALS_{os.environ.get('SPECIALS_ROUND', 'r08')}.txt",
+)
+# SPECIALS_ONLY: comma list of section prefixes (x62,x05,x49) to run —
+# a round that changed only one special re-verifies that one without
+# paying for the others (their prior-round artifacts stand)
+ONLY = {p for p in os.environ.get("SPECIALS_ONLY", "x62,x05,x49").split(",") if p}
 
 
 def main() -> int:
@@ -64,15 +72,18 @@ def main() -> int:
     ok = True
 
     # --- x62 sampled slice (predicate % 970 both sides) ---
-    sampled_oracle = _hardneg_oracle().replace("% 97 = 0", "% 970 = 0")
-    assert sampled_oracle.count("% 970 = 0") == 2  # is_q + decontam bench slice
-    for sf_dir, tag in ((SF01, "sf0.1-validity"), (SF1, "sf1")):
-        d = load_table(spark, sf_dir, "documents")
-        df = RT.bm25_hard_negatives(
-            d, "doc_id", "text", F.col("doc_id") % 970 == 0, k=3
-        )
-        ok &= check(f"x62_hard_negatives[sampled-970@{tag}]", df, sampled_oracle, sf_dir)
-
+    if "x62" in ONLY:
+        sampled_oracle = _hardneg_oracle().replace("% 97 = 0", "% 970 = 0")
+        assert sampled_oracle.count("% 970 = 0") == 2  # is_q + decontam slice
+        for sf_dir, tag in ((SF01, "sf0.1-validity"), (SF1, "sf1")):
+            spark.catalog.clearCache()
+            d = load_table(spark, sf_dir, "documents")
+            df = RT.bm25_hard_negatives(
+                d, "doc_id", "text", F.col("doc_id") % 970 == 0, k=3
+            )
+            ok &= check(
+                f"x62_hard_negatives[sampled-970@{tag}]", df, sampled_oracle, sf_dir
+            )
     # --- x05 at the docstring's 10x+ sizing (30 planes / 3 bands) ---
     NP, BANDS = 30, 3
     BITS = NP // BANDS
@@ -90,8 +101,11 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < 
 WHERE {SIM.sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.5
 """
     emb = load_table(spark, SF1, "embeddings")
-    df = SIM.embedding_dup_pairs(emb, "vec_id", "embedding", num_planes=NP, bands=BANDS)
-    ok &= check("x05_dedup_embedding[30planes@sf1]", df, oracle, SF1)
+    if "x05" in ONLY:
+        df = SIM.embedding_dup_pairs(
+            emb, "vec_id", "embedding", num_planes=NP, bands=BANDS
+        )
+        ok &= check("x05_dedup_embedding[30planes@sf1]", df, oracle, SF1)
 
     # --- x49 SemDeDup at the √n cell sizing (production knob) ---
     # cells=8 is the oracle-parity demo sizing; its cell size grows
@@ -103,10 +117,11 @@ WHERE {SIM.sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.5
     from database_query_processor_spark.workload.extensions import SEMDEDUP_SQL
 
     cells = 141  # ≈ √20k
-    sem_oracle = SEMDEDUP_SQL.replace(f"LIMIT {SIM.SEM_CELLS}", f"LIMIT {cells}")
-    assert f"LIMIT {cells}" in sem_oracle
-    df = SIM.semantic_dedup(emb, "vec_id", "embedding", cells=cells)
-    ok &= check(f"x49_dedup_semantic[cells{cells}@sf1]", df, sem_oracle, SF1)
+    if "x49" in ONLY:
+        sem_oracle = SEMDEDUP_SQL.replace(f"LIMIT {SIM.SEM_CELLS}", f"LIMIT {cells}")
+        assert f"LIMIT {cells}" in sem_oracle
+        df = SIM.semantic_dedup(emb, "vec_id", "embedding", cells=cells)
+        ok &= check(f"x49_dedup_semantic[cells{cells}@sf1]", df, sem_oracle, SF1)
 
     with open(OUT, "w") as fh:
         fh.write("\n".join(lines) + "\n")
