@@ -1708,16 +1708,25 @@ def bm25_hard_negatives_query(spark, sf_dir):
 
 
 def _hardneg_oracle():
+    # toksall/tf are AS MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and toksall (a corpus-wide unnest, 27M rows at sf10)
+    # is referenced three times — inlined, the optimizer estimates it
+    # at |documents| rows, picks a catastrophic join order, and the
+    # sampled sf10 oracle exceeded 90 GB RAM + 78 GB of spill before
+    # dying; materialized it finishes in ~73 s at 500k docs (and the
+    # sf1 full form stops OOMing at 48 GB). Result is identical —
+    # materialization is an evaluation hint, not semantics.
     from database_query_processor_spark.operators import retrieval as RT
 
     return f"""
-WITH toksall AS (SELECT doc_id, doc_id % 97 = 0 AS is_q, unnest({TOKS_SQL}) AS tok
+WITH toksall AS MATERIALIZED (SELECT doc_id, doc_id % 97 = 0 AS is_q,
+                 unnest({TOKS_SQL}) AS tok
                  FROM documents),
 dl AS (SELECT doc_id, count(*) AS dl FROM toksall WHERE NOT is_q GROUP BY doc_id),
 corpus AS (SELECT count(*) AS n_docs,
                   cast(sum(dl) AS double) / count(*) AS avgdl FROM dl),
 qterms AS (SELECT DISTINCT doc_id AS query_id, tok FROM toksall WHERE is_q),
-tf AS (SELECT doc_id, tok, count(*) AS tf FROM toksall
+tf AS MATERIALIZED (SELECT doc_id, tok, count(*) AS tf FROM toksall
        WHERE NOT is_q AND tok IN (SELECT DISTINCT tok FROM qterms)
        GROUP BY doc_id, tok),
 dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
