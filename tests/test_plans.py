@@ -340,6 +340,42 @@ def test_window_topk_group_limit(spark):
     assert count_exchanges(df) == 1, plan
 
 
+def test_join4_band_plan_pinned(spark):
+    """p11 (flagged by the r8 driver bench alongside p16 — adjudicated
+    as host shuffle/sort drift, formally pinned here): the 4-way join
+    must stay all-hash (never nested-loop/cartesian), the dim sides
+    must broadcast, and the o_totalprice band — written AFTER the
+    joins in the builder — must be pushed by Catalyst through three
+    joins down into the orders SCAN. If this gate holds, a bench flag
+    on p11 is host noise, not a plan change."""
+    df = _specs()["p11_join4_band"].build(spark, SF)
+    strategies = join_strategies(df)
+    assert len(strategies) == 3, strategies
+    assert "CartesianProduct" not in strategies, strategies
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies
+    assert strategies.count("BroadcastHashJoin") >= 2, strategies
+    pushed = " ".join(pushed_filters(df))
+    assert "o_totalprice" in pushed, pushed
+    assert not uses_python(df)
+
+
+def test_orderby_global_sort_plan(spark):
+    """p16 (flagged with p11): a global ORDER BY must be EXACTLY one
+    range-partitioning exchange feeding a global Sort over a scan
+    pruned to the three projected columns — no extra shuffle, no
+    single-partition collapse, nothing in Python. This is the
+    memory-bandwidth-bound shape that moves most with host drift, so
+    the plan gate is what separates 'slow VM' from 'changed plan'."""
+    df = _specs()["p16_orderby"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert count_exchanges(df) == 1, plan
+    assert "rangepartitioning" in plan, plan
+    assert ", true, " in plan or "global=true" in plan or "Sort [" in plan, plan
+    schemas = read_schemas(df)
+    assert schemas and schemas[0].count(",") <= 2, schemas
+    assert not uses_python(df)
+
+
 def test_hard_negatives_pool_group_limit(spark):
     """x62 (the r7 sf1 tail, exponent 0.99): the per-query top-m pool
     cut must plan as WindowGroupLimit so map tasks prune the (query ×
