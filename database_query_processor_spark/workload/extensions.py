@@ -1715,7 +1715,11 @@ def _hardneg_oracle():
     # sampled sf10 oracle exceeded 90 GB RAM + 78 GB of spill before
     # dying; materialized it finishes in ~73 s at 500k docs (and the
     # sf1 full form stops OOMing at 48 GB). Result is identical —
-    # materialization is an evaluation hint, not semantics.
+    # materialization is an evaluation hint, not semantics. NOT a
+    # blanket rule: the same hint on JACCARD_CAPPED_SQL's t/g/ex/idx
+    # measured 2.3x SLOWER at sf1 (3.1 s -> 7.2 s) because inlining
+    # lets DuckDB push the rare-gram semi-join into both unnest arms;
+    # materialize only where inlining demonstrably explodes.
     from database_query_processor_spark.operators import retrieval as RT
 
     return f"""
