@@ -15,8 +15,16 @@ swung individual queries 2-3×):
     that persist() intermediates (x02/x04/x24) otherwise leak a new
     cached copy per build and the accumulated pressure bleeds into
     later queries;
-  * an explicit JVM System.gc() barrier between queries keeps one
-    query's garbage from being collected inside the next one's timing;
+  * an explicit JVM System.gc() barrier before EVERY timed run (not
+    just once per query) keeps one run's garbage from being collected
+    inside the next run's timing, followed by a short drain pause:
+    System.gc() is also what triggers Spark's ContextCleaner, whose
+    ASYNC shuffle/RDD-file deletes would otherwise land inside the
+    timed window it was meant to protect. Without the per-run
+    barrier, debt accumulated across the suite concentrated on the
+    last-positioned shuffle/sort-heavy queries (r8: p11/p16 measured
+    1.38/1.59 normalized in-suite vs 1.08/1.05 isolated —
+    artifacts/P11P16_CLEAR_r08.json);
   * 2 warm runs (JIT/codegen) then 5 timed runs. The headline
     `queries`/`value` numbers are the MIN (for a deterministic plan
     the minimum is the plan's intrinsic cost; interference only adds
@@ -135,6 +143,10 @@ def main() -> None:
     def _gc_barrier() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
+        # ContextCleaner reacts to that gc by asynchronously deleting
+        # shuffle/RDD files; give it a beat so the deletes happen HERE,
+        # not inside the timed window that starts next.
+        time.sleep(0.25)
 
     specs = [s for s in all_specs() if s.bench]
     timings: dict[str, float] = {}
@@ -147,7 +159,7 @@ def main() -> None:
                 _run(spec)
             runs = []
             for _ in range(TIMED_RUNS):
-                spark.catalog.clearCache()
+                _gc_barrier()
                 t0 = time.perf_counter()
                 _run(spec)
                 runs.append(time.perf_counter() - t0)
@@ -176,7 +188,7 @@ def main() -> None:
         "value_median": round(sum(t for t in medians.values() if t >= 0), 3),
         "queries_median": medians,
         "raw_runs": raw,
-        "methodology": f"min of {TIMED_RUNS} after {WARM_RUNS} warm; clearCache+System.gc barrier",
+        "methodology": f"min of {TIMED_RUNS} after {WARM_RUNS} warm; clearCache+System.gc+drain barrier before every timed run",
         "sf": _sf_number(sf),
     }
     if sf == "0.1":  # the baseline table's scale — ratios only apply there
