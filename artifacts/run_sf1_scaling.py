@@ -40,17 +40,30 @@ def main() -> None:
     specs = [
         s for s in all_specs() if s.bench and s.name[0] in FAMILIES
     ]
+    def _gc_barrier() -> None:
+        # Same barrier bench.py runs before every timed run (see its
+        # module docstring + artifacts/BENCH_BARRIER_AB_r08.json): the
+        # gc keeps earlier runs' garbage out of the next timed window,
+        # and the drain pause lets ContextCleaner's ASYNC shuffle-file
+        # deletes (which that very gc triggers) finish OUTSIDE it.
+        # Without this, the first r08 probe pass inflated the sf1 rows
+        # of the shuffle-heaviest specs up to 5x (x40 9.9s in-suite vs
+        # 1.9-2.6s isolated; c40 10.6 vs 5.6-6.7).
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.25)
+
     out: dict[str, dict] = {}
     for spec in specs:
         row: dict[str, float] = {}
         for sf, path, runs in SCALES:
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
             try:
+                _gc_barrier()
                 df = spec.build(spark, path)
                 df.write.format("noop").mode("overwrite").save()  # warm
                 ts = []
                 for _ in range(runs):
+                    _gc_barrier()
                     t0 = time.perf_counter()
                     spec.build(spark, path).write.format("noop").mode(
                         "overwrite"
@@ -66,7 +79,7 @@ def main() -> None:
         out[spec.name] = row
         print(spec.name, row)
     dest = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "SCALING_SF1_r07.json")
+                        "SCALING_SF1_r08.json")
     with open(dest, "w") as fh:
         json.dump(out, fh, indent=1)
     print("written", dest)
