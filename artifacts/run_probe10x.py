@@ -34,6 +34,10 @@ def timed(spark, build, runs=2, warm=True):
     for _ in range(runs):
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
+        # drain pause: that gc triggers ContextCleaner's ASYNC
+        # shuffle-file deletes — let them land outside the timed
+        # window (see artifacts/BENCH_BARRIER_AB_r08.json)
+        time.sleep(0.25)
         t0 = time.perf_counter()
         build().write.format("noop").mode("overwrite").save()
         ts.append(time.perf_counter() - t0)
