@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Round-7 scaling probe for the operators added AFTER the round-4
+"""Round-7/8 scaling probe for the operators added AFTER the round-4
 probes (PROBE10X/PROBE100X predate them): the full x40-x66 block,
 src14-src18, t13-t18, s10-s12 — each timed at sf0.1 and sf1
 (/tmp/dqps_sf1, gen_sf1.py's structure-preserving 10x), reporting the
@@ -7,7 +7,7 @@ decade growth factor and fitted exponent log10(t_sf1/t_sf0.1)
 (1.0 = linear; sub-second queries carry 0.1-0.3 s fixed overhead that
 deflates small-base exponents — the growth column is the signal).
 Spark side only (correctness is the sweeps' job). min of 2 after 1
-warm. Writes artifacts/PROBE_NEWOPS_r07.json. Run:
+warm. Writes artifacts/PROBE_NEWOPS_r08.json. Run:
   PYTHONPATH=/root/repo python -u artifacts/run_probe_newops.py
 """
 from __future__ import annotations
@@ -22,7 +22,7 @@ from database_query_processor_spark.workload import all_specs
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/dqps_sf1"
-OUT = os.path.join(os.path.dirname(__file__), "PROBE_NEWOPS_r07.json")
+OUT = os.path.join(os.path.dirname(__file__), "PROBE_NEWOPS_r08.json")
 
 NEW_PREFIXES = tuple(
     [f"x{i}" for i in range(40, 67)]
