@@ -49,7 +49,11 @@ def timed(spark, build, runs=2, warm=True):
         spark.sparkContext._jvm.System.gc()
         # drain pause: that gc triggers ContextCleaner's ASYNC
         # shuffle-file deletes — let them land outside the timed
-        # window (see artifacts/BENCH_BARRIER_AB_r08.json)
+        # window (see artifacts/BENCH_BARRIER_AB_r08.json).
+        # NOTE: the committed PROBE100X_r08.json PREDATES this pause
+        # (measured on the stable second host without it); re-running
+        # this script reproduces the numbers' intent, not the exact
+        # r08 methodology.
         time.sleep(0.25)
         t0 = time.perf_counter()
         build().write.format("noop").mode("overwrite").save()

@@ -24,7 +24,11 @@ swung individual queries 2-3×):
     barrier, debt accumulated across the suite concentrated on the
     last-positioned shuffle/sort-heavy queries (r8: p11/p16 measured
     1.38/1.59 normalized in-suite vs 1.08/1.05 isolated —
-    artifacts/P11P16_CLEAR_r08.json);
+    artifacts/P11P16_CLEAR_r08.json). The drain is a bounded POLL of
+    the DiskBlockManager local dirs (wait until their byte total stops
+    shrinking, 50 ms steps, 2 s cap) rather than a fixed sleep — at
+    larger SFs or on slower disks the async deletes can outlast any
+    fixed pause; if JVM introspection fails it falls back to 0.25 s;
   * 2 warm runs (JIT/codegen) then 5 timed runs. The headline
     `queries`/`value` numbers are the MIN (for a deterministic plan
     the minimum is the plan's intrinsic cost; interference only adds
@@ -140,13 +144,39 @@ def main() -> None:
     def _run(spec) -> None:
         spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    def _local_dir_bytes() -> int:
+        # Sum of all block-manager local dirs (shuffle + RDD spill files).
+        # Shrinking total == ContextCleaner's async deletes still running.
+        total = 0
+        jvm = spark.sparkContext._jvm
+        dirs = jvm.org.apache.spark.SparkEnv.get().blockManager().diskBlockManager().localDirs()
+        for d in dirs:
+            for root, _sub, files in os.walk(d.getAbsolutePath()):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass  # a file the cleaner deleted mid-walk
+        return total
+
     def _gc_barrier() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         # ContextCleaner reacts to that gc by asynchronously deleting
-        # shuffle/RDD files; give it a beat so the deletes happen HERE,
-        # not inside the timed window that starts next.
-        time.sleep(0.25)
+        # shuffle/RDD files; drain those deletes HERE, not inside the
+        # timed window that starts next. A fixed pause can be outrun at
+        # larger SFs / slower disks, so poll the local dirs until their
+        # byte total stops shrinking (50 ms steps, 2 s cap).
+        try:
+            prev = _local_dir_bytes()
+            for _ in range(40):
+                time.sleep(0.05)
+                cur = _local_dir_bytes()
+                if cur >= prev:
+                    break
+                prev = cur
+        except Exception:
+            time.sleep(0.25)  # introspection unavailable: old fixed drain
 
     specs = [s for s in all_specs() if s.bench]
     timings: dict[str, float] = {}
