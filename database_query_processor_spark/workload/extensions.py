@@ -791,14 +791,43 @@ FROM b CROSS JOIN i
 """
 
 
+def _knn_query_modulus(n_vecs: int) -> int:
+    """Scale-bounded demo query batch for x28: stride 20 per 1000
+    corpus vectors, i.e. ~50 queries at ANY corpus size above 1000
+    (25 at the 500-vector sf0.01 driver scale — bit-identical to the
+    historical fixed %20 there). knn_join_exact is O(|corpus| x
+    |queries|) BY DEFINITION — it is the verification baseline, x29's
+    LSH form is the both-sides-large scale path — so the demo batch
+    growing linearly with the corpus made the sf1 sweep row pay
+    O(n^2) pure verification overhead (570 s, the slowest x-row in
+    r8). A sized query pool keeps the exact form's check linear in
+    the corpus while still exercising every mechanism (broadcast
+    batch, map-side scoring, per-query window top-k). The DuckDB
+    oracle computes the SAME modulus from the same table via a scalar
+    subquery, so both sides stay in lockstep at every sf."""
+    import math
+
+    return 20 * max(1, math.ceil(n_vecs / 1000))
+
+
+# DuckDB mirror of _knn_query_modulus (scalar subquery over the same
+# table — integer-exact in both engines for any realistic count)
+_KNN_MOD_SQL = (
+    "(SELECT 20 * greatest(1, CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) "
+    "FROM embeddings)"
+)
+
+
 def sim_knn_join(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    m = _knn_query_modulus(emb.count())
+    queries = emb.filter(F.col("vec_id") % m == 0)
     return SIM.knn_join_exact(queries, emb, "vec_id", "embedding", k=5)
 
 
 KNN_JOIN_SQL = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 20 = 0),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % {_KNN_MOD_SQL} = 0),
 scored AS (
   SELECT q.query_id, e.vec_id, {SIM.sql_cosine('e.embedding', 'q.qv')} AS cos
   FROM embeddings e, q WHERE e.vec_id <> q.query_id),

@@ -130,7 +130,19 @@ def _spark_canon(col, dtype):
       exact-decimal contract makes its float outputs 2-dp money), and
       cutting at 6 dp stays inside the ~16 reliable significant
       digits, where Spark's shortest-repr double->decimal conversion
-      and DuckDB's binary-expansion conversion can diverge.
+      and DuckDB's binary-expansion conversion can diverge. Values
+      whose INTEGER part alone approaches that boundary (|x| >= 1e9:
+      9+ digits + 6 dp > 15) are rescaled FIRST — /1e6 (tag 'M'), or
+      /1e12 for |x| >= 1e15 (tag 'T') — so the rounded total stays
+      <= 15 significant digits, where both conversions are exact.
+      The sf10 decade is what exposed this: c02's 2.8e11 sums are
+      bit-identical doubles cross-engine, yet 6-dp canon strings
+      diverged in digit 16+ (…415900 vs …415904). The branch is
+      chosen from the same double in both engines, and the tag keeps
+      a rescaled big value from ever colliding with a small value's
+      plain string. Comparison strength for big values is ~12-15
+      significant digits — far below any real engine divergence,
+      far above ulp noise.
     - timestamps: epoch micros (cross-engine text formats differ).
     - booleans: int cast (text forms differ in case conventions).
     - binary: lowercase hex.
@@ -140,7 +152,13 @@ def _spark_canon(col, dtype):
     from pyspark.sql import types as T
 
     if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
-        return F.round(col.cast("double"), 6).cast("decimal(28,6)").cast("string")
+        d = col.cast("double")
+        six = lambda c: F.round(c, 6).cast("decimal(28,6)").cast("string")  # noqa: E731
+        return (
+            F.when(F.abs(d) >= 1e15, F.concat(F.lit("T"), six(d / 1e12)))
+            .when(F.abs(d) >= 1e9, F.concat(F.lit("M"), six(d / 1e6)))
+            .otherwise(six(d))
+        )
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         return F.unix_micros(col.cast("timestamp")).cast("string")
     if isinstance(dtype, T.BooleanType):
@@ -157,18 +175,28 @@ def _duck_canon(name, type_name):
     DESCRIBE type ``type_name``."""
     t = type_name.upper()
     q = f'"{name}"'
+
+    def _six(expr: str) -> str:
+        # the magnitude-branched mirror of _spark_canon's float rule:
+        # rescale before the 6-dp round so total significant digits
+        # stay <= 15, where both engines' double->decimal conversions
+        # are exact (see _spark_canon docstring / the c02-at-sf10 case)
+        s = lambda e: f"CAST(CAST(ROUND({e}, 6) AS DECIMAL(28,6)) AS VARCHAR)"  # noqa: E731
+        return (
+            f"CASE WHEN abs({expr}) >= 1e15 THEN 'T' || {s(f'({expr}) / 1e12')} "
+            f"WHEN abs({expr}) >= 1e9 THEN 'M' || {s(f'({expr}) / 1e6')} "
+            f"ELSE {s(expr)} END"
+        )
+
     if t.startswith("DECIMAL"):
         # DuckDB's direct DECIMAL->DOUBLE cast double-rounds
         # (int128/10^scale = two float roundings) and drifts 1 ulp at
         # >=16 significant digits — the exact c02-at-sf1 bug class.
         # Bridge through VARCHAR: string->double is correctly rounded
         # in both engines and equals Spark's BigDecimal.doubleValue.
-        return (
-            f"CAST(CAST(ROUND(CAST(CAST({q} AS VARCHAR) AS DOUBLE), 6)"
-            f" AS DECIMAL(28,6)) AS VARCHAR)"
-        )
+        return _six(f"CAST(CAST({q} AS VARCHAR) AS DOUBLE)")
     if t in ("DOUBLE", "FLOAT", "REAL"):
-        return f"CAST(CAST(ROUND(CAST({q} AS DOUBLE), 6) AS DECIMAL(28,6)) AS VARCHAR)"
+        return _six(f"CAST({q} AS DOUBLE)")
     if t.startswith("TIMESTAMP"):
         return f"CAST(epoch_us({q}) AS VARCHAR)"
     if t == "BOOLEAN":

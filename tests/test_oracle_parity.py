@@ -56,3 +56,44 @@ def test_hashed_compare_agrees_and_detects(spark):
     probs = hashed_compare(s.build(spark, SF_SMOKE), bad, SF_SMOKE)
     assert probs and any("value hash" in p for p in probs), probs
     assert not any("row count" in p for p in probs), probs
+
+
+def test_hashed_compare_big_magnitude_floats(spark):
+    """The sf10-exposed canon boundary (artifacts/
+    SWEEP_SF10_RELATIONAL_r09.txt): for |x| >= 1e9 the 6-dp float
+    canon exceeds ~15 significant digits, where Spark's shortest-repr
+    and DuckDB's binary-expansion double->decimal conversions
+    legitimately diverge on BIT-IDENTICAL doubles. The magnitude-
+    branched canon must (a) MATCH identical big values across the
+    1e9/1e15 branch boundaries, (b) still DETECT a relative-1e-6
+    perturbation, and (c) never collide a rescaled big value with a
+    small value's plain string (branch tags)."""
+    from tests.oracle import hashed_compare
+
+    vals = [
+        278641550109.415904,   # the actual c02-at-sf10 digit-16 case
+        2.8e15 + 0.123,        # 'T' branch
+        999999999.999999,      # just under the 'M' cut
+        1e9,                   # exactly at the cut
+        -278641550109.415904,  # sign symmetry
+        0.280483866595734,     # small: must keep the historical canon
+    ]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id int, x double")
+    lits = ", ".join(f"({i}, CAST({v!r} AS DOUBLE))" for i, v in rows)
+    sql = f"SELECT * FROM (VALUES {lits}) t(id, x)"
+    assert hashed_compare(df, sql, SF_SMOKE) == []
+
+    # (b) a 1-in-1e6 relative nudge on the big value must be caught
+    # (repr() shortens the literal to …4159, so replace that form)
+    assert "278641550109.4159" in sql
+    bad = sql.replace("278641550109.4159", "278641828751.0", 1)
+    probs = hashed_compare(df, bad, SF_SMOKE)
+    assert probs and any("value hash" in p for p in probs), probs
+
+    # (c) a big value rescaled into the small range must NOT hash-equal
+    # the small row that spells the same digits (tag disambiguation)
+    df2 = spark.createDataFrame([(0, 280483866595.734)], "id int, x double")
+    sql2 = "SELECT 0 AS id, CAST(0.280483866595734 AS DOUBLE) AS x"
+    probs = hashed_compare(df2, sql2, SF_SMOKE)
+    assert probs and any("value hash" in p for p in probs), probs
