@@ -792,11 +792,11 @@ SPECS = [
     QuerySpec("src11_merge_upsert", merge_upsert_roundtrip, _MERGE_ORACLE,
               "MERGE INTO emulation (update/delete/insert in one full-outer "
               "join) + copy-on-write parquet rewrite; partition-pruned "
-              "rewrite is the at-scale variant"),
+              "rewrite is the at-scale variant", bench=True),
     QuerySpec("src09_compaction", compaction_roundtrip, _COMPACTION_ORACLE,
               "small-file compaction: 64 fragments -> 4 range-partitioned "
               "sorted files (content-preserving; physical claims gated in "
-              "tests/test_layout.py)"),
+              "tests/test_layout.py)", bench=True),
     QuerySpec("src10_zorder_scan", zordered_scan, _ZORDER_ORACLE,
               "Z-order (Morton) clustered rewrite + 2-D predicate read-back "
               "(multi-dimensional data skipping via footer stats)"),
