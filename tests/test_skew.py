@@ -316,3 +316,25 @@ def test_bucket_pairs_capped_path_never_materializes_bucket_rows(spark):
         exact._jdf.queryExecution(), "simple"
     )
     assert "collect_list" in eplan and "slice(items" in eplan, eplan[:1500]
+
+
+def test_p18_pins_the_measured_skew_winner(spark):
+    """artifacts/SKEW_PROBE_r09.json (20M-row fact, 50% of rows on one
+    hot key, 150k-row dim, broadcast disabled to simulate the
+    too-big-to-broadcast 100 TB dim): plain shuffle join 8.77s, AQE
+    skew-split (thresholds sized to the data) 4.15s, salted_join
+    num_salts=8 3.51s — the measured WINNER — salted_32 4.18s (salt
+    overhead passes its benefit once the hot key is already spread
+    across ~cores). This pins p18's declared shape to that winner:
+    the 8-way salt spread on the fact side, the 8-replica dim
+    explode, and the (user_id, salt) composite join key. When the dim
+    CAN broadcast (the local default), broadcast wins outright
+    (1.49s) — that regime is covered by the plain-join specs."""
+    from database_query_processor_spark.plans.inspect import explain_str
+    from database_query_processor_spark.workload import all_specs
+
+    spec = {s.name: s for s in all_specs()}["p18_salted_join"]
+    plan = explain_str(spec.build(spark, "/root/testdata/sf0.001"))
+    assert "pmod(xxhash64(" in plan and ", 8)" in plan  # 8-way salt spread
+    assert "explode([0,1,2,3,4,5,6,7])" in plan         # 8-replica dim
+    assert "__salt" in plan                              # composite join key
