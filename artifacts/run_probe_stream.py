@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Round-9 streaming-throughput decade (VERDICT r8 item 4): s01
+"""Round-9 streaming-throughput decades (VERDICT r8 item 4): s01
 (stateless tumbling window agg) and s12 (transformWithStateInPandas
 value-state + event-time timers, RocksDB store) driven as REAL
-Structured Streaming runs at 100k events (sf0.1) and 1M events
-(/tmp/dqps_sf1, gen_sf1.py) — reporting events/second at both sizes
-and the decade exponent. The S12_VARIANCE_r08 decomposition predicted
+Structured Streaming runs at 100k events (sf0.1), 1M events
+(/tmp/dqps_sf1, gen_sf1.py) and 10M events (/tmp/dqps_sf10,
+gen_events10m.py) — reporting events/second at each size and the
+per-decade exponent. The S12_VARIANCE_r08 decomposition predicted
 s12's ~1.7 s fixed per-run timer-batch + state-server cost amortizes
 at scale, i.e. rows/s should IMPROVE with input size; this probe is
 that prediction's measurement.
@@ -30,6 +31,10 @@ from database_query_processor_spark.workload import all_specs
 SCALES = {
     "100k": ("/root/testdata/sf0.1", 100_000),
     "1M": ("/tmp/dqps_sf1", 1_000_000),
+    # third decade: /tmp/dqps_sf10/events.parquet from
+    # artifacts/gen_events10m.py (10x key-shifted sf1 events, same
+    # event-time horizon -> 10x live state keys)
+    "10M": ("/tmp/dqps_sf10", 10_000_000),
 }
 ROWS = ["s01_stream_tumbling", "s12_session_expiry_tws"]
 OUT = os.path.join(os.path.dirname(__file__), "PROBE_STREAM_r09.json")
@@ -64,11 +69,16 @@ def main() -> None:
                 "sec": wall,
                 "events_per_sec": round(n_events / wall),
             }
-        row["growth"] = round(row["1M"]["sec"] / row["100k"]["sec"], 2)
-        row["exponent"] = round(math.log10(max(row["growth"], 0.01)), 2)
-        row["throughput_ratio_1M_vs_100k"] = round(
-            row["1M"]["events_per_sec"] / row["100k"]["events_per_sec"], 2
-        )
+        labels = list(SCALES)
+        for lo, hi in zip(labels, labels[1:]):
+            growth = round(row[hi]["sec"] / row[lo]["sec"], 2)
+            row[f"growth_{hi}_vs_{lo}"] = growth
+            row[f"exponent_{hi}_vs_{lo}"] = round(
+                math.log10(max(growth, 0.01)), 2
+            )
+            row[f"throughput_ratio_{hi}_vs_{lo}"] = round(
+                row[hi]["events_per_sec"] / row[lo]["events_per_sec"], 2
+            )
         out[name] = row
         print(name, row, flush=True)
     with open(OUT, "w") as fh:
