@@ -10,17 +10,52 @@ Usage:
     python sweep.py                 # all specs at sf0.01
     python sweep.py t09 s0 src      # name-prefix filters
     SWEEP_SF_DIR=/root/testdata/sf0.1 python sweep.py
+    SWEEP_MASTER='local-cluster[2,8,9216]' python sweep.py   # real executor JVMs
 """
 
 from __future__ import annotations
 
 import os
+import re
 import sys
 import time
 
 from database_query_processor_spark.session import get_spark
 from database_query_processor_spark.workload import all_specs
 from tests.oracle import compare, duckdb_run, hashed_compare
+
+
+def _master_kwargs() -> dict:
+    """SWEEP_MASTER support — run the identical oracle sweep under a
+    different Spark master. The motivating value is
+    `local-cluster[N,cores,memMB]`: unlike local[*] (one JVM, one
+    Python env, block-manager 'shuffles' over shared memory), a
+    local-cluster master launches REAL separate executor JVMs with
+    netty shuffle/broadcast transport and executor-side Python
+    workers — the closest single-machine approximation of the
+    multi-executor seams a 1000-node cluster exercises (task/closure
+    serialization, broadcast over the wire, localCheckpoint blocks on
+    remote block managers, the transformWithState state server living
+    in an executor process). Executor memory is derived from the
+    master string's memMB field (Spark requires executor.memory <=
+    worker memory); executor Python workers get PYTHONPATH so
+    package-module functions referenced by pickled closures import.
+    shuffle.partitions defaults to total cluster cores (N*cores)
+    unless SPARK_GRAFT_CPUS-derived default is overridden here."""
+    master = os.environ.get("SWEEP_MASTER", "")
+    if not master:
+        return {}
+    kwargs: dict = {"master": master}
+    m = re.fullmatch(r"local-cluster\[(\d+),(\d+),(\d+)\]", master)
+    if m:
+        n_exec, cores, mem_mb = (int(g) for g in m.groups())
+        kwargs["shuffle_partitions"] = n_exec * cores
+        # leave the worker JVM headroom above the executor heap
+        kwargs["extra_conf"] = {
+            "spark.executor.memory": f"{max(mem_mb - 1024, 512)}m",
+            "spark.executorEnv.PYTHONPATH": "/root/repo",
+        }
+    return kwargs
 
 
 def main() -> int:
@@ -52,7 +87,7 @@ def main() -> int:
             # an empty '0 bad of 0' sweep
             print(f"# no specs match prefixes {prefixes!r}", file=sys.stderr)
             return 2
-    spark = get_spark()
+    spark = get_spark(**_master_kwargs())
     n_match = n_rows = n_bad = 0
     for spec in specs:
         # builders that persist() intermediates (x02/x04/x24 …) would
