@@ -59,7 +59,14 @@ SECTIONS = {
 
 def main() -> int:
     spark = get_spark(
-        app_name="sf10-text", driver_memory="64g",
+        # SF10T_DRIVER_MEM: x50's DuckDB oracle needs ~80 GB peak at
+        # 500k docs (bg materialization + the 4-way join); the JVM
+        # never returns heap to the OS once the Spark side has run, so
+        # that section must start with a small driver (24g fits its
+        # Spark side comfortably) or the oracle hits std::bad_alloc at
+        # the system level (two such rows are kept in the artifact).
+        app_name="sf10-text",
+        driver_memory=os.environ.get("SF10T_DRIVER_MEM", "64g"),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     specs = {s.name: s for s in all_specs()}

@@ -158,7 +158,14 @@ def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFra
 
 
 def sql_unigram_logprob(toks_sql: str = "") -> str:
-    """DuckDB oracle mirroring unigram_logprob_scores bit-for-bit."""
+    """DuckDB oracle mirroring unigram_logprob_scores bit-for-bit.
+
+    Deliberately NO MATERIALIZED hints: measured at sf10 (500k docs),
+    hinting toks/vocab made this oracle 3.3x SLOWER (345 s inlined ->
+    1121 s materialized, SWEEP_SF10_TEXT_r09.txt has both rows) —
+    materializing the ~60M-row tokenized relation costs more than the
+    inlined recompute DuckDB chooses. The opposite call from x62 /
+    sql_bigram_logprob, where hints win; per-oracle, measured."""
     return f"""
 WITH toks AS (SELECT doc_id, unnest({toks_sql}) AS tok,
                      generate_subscripts({toks_sql}, 1) AS pos
@@ -251,15 +258,22 @@ def bigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
 
 def sql_bigram_logprob(toks_sql: str = "") -> str:
-    """DuckDB oracle mirroring bigram_logprob_scores bit-for-bit."""
+    """DuckDB oracle mirroring bigram_logprob_scores bit-for-bit.
+
+    t/bg/vocab are AS MATERIALIZED — same DuckDB CTE-inlining blowup
+    as sql_unigram_logprob (worse here: t feeds bg AND toks, bg feeds
+    bgc AND pt, vocab is joined twice in pt, so the tokenize fans out
+    combinatorially through the chain; the unhinted form burned >6
+    CPU-hours at sf10 without finishing vs 22 s for the whole sf1
+    row). Hint only; results identical."""
     return f"""
-WITH t AS (SELECT doc_id, {toks_sql} AS toks FROM documents),
-bg AS (SELECT doc_id, s['pos'] AS pos, s['prev'] AS prev, s['cur'] AS cur
-       FROM (SELECT doc_id,
-                    unnest([{{'pos': i - 1, 'prev': toks[i-1], 'cur': toks[i]}}
-                            for i in range(2, len(toks) + 1)]) AS s
-             FROM t)),
-toks AS (SELECT unnest(toks) AS tok FROM t),
+WITH toks AS (SELECT doc_id, unnest({toks_sql}) AS tok,
+                     generate_subscripts({toks_sql}, 1) AS pos
+              FROM documents),
+bg AS MATERIALIZED (SELECT doc_id, pos - 1 AS pos,
+              lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+              tok AS cur
+       FROM toks QUALIFY prev IS NOT NULL),
 vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
 total AS (SELECT sum(cnt) AS total FROM vocab),
 bgc AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY prev, cur),

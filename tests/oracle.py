@@ -180,8 +180,20 @@ def _duck_canon(name, type_name):
         # the magnitude-branched mirror of _spark_canon's float rule:
         # rescale before the 6-dp round so total significant digits
         # stay <= 15, where both engines' double->decimal conversions
-        # are exact (see _spark_canon docstring / the c02-at-sf10 case)
-        s = lambda e: f"CAST(CAST(ROUND({e}, 6) AS DECIMAL(28,6)) AS VARCHAR)"  # noqa: E731
+        # are exact (see _spark_canon docstring / the c02-at-sf10 case).
+        # The 6-dp round itself is VARCHAR-bridged, NOT ROUND():
+        # Spark's F.round(double) rounds the SHORTEST-REPR decimal
+        # (BigDecimal.valueOf) HALF_UP, while DuckDB's ROUND() rounds
+        # the BINARY expansion — for a double whose shortest repr sits
+        # exactly on a 6-dp half (x57-at-sf10's doc 91317, score
+        # -1.0149445, binary a hair below the half) they split
+        # (-1.014945 vs -1.014944) even though the engines' doubles
+        # are bit-identical. DuckDB's double->VARCHAR is shortest-repr
+        # and VARCHAR->DECIMAL rounds half-away-from-zero = HALF_UP,
+        # so this bridge reproduces Spark's two-step exactly
+        # (verified on half points, negative zero, exponent-notation
+        # smalls; pinned in test_oracle_parity.py).
+        s = lambda e: f"CAST(CAST(CAST(({e}) AS VARCHAR) AS DECIMAL(28,6)) AS VARCHAR)"  # noqa: E731
         return (
             f"CASE WHEN abs({expr}) >= 1e15 THEN 'T' || {s(f'({expr}) / 1e12')} "
             f"WHEN abs({expr}) >= 1e9 THEN 'M' || {s(f'({expr}) / 1e6')} "

@@ -97,3 +97,35 @@ def test_hashed_compare_big_magnitude_floats(spark):
     sql2 = "SELECT 0 AS id, CAST(0.280483866595734 AS DOUBLE) AS x"
     probs = hashed_compare(df2, sql2, SF_SMOKE)
     assert probs and any("value hash" in p for p in probs), probs
+
+
+def test_hashed_compare_half_point_floats(spark):
+    """The sf10-exposed 6-dp HALF-POINT seam (x57's doc 91317,
+    artifacts/SWEEP_SF10_TEXT_r09.txt): for a double whose shortest
+    decimal repr sits exactly on a 6-dp half, Spark's F.round (HALF_UP
+    on the shortest-repr decimal) and DuckDB's ROUND (on the binary
+    expansion, which lies a hair off the half) split to adjacent
+    canon strings on BIT-IDENTICAL doubles. _duck_canon therefore
+    VARCHAR-bridges the 6-dp step (shortest repr -> DECIMAL, which
+    DuckDB rounds half-away-from-zero = HALF_UP). Identical halves
+    must MATCH, including negative zero and exponent-notation smalls;
+    a real perturbation must still be DETECTED."""
+    from tests.oracle import hashed_compare
+
+    vals = [
+        -1.0149445,   # the actual x57-at-sf10 case (binary below the half)
+        1.0000005,    # positive half, binary below
+        -1.0000005,   # sign symmetry
+        2.5e-7,       # rounds to a half AT the 6-dp edge from below
+        -1e-7,        # negative zero after rounding
+        1.5e-8,       # exponent-notation small -> 0.000000
+    ]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id int, x double")
+    lits = ", ".join(f"({i}, CAST({v!r} AS DOUBLE))" for i, v in rows)
+    sql = f"SELECT * FROM (VALUES {lits}) t(id, x)"
+    assert hashed_compare(df, sql, SF_SMOKE) == []
+
+    bad = sql.replace("-1.0149445", "-1.0149545", 1)
+    probs = hashed_compare(df, bad, SF_SMOKE)
+    assert probs and any("value hash" in p for p in probs), probs
