@@ -120,6 +120,58 @@ def _variance_report(timings: dict[str, float]) -> dict:
     }
 
 
+def _dd_direct_mbps(size_mb: int = 256) -> float | None:
+    """Direct-IO write throughput of the local disk (MB/s), the
+    BENCH_SUSPECTS_CLEAR_r09 'io weather' probe: this host's storage
+    is burst-throttled (measured 124-233 MB/s swings on identical
+    code), so every bench artifact records the disk state it ran
+    under — suspect adjudication becomes mechanical instead of a
+    per-round forensic reconstruction. oflag=direct bypasses the page
+    cache; conv=fsync charges the final flush to the same window."""
+    import re
+    import subprocess
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"dqps_ddprobe_{os.getpid()}")
+    try:
+        res = subprocess.run(
+            ["dd", "if=/dev/zero", f"of={path}", "bs=4M",
+             f"count={size_mb // 4}", "oflag=direct", "conv=fsync"],
+            capture_output=True, text=True, timeout=120,
+        )
+        m = re.search(r"([\d.]+)\s*([MG])B/s", res.stderr)
+        if not m:
+            return None
+        val = float(m.group(1))
+        return round(val * 1000 if m.group(2) == "G" else val, 1)
+    except Exception:
+        return None
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
+def _null_query_sec(spark, barrier, runs: int = 3) -> float:
+    """Min wall of a 32-task no-op query — the per-run additive cost
+    floor (task launch + scheduling + noop commit) that tiny-baseline
+    queries feel as a large RATIO (the p15/c11 suspect signature).
+    Recorded so a future 1.3x-normalized flag on a sub-0.2s query can
+    be checked against the measured floor without a fresh probe."""
+    def _run():
+        spark.range(0, 32_000, 1, 32).write.format("noop").mode("overwrite").save()
+
+    _run()  # warm
+    ts = []
+    for _ in range(runs):
+        barrier()
+        t0 = time.perf_counter()
+        _run()
+        ts.append(time.perf_counter() - t0)
+    return round(min(ts), 3)
+
+
 def _sf_number(sf: str):
     """The dir-name sf suffix as a number, or the raw string when the
     dir isn't named sf<number> — a parse crash HERE would discard the
@@ -178,6 +230,11 @@ def main() -> None:
         except Exception:
             time.sleep(0.25)  # introspection unavailable: old fixed drain
 
+    dd_start = _dd_direct_mbps()
+    null_query = _null_query_sec(spark, _gc_barrier)
+    print(f"  io weather: dd_direct={dd_start} MB/s, null_query={null_query}s",
+          file=sys.stderr)
+
     specs = [s for s in all_specs() if s.bench]
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -220,6 +277,12 @@ def main() -> None:
         "raw_runs": raw,
         "methodology": f"min of {TIMED_RUNS} after {WARM_RUNS} warm; clearCache+System.gc+drain barrier before every timed run",
         "sf": _sf_number(sf),
+        # io weather (BENCH_SUSPECTS_CLEAR_r09 methodology): direct-IO
+        # disk MB/s at suite start and end + the 32-task null-query
+        # floor, so suspect adjudication can separate burst-throttled
+        # disk / additive-cost effects from plan regressions.
+        "dd_mbps": [dd_start, _dd_direct_mbps()],
+        "null_query": null_query,
     }
     if sf == "0.1":  # the baseline table's scale — ratios only apply there
         vs = _variance_report(timings)
@@ -242,6 +305,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": detail["sf"],
+        "dd_mbps": detail["dd_mbps"],
+        "null_query": null_query,
     }
     # a crashed query is EXCLUDED from the headline total (its -1
     # sentinel would otherwise read as a speedup) — name it explicitly

@@ -260,12 +260,14 @@ def bigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFram
 def sql_bigram_logprob(toks_sql: str = "") -> str:
     """DuckDB oracle mirroring bigram_logprob_scores bit-for-bit.
 
-    t/bg/vocab are AS MATERIALIZED — same DuckDB CTE-inlining blowup
-    as sql_unigram_logprob (worse here: t feeds bg AND toks, bg feeds
-    bgc AND pt, vocab is joined twice in pt, so the tokenize fans out
-    combinatorially through the chain; the unhinted form burned >6
-    CPU-hours at sf10 without finishing vs 22 s for the whole sf1
-    row). Hint only; results identical."""
+    ONLY the bg CTE is AS MATERIALIZED — it is the fan-out point of
+    DuckDB's CTE-inlining blowup (bg feeds bgc AND pt, and pt joins
+    vocab twice, so an inlined bg re-runs the tokenize+lag chain
+    combinatorially; the unhinted form burned >6 CPU-hours at sf10
+    without finishing vs 22 s for the whole sf1 row). toks and vocab
+    stay UNHINTED on purpose: materializing them was measured SLOWER
+    (the same probe found the unigram oracle 3.3x faster unhinted).
+    Hint only; results identical."""
     return f"""
 WITH toks AS (SELECT doc_id, unnest({toks_sql}) AS tok,
                      generate_subscripts({toks_sql}, 1) AS pos

@@ -51,9 +51,13 @@ def _master_kwargs() -> dict:
         n_exec, cores, mem_mb = (int(g) for g in m.groups())
         kwargs["shuffle_partitions"] = n_exec * cores
         # leave the worker JVM headroom above the executor heap
+        # repo root derived from this file's location, not hardcoded:
+        # a checkout elsewhere would otherwise hit executor-side
+        # unpickling ImportErrors under local-cluster masters.
+        repo_root = os.path.dirname(os.path.abspath(__file__))
         kwargs["extra_conf"] = {
             "spark.executor.memory": f"{max(mem_mb - 1024, 512)}m",
-            "spark.executorEnv.PYTHONPATH": "/root/repo",
+            "spark.executorEnv.PYTHONPATH": repo_root,
         }
     return kwargs
 

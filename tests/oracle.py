@@ -193,6 +193,15 @@ def _duck_canon(name, type_name):
         # so this bridge reproduces Spark's two-step exactly
         # (verified on half points, negative zero, exponent-notation
         # smalls; pinned in test_oracle_parity.py).
+        # VERSION DEPENDENCY: the bridge assumes DuckDB's
+        # double->VARCHAR is shortest-round-trip (true since ~0.9;
+        # older DuckDB used %g-style formatting) and the JVM's
+        # Double.toString is shortest-repr (true in spirit always,
+        # exactly minimal since JDK 19's Ryu port — earlier JDKs
+        # occasionally emit one extra digit). An engine upgrade that
+        # breaks either silently re-opens the half-point seam;
+        # test_hashed_compare_half_point_floats is the tripwire, and
+        # this note is where to start when it fires.
         s = lambda e: f"CAST(CAST(CAST(({e}) AS VARCHAR) AS DECIMAL(28,6)) AS VARCHAR)"  # noqa: E731
         return (
             f"CASE WHEN abs({expr}) >= 1e15 THEN 'T' || {s(f'({expr}) / 1e12')} "
