@@ -22,7 +22,10 @@ near-linear at 500k docs; DUCKDB_MEMLIMIT guards the box. One section
 per process (SF10T_SECTIONS=x40 / x26 / x41 / x50 / x54 / x57) for
 the same scratch-disk reason as run_sf10_dedup.py.
 
-APPENDS rows to artifacts/SWEEP_SF10_TEXT_r09.txt.
+APPENDS rows to artifacts/SWEEP_SF10_TEXT_r10.txt. Round-10 changes:
+x50 runs in its re-runnable SAMPLED-SLICE form (see X50_SAMPLE_MOD),
+and duck_connect now gives memory-limited oracles a bounded spill
+directory, so the 48GB limit spills instead of OOM-erroring.
 Usage: SF10T_SECTIONS=x40 PYTHONPATH=/root/repo python -u artifacts/run_sf10_text.py
 """
 from __future__ import annotations
@@ -39,7 +42,7 @@ from database_query_processor_spark.workload import all_specs  # noqa: E402
 from tests.oracle import hashed_compare  # noqa: E402
 
 SF10 = "/tmp/dqps_sf10"
-OUT = os.path.join(os.path.dirname(__file__), "SWEEP_SF10_TEXT_r09.txt")
+OUT = os.path.join(os.path.dirname(__file__), "SWEEP_SF10_TEXT_r10.txt")
 ROWS = [
     "x40_bm25_search",
     "x26_tfidf_terms",
@@ -48,6 +51,18 @@ ROWS = [
     "x54_corpus_profile",
     "x57_nb_quality_classifier",
 ]
+
+# x50's FULL oracle materializes every (doc,pos,prev,cur) row and
+# list-aggregates all of them per doc — ~80 GB peak / 890 s at 500k
+# docs, and it OOM-crashed twice under DUCKDB_MEMLIMIT=48GB before
+# duck_connect had a spill path (SWEEP_SF10_TEXT_r09.txt). The r10
+# re-runnable form is the SAMPLED SLICE (sql_bigram_logprob
+# sample_mod=10, the x62 %-slice precedent): corpus stats from every
+# doc, per-position relation + ordered fold over doc_id % 10 = 0
+# (50k docs at sf10); the engine frame is filtered identically.
+# Slice == full-form-filtered is pinned at sf0.01 by
+# test_bigram_oracle_sampled_slice_parity.
+X50_SAMPLE_MOD = 10
 SECTIONS = {
     p
     for p in os.environ.get(
@@ -78,13 +93,25 @@ def main() -> int:
             continue
         spec = specs[name]
         spark.catalog.clearCache()
+        frame, oracle, suffix = spec.build(spark, SF10), spec.oracle, ""
+        if name == "x50_bigram_lm_quality":
+            from database_query_processor_spark.operators.retrieval import (
+                sql_bigram_logprob,
+            )
+            from database_query_processor_spark.workload.extensions import TOKS_SQL
+
+            frame = frame.filter(f"doc_id % {X50_SAMPLE_MOD} = 0")
+            oracle = sql_bigram_logprob(
+                toks_sql=TOKS_SQL, sample_mod=X50_SAMPLE_MOD
+            )
+            suffix = f"[sampled-{X50_SAMPLE_MOD}]"
         t0 = time.time()
         try:
-            probs = hashed_compare(spec.build(spark, SF10), spec.oracle, SF10)
+            probs = hashed_compare(frame, oracle, SF10)
         except Exception as ex:  # an oracle OOM-kill must leave a row behind
             probs = [f"ERROR {type(ex).__name__}: {ex}"]
         line = (
-            f"{time.time() - t0:8.2f}s {name} "
+            f"{time.time() - t0:8.2f}s {name}{suffix} "
             + ("MATCH-HASHED" if not probs else
                "MISMATCH: " + "; ".join(str(p) for p in probs))
         )

@@ -257,7 +257,7 @@ def bigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
-def sql_bigram_logprob(toks_sql: str = "") -> str:
+def sql_bigram_logprob(toks_sql: str = "", sample_mod: int = 0) -> str:
     """DuckDB oracle mirroring bigram_logprob_scores bit-for-bit.
 
     ONLY the bg CTE is AS MATERIALIZED — it is the fan-out point of
@@ -267,7 +267,33 @@ def sql_bigram_logprob(toks_sql: str = "") -> str:
     without finishing vs 22 s for the whole sf1 row). toks and vocab
     stay UNHINTED on purpose: materializing them was measured SLOWER
     (the same probe found the unigram oracle 3.3x faster unhinted).
-    Hint only; results identical."""
+    Hint only; results identical.
+
+    ``sample_mod`` > 0 emits the big-scale SAMPLED-SLICE form (the
+    x62 %9700 precedent): corpus statistics (vocab / bgc / total)
+    still come from EVERY document, but the per-position bigram
+    relation that feeds the join ladder and the ordered per-doc fold
+    is restricted to doc_id % sample_mod = 0 — compare against the
+    engine's output filtered the same way. The full form materializes
+    every (doc, pos, prev, cur) row and list-aggregates all of them
+    per doc, which peaked at ~80 GB / 890 s at sf10 (500k docs) and
+    OOM-crashed twice under DUCKDB_MEMLIMIT=48GB before duck_connect
+    had a spill path; the sliced form's memory scales with the slice
+    while still proving full-corpus statistics (a wrong vocab/bgc
+    count anywhere shifts every sampled doc's nll). bgc gets its own
+    full-corpus lag-window pass (streamed straight into the count
+    group-by, never materialized per-position); results on the
+    sampled docs are identical to the full form — pinned by
+    test_bigram_oracle_sampled_slice_parity."""
+    if sample_mod:
+        bg_src = f"(SELECT * FROM toks WHERE doc_id % {sample_mod} = 0)"
+        bgc_src = (
+            "(SELECT lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,"
+            " tok AS cur FROM toks QUALIFY prev IS NOT NULL)"
+        )
+    else:
+        bg_src = "toks"
+        bgc_src = "bg"
     return f"""
 WITH toks AS (SELECT doc_id, unnest({toks_sql}) AS tok,
                      generate_subscripts({toks_sql}, 1) AS pos
@@ -275,10 +301,10 @@ WITH toks AS (SELECT doc_id, unnest({toks_sql}) AS tok,
 bg AS MATERIALIZED (SELECT doc_id, pos - 1 AS pos,
               lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
               tok AS cur
-       FROM toks QUALIFY prev IS NOT NULL),
+       FROM {bg_src} QUALIFY prev IS NOT NULL),
 vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
 total AS (SELECT sum(cnt) AS total FROM vocab),
-bgc AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY prev, cur),
+bgc AS (SELECT prev, cur, count(*) AS cb FROM {bgc_src} GROUP BY prev, cur),
 pt AS (SELECT doc_id, pos,
               ln({BIGRAM_LAMBDA} * (cast(cb AS double) / cast(vp.cnt AS double))
                  + (1.0 - {BIGRAM_LAMBDA}) * (cast(vc.cnt AS double) / cast(total AS double))) AS lp

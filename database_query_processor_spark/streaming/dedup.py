@@ -15,15 +15,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .windows import _events_stream, _run_to_memory_sink
+from .windows import _events_stream, _run_to_parquet_sink
 
 
 def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming execution: file-source readStream over
     events.parquet, 10-minute watermark, dropDuplicates on
     (user_id, event_type, ts) — ts in the key makes watermark state
-    eviction apply — append-mode memory sink, driven to completion.
-    Returns the sink table: one row per distinct key."""
+    eviction apply — driven to completion into the DISTRIBUTED
+    parquet file sink (the deduped output is O(input) rows; a
+    memory sink would collect them all to the driver — see
+    _run_to_parquet_sink). Returns the committed result read back:
+    one row per distinct key."""
     stream = _events_stream(spark, sf_dir)
     dd = (
         stream.withWatermark("ts", "10 minutes")
@@ -34,4 +37,4 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("timestamp_ntz").alias("ts"),
         )
     )
-    return _run_to_memory_sink(dd, "dedup", mode="append")
+    return _run_to_parquet_sink(dd, "dedup")

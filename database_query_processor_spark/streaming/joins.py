@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .windows import _events_stream, _run_to_memory_sink
+from .windows import _events_stream, _run_to_memory_sink, _run_to_parquet_sink
 
 
 def purchase_click_attribution(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
@@ -71,8 +71,11 @@ def run_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_purchase_click_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the attribution join as a REAL stream-stream join over
-    the finite events parquet (append-mode memory sink)."""
+    the finite events parquet. The match set is O(input), so the sink
+    is the DISTRIBUTED parquet file sink (append mode, executor-side
+    writes), not the driver-collecting memory sink — see
+    _run_to_parquet_sink for the measured rationale."""
     purchases = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
     clicks = _events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
     out = purchase_click_attribution(purchases, clicks)
-    return _run_to_memory_sink(out, "attribution", mode="append")
+    return _run_to_parquet_sink(out, "attribution")

@@ -340,7 +340,8 @@ class _SessionExpiryProcessor(_StatefulProcessor):
         if not evts:
             return
         evts.sort()
-        if self._sess.exists():
+        existed = self._sess.exists()
+        if existed:
             start, last, n = (int(x) for x in self._sess.get())
         else:
             start, last, n = -1, -1, 0
@@ -355,12 +356,18 @@ class _SessionExpiryProcessor(_StatefulProcessor):
                 last, n = max(last, t), n + 1
         self._sess.update((start, last, n))
         # exactly one armed timer per user: re-arm at the new expiry.
+        # INVARIANT: a timer is armed iff the value state exists (we
+        # register after every update and clear both on expiry), so a
+        # key seen for the FIRST time has no timer to delete — skipping
+        # listTimers there removes one state-server round-trip per new
+        # key (at 150k first-batch keys that is 150k round-trips).
         # Materialize listTimers() BEFORE deleting: the PySpark timer
         # iterator is backed by state-server round-trips, and mutating
         # timer state while that iterator is live is undefined (works
         # today only because a single timer is armed).
-        for old in list(self._handle.listTimers()):
-            self._handle.deleteTimer(old)
+        if existed:
+            for old in list(self._handle.listTimers()):
+                self._handle.deleteTimer(old)
         self._handle.registerTimer((last + SESSION_GAP_US) // 1000)
         if closed:
             yield pd.DataFrame(
@@ -430,7 +437,12 @@ def run_session_expiry_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     dir (or a maxFilesPerTrigger split) could let a timer close a
     non-final session and flip its closed_by. Assert the precondition
     loudly instead of letting the oracle go quietly stale (gen_sf1
-    consolidates events to one file for the same reason)."""
+    consolidates events to one file for the same reason).
+
+    SINK: the parquet file sink, not memory — sessions are ~0.95 rows
+    per input event on this horizon, and S12_DECOMP_r10 measured the
+    memory sink's driver-side collect as about half the 10M-event
+    wall and its super-linear term."""
     import os
 
     events_path = os.path.join(sf_dir, "events.parquet")
@@ -439,7 +451,9 @@ def run_session_expiry_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "run_session_expiry_stream requires a SINGLE-FILE events.parquet "
             f"(single-microbatch replay; the closed_by oracle depends on it): {events_path}"
         )
-    sink = _run_tws_topology(spark, sf_dir, session_expiry_tws, "session_expiry")
+    sink = _run_tws_topology(
+        spark, sf_dir, session_expiry_tws, "session_expiry", sink="parquet"
+    )
     return sink.select(
         "user_id",
         F.timestamp_micros(F.col("start_us")).cast("timestamp_ntz").alias("session_start"),
@@ -448,14 +462,23 @@ def run_session_expiry_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_tws_topology(spark: SparkSession, sf_dir: str, transform, prefix: str) -> DataFrame:
+def _run_tws_topology(
+    spark: SparkSession, sf_dir: str, transform, prefix: str,
+    sink: str = "memory",
+) -> DataFrame:
     """Shared transformWithState drive scaffold: set the RocksDB state
     store provider (transformWithState requires it) for the run's
     lifetime and restore it, stream events through ``transform``, and
-    return the update-mode memory-sink table. Both tws queries (and
-    any future one) share the save/try/finally-restore discipline
-    here instead of copying it."""
-    from .windows import _events_stream, _run_to_memory_sink
+    return the sink contents. All tws queries (and any future one)
+    share the save/try/finally-restore discipline here instead of
+    copying it.
+
+    ``sink``: 'memory' (update-mode memory sink — right for the
+    small per-key-aggregate outputs, s10/s11) or 'parquet' (the
+    DISTRIBUTED file sink — required when the output is O(input)
+    rows, s12's sessions; see windows._run_to_parquet_sink for the
+    measured driver-collect pathology)."""
+    from .windows import _events_stream, _run_to_memory_sink, _run_to_parquet_sink
 
     conf = spark.conf
     key = "spark.sql.streaming.stateStore.providerClass"
@@ -466,6 +489,8 @@ def _run_tws_topology(spark: SparkSession, sf_dir: str, transform, prefix: str) 
     )
     try:
         stream = _events_stream(spark, sf_dir)
+        if sink == "parquet":
+            return _run_to_parquet_sink(transform(stream), prefix)
         return _run_to_memory_sink(transform(stream), prefix, mode="update")
     finally:
         if old is None:

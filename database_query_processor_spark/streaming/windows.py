@@ -98,6 +98,51 @@ def _run_to_memory_sink(agg: DataFrame, prefix: str, mode: str = "complete") -> 
     return spark.table(name)
 
 
+def _run_to_parquet_sink(out: DataFrame, prefix: str) -> DataFrame:
+    """Drive a streaming frame to completion through a DISTRIBUTED
+    parquet file sink (append mode) and return the committed result
+    read back.
+
+    The memory sink collects every result row through a
+    single-threaded driver collect — fine for the small-aggregate
+    topologies (one row per group), but fatal for the LARGE-OUTPUT
+    streams whose result is O(input): s05's attribution pairs, s06's
+    deduped events, s12's sessions (~0.95 rows per input event on the
+    synthetic horizon). artifacts/S12_DECOMP_r10.json measured the
+    memory sink as roughly HALF of s12's 10M-event wall (177 s
+    memory-sink vs 95 s noop, quiet box) and a driver-side
+    super-linear term — the core of PROBE_STREAM_r09's exponent-1.27
+    decade. The file sink writes executor-side with exactly-once
+    semantics via the _spark_metadata transaction log (which the
+    batch read-back consults automatically, so uncommitted files are
+    invisible), keeping result materialization distributed — the only
+    topology that survives 100 TB.
+
+    Append mode is correct for all three users: s05/s06 are
+    append-mode queries already, and s12's transformWithState emits
+    every session exactly once under any batching (data-closed inline,
+    timer-closed on expiry), so its update-mode emissions ARE
+    append-semantics rows. A fresh scratch dir per run keeps re-runs
+    independent (the file sink otherwise accumulates across runs)."""
+    import tempfile
+
+    spark = out.sparkSession
+    root = tempfile.mkdtemp(prefix=f"dqps_stream_{prefix}_")
+    path = f"{root}/out"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(path)
+
+
 def run_tumbling_stream(spark: SparkSession, sf_dir: str, size: str = "1 hour") -> DataFrame:
     """REAL streaming execution of tumbling_counts: file-source
     readStream over events.parquet, 10-minute watermark, complete-mode

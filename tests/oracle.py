@@ -28,6 +28,18 @@ def duck_connect(sf_dir: str):
     lim = os.environ.get("DUCKDB_MEMLIMIT")
     if lim:
         con.execute(f"SET memory_limit='{lim}'")
+        # An in-memory connection has NO temp_directory, so operators
+        # that hit the limit FAIL with 'Failed to allocate block'
+        # instead of spilling — the exact x50-at-sf10 ERROR rows in
+        # SWEEP_SF10_TEXT_r09.txt. Give the limited connection a spill
+        # path (bounded so a quadratic oracle still dies loudly rather
+        # than filling the disk).
+        import tempfile
+
+        spill = os.path.join(tempfile.gettempdir(), "dqps_duck_spill")
+        os.makedirs(spill, exist_ok=True)
+        con.execute(f"SET temp_directory='{spill}'")
+        con.execute("SET max_temp_directory_size='60GiB'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(path):  # Spark-written dataset (e.g. the sf1 scratch)

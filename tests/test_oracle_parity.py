@@ -129,3 +129,41 @@ def test_hashed_compare_half_point_floats(spark):
     bad = sql.replace("-1.0149445", "-1.0149545", 1)
     probs = hashed_compare(df, bad, SF_SMOKE)
     assert probs and any("value hash" in p for p in probs), probs
+
+
+def test_bigram_oracle_sampled_slice_parity(spark):
+    """x50's big-scale SAMPLED-SLICE oracle (sql_bigram_logprob with
+    sample_mod > 0, the r10 fix for the sf10 80 GB / OOM-crashing full
+    form): corpus stats stay full-corpus, the per-position relation is
+    restricted to doc_id % mod = 0. Two claims pinned at sf0.01:
+
+    1. DuckDB-vs-DuckDB: the sliced form equals the FULL form filtered
+       to the same docs (same rows, same nll bits) — the slice changes
+       memory shape only, never values.
+    2. Engine-vs-oracle: the engine's output filtered to the slice
+       hash-matches the sliced oracle — the exact compare the sf10
+       re-run (run_sf10_text.py) performs."""
+    from database_query_processor_spark.operators.retrieval import (
+        sql_bigram_logprob,
+    )
+    from database_query_processor_spark.workload.extensions import (
+        TOKS_SQL,
+        bigram_lm_quality,
+    )
+    from tests.oracle import duck_connect, hashed_compare
+
+    sf_dir = "/root/testdata/sf0.01"
+    mod = 5
+    full = sql_bigram_logprob(toks_sql=TOKS_SQL)
+    sliced = sql_bigram_logprob(toks_sql=TOKS_SQL, sample_mod=mod)
+
+    con = duck_connect(sf_dir)
+    a = con.sql(
+        f"SELECT * FROM ({full}) WHERE doc_id % {mod} = 0 ORDER BY doc_id"
+    ).fetchall()
+    b = con.sql(f"SELECT * FROM ({sliced}) ORDER BY doc_id").fetchall()
+    assert len(a) > 50  # the slice must be a real sample, not empty
+    assert a == b  # bit-identical nll: stats are full-corpus in both
+
+    eng = bigram_lm_quality(spark, sf_dir).filter(f"doc_id % {mod} = 0")
+    assert hashed_compare(eng, sliced, sf_dir) == []

@@ -459,18 +459,31 @@ def test_zorder_empty_dataframe_writes_cleanly(spark, tmp_path):
 
 
 def test_memory_sink_names_are_bounded_per_topology(spark):
-    """Re-running a streaming topology must reuse (drop + re-register)
-    its one sink table, not leak a uuid-named table per run."""
+    """Re-running a MEMORY-sink streaming topology must reuse (drop +
+    re-register) its one sink table, not leak a uuid-named table per
+    run. s06 moved to the distributed parquet sink in r10 (its output
+    is O(input)), so the boundedness contract is asserted on a
+    topology that legitimately stays memory-sink (s01's small
+    per-window aggregate) — and s06 is asserted to register NO
+    driver-side sink table at all."""
     from database_query_processor_spark.streaming.dedup import run_stream_dedup
+    from database_query_processor_spark.streaming.windows import (
+        run_tumbling_stream,
+    )
 
-    run_stream_dedup(spark, "/root/testdata/sf0.001").count()
-    run_stream_dedup(spark, "/root/testdata/sf0.001").count()
+    run_tumbling_stream(spark, "/root/testdata/sf0.001").count()
+    run_tumbling_stream(spark, "/root/testdata/sf0.001").count()
+    n1 = run_stream_dedup(spark, "/root/testdata/sf0.001").count()
+    n2 = run_stream_dedup(spark, "/root/testdata/sf0.001").count()
+    assert n1 == n2 and n1 > 0  # parquet-sink re-runs stay independent
     after = {t.name for t in spark.catalog.listTables()}
-    # exactly ONE registered sink for the topology no matter how many
-    # runs (this or earlier tests) — and no uuid-suffixed leaks
-    assert {n for n in after if n.startswith("dqps_sink_dedup")} == {
-        "dqps_sink_dedup"
+    # exactly ONE registered sink for the memory topology no matter
+    # how many runs (this or earlier tests) — and no uuid leaks, and
+    # no catalog entry for the file-sink topology
+    assert {n for n in after if n.startswith("dqps_sink_tumbling")} == {
+        "dqps_sink_tumbling"
     }
+    assert not {n for n in after if "dedup" in n}, after
     assert not {n for n in after if n.startswith("dedup_")}, after
 
 
