@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .windows import _events_stream, _run_to_parquet_sink
+from .windows import _events_stream, _rocksdb_state_store, _run_to_parquet_sink
 
 
 def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -25,16 +25,20 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     eviction apply — driven to completion into the DISTRIBUTED
     parquet file sink (the deduped output is O(input) rows; a
     memory sink would collect them all to the driver — see
-    _run_to_parquet_sink). Returns the committed result read back:
-    one row per distinct key."""
-    stream = _events_stream(spark, sf_dir)
-    dd = (
-        stream.withWatermark("ts", "10 minutes")
-        .dropDuplicates(["user_id", "event_type", "ts"])
-        .select(
-            "user_id",
-            "event_type",
-            F.col("ts").cast("timestamp_ntz").alias("ts"),
+    _run_to_parquet_sink). State runs on RocksDB + changelog
+    checkpointing: the dedup key set is O(input) inside the watermark
+    horizon, and the heap-backed default store degraded 2.8x at 100M
+    keys (712 s -> 252.8 s, PROBE_STREAM_100M_r10.json). Returns the
+    committed result read back: one row per distinct key."""
+    with _rocksdb_state_store(spark):
+        stream = _events_stream(spark, sf_dir)
+        dd = (
+            stream.withWatermark("ts", "10 minutes")
+            .dropDuplicates(["user_id", "event_type", "ts"])
+            .select(
+                "user_id",
+                "event_type",
+                F.col("ts").cast("timestamp_ntz").alias("ts"),
+            )
         )
-    )
-    return _run_to_parquet_sink(dd, "dedup")
+        return _run_to_parquet_sink(dd, "dedup")

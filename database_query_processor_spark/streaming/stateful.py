@@ -478,38 +478,18 @@ def _run_tws_topology(
     DISTRIBUTED file sink — required when the output is O(input)
     rows, s12's sessions; see windows._run_to_parquet_sink for the
     measured driver-collect pathology)."""
-    from .windows import _events_stream, _run_to_memory_sink, _run_to_parquet_sink
+    from .windows import (
+        _events_stream,
+        _rocksdb_state_store,
+        _run_to_memory_sink,
+        _run_to_parquet_sink,
+    )
 
-    conf = spark.conf
-    saved: dict[str, str | None] = {}
-    settings = {
-        "spark.sql.streaming.stateStore.providerClass": (
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider"
-        ),
-        # Changelog checkpointing: commit uploads the per-batch change
-        # set instead of a full RocksDB snapshot per partition — the
-        # production default for any high-key-count stateful stream.
-        # Measured on s12 at 10M events (S12_DECOMP_r10.json postfix):
-        # commitTimeMs sums collapse 160s -> 14s (data batch) and
-        # 217s -> 4.4s (timer batch); wall 10-25% better run-to-run.
-        "spark.sql.streaming.stateStore.rocksdb."
-        "changelogCheckpointing.enabled": "true",
-    }
-    for key, val in settings.items():
-        saved[key] = conf.get(key, None)
-        conf.set(key, val)
-    try:
+    with _rocksdb_state_store(spark):
         stream = _events_stream(spark, sf_dir)
         if sink == "parquet":
             return _run_to_parquet_sink(transform(stream), prefix)
         return _run_to_memory_sink(transform(stream), prefix, mode="update")
-    finally:
-        for key, old in saved.items():
-            if old is None:
-                conf.unset(key)
-            else:
-                conf.set(key, old)
 
 
 def run_recent_top_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

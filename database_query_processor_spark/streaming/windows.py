@@ -98,6 +98,45 @@ def _run_to_memory_sink(agg: DataFrame, prefix: str, mode: str = "complete") -> 
     return spark.table(name)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _rocksdb_state_store(spark: SparkSession):
+    """RocksDB state store + changelog checkpointing for the scope's
+    lifetime (saved/restored on exit) — the production configuration
+    for any HIGH-KEY-COUNT stateful stream. Heap-backed state (the
+    default provider) degrades hard once the key set outgrows
+    comfortable heap: s06's 100M-key dedup measured 712 s on the
+    default store vs 252.8 s under this config
+    (PROBE_STREAM_100M_r10.json), and changelog checkpointing
+    collapses per-batch commit from full-snapshot uploads to the
+    change set (s12 commitTimeMs sums 160s -> 14s,
+    S12_DECOMP_r10.json postfix). Used by the tws scaffold
+    (transformWithState REQUIRES RocksDB) and the large-key
+    dropDuplicates topology."""
+    conf = spark.conf
+    settings = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    }
+    saved = {k: conf.get(k, None) for k in settings}
+    for k, v in settings.items():
+        conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                conf.unset(k)
+            else:
+                conf.set(k, old)
+
+
 def _run_to_parquet_sink(out: DataFrame, prefix: str) -> DataFrame:
     """Drive a streaming frame to completion through a DISTRIBUTED
     parquet file sink (append mode) and return the committed result
