@@ -25,10 +25,11 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     eviction apply — driven to completion into the DISTRIBUTED
     parquet file sink (the deduped output is O(input) rows; a
     memory sink would collect them all to the driver — see
-    _run_to_parquet_sink). State runs on RocksDB + changelog
-    checkpointing: the dedup key set is O(input) inside the watermark
-    horizon, and the heap-backed default store degraded 2.8x at 100M
-    keys (712 s -> 252.8 s, PROBE_STREAM_100M_r10.json). Returns the
+    _run_to_parquet_sink). State runs on RocksDB: the dedup key set
+    is O(input) inside the watermark horizon, and the heap-backed
+    default store degraded 2.8x at 100M keys (712 s -> 252.8 s,
+    PROBE_STREAM_100M_r10.json; changelog checkpointing stays a
+    long-running-job opt-in — see _rocksdb_state_store). Returns the
     committed result read back: one row per distinct key."""
     with _rocksdb_state_store(spark):
         stream = _events_stream(spark, sf_dir)

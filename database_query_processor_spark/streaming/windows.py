@@ -102,28 +102,39 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def _rocksdb_state_store(spark: SparkSession):
-    """RocksDB state store + changelog checkpointing for the scope's
-    lifetime (saved/restored on exit) — the production configuration
-    for any HIGH-KEY-COUNT stateful stream. Heap-backed state (the
-    default provider) degrades hard once the key set outgrows
-    comfortable heap: s06's 100M-key dedup measured 712 s on the
-    default store vs 252.8 s under this config
-    (PROBE_STREAM_100M_r10.json), and changelog checkpointing
-    collapses per-batch commit from full-snapshot uploads to the
-    change set (s12 commitTimeMs sums 160s -> 14s,
-    S12_DECOMP_r10.json postfix). Used by the tws scaffold
+def _rocksdb_state_store(spark: SparkSession, changelog: bool = False):
+    """RocksDB state store for the scope's lifetime (saved/restored
+    on exit) — the production provider for any HIGH-KEY-COUNT
+    stateful stream. Heap-backed state (the default provider)
+    degrades hard once the key set outgrows comfortable heap: s06's
+    100M-key dedup measured 712 s on the default store vs 252.8 s on
+    RocksDB (PROBE_STREAM_100M_r10.json). Used by the tws scaffold
     (transformWithState REQUIRES RocksDB) and the large-key
-    dropDuplicates topology."""
+    dropDuplicates topology.
+
+    ``changelog`` additionally enables RocksDB changelog
+    checkpointing. Measured honestly, it is a LONG-RUNNING-JOB knob,
+    not a local default: per-batch commit drops from full-snapshot
+    uploads to the change set (s12 commitTimeMs sums 160s -> 14s at
+    10M events, S12_DECOMP_r10.json postfix) and wall is NEUTRAL at
+    10M (43.0 vs 42.3 s), but at 100k events the per-partition
+    per-commit changelog file overhead DOUBLES wall (A/B in-session:
+    17.5 s on vs 8.8 s off) — a short two-batch replay never earns
+    back the snapshot-avoidance. Default OFF; a real deployment with
+    hours-long lineage and state-store maintenance enabled is where
+    it pays."""
     conf = spark.conf
     settings = {
         "spark.sql.streaming.stateStore.providerClass": (
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider"
         ),
-        "spark.sql.streaming.stateStore.rocksdb."
-        "changelogCheckpointing.enabled": "true",
     }
+    if changelog:
+        settings[
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        ] = "true"
     saved = {k: conf.get(k, None) for k in settings}
     for k, v in settings.items():
         conf.set(k, v)
