@@ -38,12 +38,27 @@ def tokens(col: Column | str) -> Column:
 
 
 def word_ngrams(toks: Column, n: int) -> Column:
-    """Word n-gram shingles as space-joined strings."""
+    """Word n-gram shingles as space-joined strings.
+
+    Built as ONE flat concat of 2n-1 O(1) element_at lookups per
+    position instead of concat_ws over a per-position slice() — the
+    slice allocates a fresh n-element array for every gram, and that
+    allocation measured ~40% of the whole bigram-build cost at sf0.1
+    (r11 A/B: 0.50s -> 0.32s on the x32 bigram stage). Value-identical:
+    tokens are non-null and space-free, so concat(el, ' ', el, ...)
+    produces exactly concat_ws(' ', slice(...)). element_at indexes
+    stay within 1..size(toks) (max i+n-1 = size), so ANSI strict
+    indexing never trips."""
+    parts = lambda i: [  # noqa: E731
+        piece
+        for k in range(n)
+        for piece in ([F.lit(" ")] if k else []) + [F.element_at(toks, i + k)]
+    ]
     return F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            lambda i: F.concat(*parts(i)),
         ),
     ).otherwise(F.array().cast("array<string>"))
 

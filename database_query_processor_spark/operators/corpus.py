@@ -660,17 +660,20 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Every count is an exact integer and every emitted fraction is one
     IEEE int/int divide, so the doubles hash-match the DuckDB oracle
-    bit-for-bit. Shape: ONE scan (tokenize once); the per-doc token
-    stats ride through both aggregations as first()-carried constants
-    instead of a join-back — a join-back side would scale with the
-    corpus and stop being broadcastable at 100 TB. Bigram explode →
-    groupBy(doc_id, bigram) with map-side partial counts → per-doc
-    rollup: two shuffles, both keyed by doc_id (no corpus-global
-    state), embarrassingly parallel; the heavy token/bigram arrays are
-    dropped before any exchange. explode_outer (not explode, whose
-    Catalyst `size > 0` pruning filter pushes below the projection and
-    re-inlines the tokenize expression at the scan) keeps empty docs
-    as a cnt=0 group, so no outer join is needed for them either.
+    bit-for-bit. Shape: ONE scan and ZERO shuffles — every signal is a
+    per-document function of that document's own token array, so the
+    whole computation stays inside the scan stage as higher-order
+    array expressions (optimization guide §2.4: remove shuffles
+    outright; §4.1: built-ins/higher-order functions): the max bigram
+    multiplicity is a linear fold over the SORTED bigram array (equal
+    bigrams are adjacent, so the longest equal-run IS the max count),
+    and the bigram totals are size/array_distinct. The previous
+    formulation exploded every bigram occurrence into its own row and
+    paid two doc-keyed exchanges (explode_outer →
+    groupBy(doc_id, bigram) → groupBy(doc_id)) — shuffling the entire
+    bigram stream to compute values each row already contains. Per-row
+    cost is the array_sort's O(B log B) on B = bigrams-per-doc,
+    bounded by document length and independent of corpus size.
     """
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
@@ -680,23 +683,37 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(F.array_distinct("toks")).alias("n_distinct"),
         word_ngrams(F.col("toks"), 2).alias("bgs"),
     )
-    counts = (
-        base.select(
-            "doc_id", "n_tokens", "n_distinct", F.explode_outer("bgs").alias("bigram")
+
+    # Longest run in the sorted bigram array == max multiplicity.
+    # Accumulator (prev bigram, current run, max run); bigrams are
+    # space-joined non-empty tokens (length >= 3), so the "" seed can
+    # never match a real bigram. An empty array folds to mx=0 — the
+    # same value the old explode_outer null group produced.
+    def _run_step(acc, x):
+        run = F.when(x == acc.prev, acc.run + F.lit(1).cast("long")).otherwise(
+            F.lit(1).cast("long")
         )
-        .groupBy("doc_id", "bigram")
-        .agg(
-            F.count("bigram").alias("cnt"),  # 0 for the empty-doc null group
-            F.first("n_tokens").alias("n_tokens"),
-            F.first("n_distinct").alias("n_distinct"),
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc.mx, run).alias("mx")
         )
+
+    max_bg = F.aggregate(
+        F.array_sort("bgs"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("mx"),
+        ),
+        _run_step,
+        lambda acc: acc.mx,
     )
-    per_doc = counts.groupBy("doc_id").agg(
-        F.max("cnt").alias("max_bg"),
-        F.sum("cnt").alias("n_bg"),
-        F.count(F.col("bigram")).alias("n_distinct_bg"),
-        F.first("n_tokens").alias("n_tokens"),
-        F.first("n_distinct").alias("n_distinct"),
+    per_doc = base.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        max_bg.alias("max_bg"),
+        F.size("bgs").alias("n_bg"),
+        F.size(F.array_distinct("bgs")).alias("n_distinct_bg"),
     )
     return per_doc.select(
         "doc_id",

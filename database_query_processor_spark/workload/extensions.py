@@ -321,22 +321,41 @@ def pipeline_clean_corpus(spark, sf_dir):
     language-gate (en) → quality-gate (≥0.3) → PII scrub → exact dedup
     (keep min doc_id per fingerprint) → per-survivor stats. Catalyst
     fuses the gates and scrub into the scan projection; the only
-    shuffle is the dedup groupBy."""
-    d = _t(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    shuffle is the dedup aggregation.
 
+    r11 shape (guide §2.3: shuffle fewer bytes / aggregate before you
+    shuffle): the survivor stats (length + token count of the scrubbed
+    text) are computed in the SCAN projection, and the min-doc_id
+    dedup is a groupBy(fingerprint) with min(doc_id) + min_by(stat,
+    doc_id) — a HashAggregate with a map-side partial (min(struct)
+    would fall back to SortAggregate: complex-typed buffer), so the
+    exchange carries (fingerprint, 3 ints) instead of the previous
+    row_number() window, which shuffled the ENTIRE scrubbed document
+    text per row and paid a sort on both sides of the exchange.
+    doc_id is unique, so min_by picks exactly the row_number()==1
+    row's stats. clean_text sits behind an optimizer fence so the two
+    stats read ONE scrubbed string instead of re-inlining the scrub
+    regexes."""
+    d = _t(spark, sf_dir, "documents")
+
+    clean_fenced = F.when(
+        F.monotonically_increasing_id() >= -1, TX.pii_scrub(F.col("text"))
+    )
     gated = CP.clean_gate(d, "doc_id", "text", min_quality=0.3).select(
         "doc_id",
-        TX.pii_scrub(F.col("text")).alias("clean_text"),
+        clean_fenced.alias("clean_text"),
         TX.content_fingerprint("text").alias("fingerprint"),
-    )
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    kept = gated.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    return kept.select(
+    ).select(
+        "fingerprint",
         "doc_id",
         F.length("clean_text").alias("n_chars_clean"),
         F.size(TX.tokens("clean_text")).alias("n_tokens_clean"),
     )
+    return gated.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("n_chars_clean", "doc_id").alias("n_chars_clean"),
+        F.min_by("n_tokens_clean", "doc_id").alias("n_tokens_clean"),
+    ).drop("fingerprint")
 
 
 _QUALITY_EXPR = (

@@ -228,19 +228,40 @@ def test_sessionize_single_exchange(spark):
 
 
 def test_repetition_stats_single_scan_no_join(spark):
-    """x32: per-doc token stats ride through the aggregation chain —
-    one FileScan (tokenize computed once: explode_outer avoids the
-    Generate-pruning filter that re-inlines it at the scan), two
-    doc-keyed shuffles, no join-back, and a map-side partial count
-    below the first exchange."""
+    """x32: every repetition signal is a per-row function of the
+    document's own token array, so the r11 shape is ONE FileScan with
+    the tokenize computed once and ZERO exchanges — the max-bigram
+    count is a sorted-array run-length fold (higher-order aggregate),
+    not an explode + two doc-keyed shuffles (the pre-r11 shape)."""
     df = _specs()["x32_text_repetition"].build(spark, SF)
     plan = explain_str(df, "simple")
     assert plan.count("FileScan") == 1, plan
     assert plan.count("split(lower(text") == 1, plan
-    assert count_exchanges(df) == 2, plan
+    assert count_exchanges(df) == 0, plan
     assert "Join" not in plan, plan
-    first_ex = plan.rfind("Exchange")
-    assert "partial_count" in plan[first_ex:], plan
+    assert "Generate" not in plan, plan  # no explode: bigrams never become rows
+    assert "aggregate(array_sort" in plan, plan  # the run-length fold
+
+
+def test_pipeline_clean_corpus_light_shuffle(spark):
+    """x24 (r11): the dedup exchange carries (fingerprint, doc_id,
+    n_chars, n_tokens) — the survivor stats are computed scan-side and
+    the full scrubbed document text never crosses the shuffle. One
+    exchange, min(struct) aggregation with a map-side partial, no
+    window/sort (the pre-r11 row_number() formulation shuffled
+    clean_text and sorted on both sides of the exchange)."""
+    df = _specs()["x24_pipeline_clean_corpus"].build(spark, SF)
+    plan = explain_str(df, "formatted")
+    assert count_exchanges(df) == 1, plan
+    assert "Window" not in plan and "Sort" not in plan, plan
+    assert "partial_min_by" in plan, plan  # map-side partial, HashAggregate
+    assert "SortAggregate" not in plan, plan  # min_by keeps the hash form
+    # the exchange moves the packed stats struct, not the text
+    import re
+
+    m = re.search(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "clean_text" not in m.group(1), m.group(1)
 
 
 def test_rollup_gapfill_plan(spark):
