@@ -239,20 +239,25 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
+
+    def _timed_runs(spec) -> list[float]:
+        runs = []
+        for _ in range(TIMED_RUNS):
+            _gc_barrier()
+            t0 = time.perf_counter()
+            _run(spec)
+            runs.append(round(time.perf_counter() - t0, 3))
+        return runs
+
     for spec in specs:
         try:
             _gc_barrier()
             for _ in range(WARM_RUNS):
                 _run(spec)
-            runs = []
-            for _ in range(TIMED_RUNS):
-                _gc_barrier()
-                t0 = time.perf_counter()
-                _run(spec)
-                runs.append(time.perf_counter() - t0)
+            runs = _timed_runs(spec)
             timings[spec.name] = round(min(runs), 3)
             medians[spec.name] = round(statistics.median(runs), 3)
-            raw[spec.name] = [round(r, 3) for r in runs]
+            raw[spec.name] = runs
             print(f"  {spec.name}: {timings[spec.name]}s {[round(r, 2) for r in runs]}", file=sys.stderr)
         except Exception as ex:  # one broken query must not zero the whole bench
             # keep the three per-query maps on the SAME key set
@@ -260,6 +265,32 @@ def main() -> None:
             medians[spec.name] = -1.0
             raw[spec.name] = []
             print(f"  {spec.name}: FAILED {type(ex).__name__}: {ex}", file=sys.stderr)
+
+    # THROTTLE-AWARE RERUN (r11): BENCH_r10 burned a round's official
+    # number on a dd-258MB/s window and flagged 7 plan suspects the
+    # code never earned. A query whose timed window coincided with a
+    # weather excursion now gets ONE automatic second chance: 5 more
+    # timed runs + a fresh null-query floor probe, the row marked
+    # weather_rerun in the JSON, and min/median taken over ALL its
+    # runs (min-of-N is the methodology; a rerun is just more N on a
+    # hopefully-quieter window — both windows' raw runs are kept).
+    weather_rerun: dict[str, dict] = {}
+    if sf == "0.1":
+        by_name = {s.name: s for s in specs}
+        for name in (_variance_report(timings) or {}).get("outliers", []):
+            try:
+                floor = _null_query_sec(spark, _gc_barrier)
+                runs = _timed_runs(by_name[name])
+            except Exception as ex:
+                print(f"  {name}: rerun FAILED {type(ex).__name__}: {ex}", file=sys.stderr)
+                continue
+            weather_rerun[name] = {"null_query": floor, "runs": runs}
+            all_runs = raw[name] + runs
+            timings[name] = round(min(all_runs), 3)
+            medians[name] = round(statistics.median(all_runs), 3)
+            raw[name] = all_runs
+            print(f"  {name}: weather_rerun -> {timings[name]}s "
+                  f"(floor {floor}s) {[round(r, 2) for r in runs]}", file=sys.stderr)
 
     # The driver captures only the last ~2000 chars of combined output and
     # parses the JSON line out of THAT (BENCH_r03/r04 went "parsed: null"
@@ -275,7 +306,11 @@ def main() -> None:
         "value_median": round(sum(t for t in medians.values() if t >= 0), 3),
         "queries_median": medians,
         "raw_runs": raw,
-        "methodology": f"min of {TIMED_RUNS} after {WARM_RUNS} warm; clearCache+System.gc+drain barrier before every timed run",
+        "methodology": (
+            f"min of {TIMED_RUNS} after {WARM_RUNS} warm; clearCache+System.gc+drain "
+            "barrier before every timed run; baseline outliers re-run once "
+            f"({TIMED_RUNS} more timed runs, min/median over all) and marked weather_rerun"
+        ),
         "sf": _sf_number(sf),
         # io weather (BENCH_SUSPECTS_CLEAR_r09 methodology): direct-IO
         # disk MB/s at suite start and end + the 32-task null-query
@@ -284,6 +319,8 @@ def main() -> None:
         "dd_mbps": [dd_start, _dd_direct_mbps()],
         "null_query": null_query,
     }
+    if weather_rerun:
+        detail["weather_rerun"] = weather_rerun
     if sf == "0.1":  # the baseline table's scale — ratios only apply there
         vs = _variance_report(timings)
         if vs:
@@ -318,6 +355,8 @@ def main() -> None:
     if vs:
         compact["host_band"] = vs["host_band"]
         compact["plan_suspects"] = vs["outliers"]
+    if weather_rerun:
+        compact["weather_rerun"] = sorted(weather_rerun)
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1500:  # stay well inside the driver's 2000-char tail
         compact.pop("queries", None)

@@ -63,38 +63,72 @@ def bm25_topk(
     are summed in term order (sorted struct array + sequential fold)
     so the result is bit-reproducible across engines and
     partitionings."""
-    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    corpus = dl.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    # Query terms are a short literal list (a search query), so per-doc
+    # term frequencies are per-row ARRAY expressions over one shared
+    # tokenize — no explode, no (doc_id, term) shuffle at all. One scan
+    # produces (doc_id, dl, tf_0..tf_m) feeding both the single-row
+    # corpus-stats aggregate and the scoring projection (two scans of
+    # the parquet, each tokenizing once — down from FOUR tokenize
+    # passes in the old explode shape, where the tf, df, dl and avgdl
+    # branches each re-ran scan+Generate; Catalyst pushes the
+    # match-only filter into the scoring branch's scan, so non-matching
+    # docs exit before the join).
+    terms_sorted = sorted(set(terms))
+    toks = tokens(text_col)  # CSE'd across the size/filter expressions below
+
+    def _tf(t: str) -> Column:
+        # NB: single-parameter lambda — a second (default) parameter
+        # would make PySpark pass the ELEMENT INDEX as the second arg.
+        return F.size(F.filter(toks, lambda x: x == F.lit(t)))
+
+    per_doc = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms_sorted)],
     )
-    tf = (
-        toks.filter(F.col("tok").isin(terms))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
+    # n_docs/avgdl replicate the explode shape exactly: a doc with zero
+    # tokens never produced a (doc_id, tok) row, so it counts toward
+    # neither n_docs nor avgdl's denominator (dl=0 adds nothing to the
+    # numerator either way).
+    n_docs = F.count(F.when(F.col("dl") > 0, True))
+    stats = per_doc.agg(
+        n_docs.alias("n_docs"),
+        (F.sum("dl") / n_docs).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, True)).alias(f"df_{i}")
+            for i in range(len(terms_sorted))
+        ],
     )
-    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    tscore = _bm25_term_score()
-    per_term = (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .select("doc_id", F.struct(F.col("tok"), tscore.alias("s")).alias("ts"))
-    )
-    # round to 9 decimals: JVM Math.log and C libm log() legally differ
-    # in the last ulp (~2e-16 here), which would break the cross-engine
-    # value hash; 9 decimals is far above ulp noise and far below any
-    # meaningful score distinction
-    return (
-        per_term.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("ts")).alias("arr"))
-        .select(
-            "doc_id",
-            F.round(
-                F.aggregate(F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["s"]), 9
-            ).alias("score"),
+
+    def term_s(i: int) -> Column:
+        tf, dfq = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log((F.col("n_docs") - dfq + 0.5) / (dfq + 0.5) + 1.0)
+        s = (
+            idf
+            * (tf * (BM25_K1 + 1.0))
+            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
         )
+        return F.when(tf > 0, s).otherwise(F.lit(0.0))
+
+    # Left fold in ascending-term order, seeded with 0.0 — the same
+    # sequence of double additions as the old sort_array + F.aggregate
+    # fold (absent terms contribute +0.0, which is bitwise identity
+    # here: every real term score is > 0 and the accumulator is never
+    # -0.0). round to 9 decimals: JVM Math.log and C libm log() legally
+    # differ in the last ulp (~2e-16), which would break the
+    # cross-engine value hash; 9 decimals is far above ulp noise and
+    # far below any meaningful score distinction.
+    score = F.lit(0.0)
+    for i in range(len(terms_sorted)):
+        score = score + term_s(i)
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(
+            F.greatest(*[F.col(f"tf_{i}") for i in range(len(terms_sorted))]) > 0
+            if len(terms_sorted) > 1
+            else F.col("tf_0") > 0
+        )
+        .select("doc_id", F.round(score, 9).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )

@@ -120,10 +120,11 @@ class _DailyCountProcessor(_StatefulProcessor):
                 d = int(d)
                 if d in touched:
                     prev = touched[d]
-                elif self._counts.containsKey((d,)):
-                    prev = int(self._counts.getValue((d,))[0])
                 else:
-                    prev = 0
+                    # one RPC, not containsKey()+getValue(): getValue
+                    # returns None when the map has no such key
+                    stored = self._counts.getValue((d,))
+                    prev = int(stored[0]) if stored is not None else 0
                 total = prev + int(c)
                 self._counts.updateValue((d,), (total,))
                 touched[d] = total
@@ -340,11 +341,16 @@ class _SessionExpiryProcessor(_StatefulProcessor):
         if not evts:
             return
         evts.sort()
-        existed = self._sess.exists()
-        if existed:
-            start, last, n = (int(x) for x in self._sess.get())
+        # ONE state-server round-trip, not exists()+get(): get()
+        # returns None when the value state is absent (at 1500 keys
+        # per batch at sf0.1 — and 150k at the 10M-event probe — the
+        # exists() RPC was pure per-key overhead).
+        prev = self._sess.get()
+        if prev is not None:
+            start, last, n = (int(x) for x in prev)
         else:
             start, last, n = -1, -1, 0
+        prev_last = last
         closed: list[tuple[int, int, int]] = []
         for t in evts:
             if n == 0:
@@ -357,18 +363,19 @@ class _SessionExpiryProcessor(_StatefulProcessor):
         self._sess.update((start, last, n))
         # exactly one armed timer per user: re-arm at the new expiry.
         # INVARIANT: a timer is armed iff the value state exists (we
-        # register after every update and clear both on expiry), so a
-        # key seen for the FIRST time has no timer to delete — skipping
-        # listTimers there removes one state-server round-trip per new
-        # key (at 150k first-batch keys that is 150k round-trips).
-        # Materialize listTimers() BEFORE deleting: the PySpark timer
-        # iterator is backed by state-server round-trips, and mutating
-        # timer state while that iterator is live is undefined (works
-        # today only because a single timer is armed).
-        if existed:
-            for old in list(self._handle.listTimers()):
-                self._handle.deleteTimer(old)
-        self._handle.registerTimer((last + SESSION_GAP_US) // 1000)
+        # register after every update and clear both on expiry), and
+        # its expiry is always prev_last + GAP — derivable from the
+        # state we just read, so the old timer is deleted by VALUE
+        # (one RPC) instead of via the listTimers() iterator protocol
+        # (its own round-trips per key). A first-time key has no timer
+        # to delete, and an unchanged expiry needs no re-arm at all.
+        old_expiry = (prev_last + SESSION_GAP_US) // 1000
+        new_expiry = (last + SESSION_GAP_US) // 1000
+        if prev is None:
+            self._handle.registerTimer(new_expiry)
+        elif new_expiry != old_expiry:
+            self._handle.deleteTimer(old_expiry)
+            self._handle.registerTimer(new_expiry)
         if closed:
             yield pd.DataFrame(
                 {
@@ -386,9 +393,10 @@ class _SessionExpiryProcessor(_StatefulProcessor):
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         import pandas as pd
 
-        if not self._sess.exists():
+        prev = self._sess.get()  # one RPC: None when already cleared
+        if prev is None:
             return
-        start, last, n = (int(x) for x in self._sess.get())
+        start, last, n = (int(x) for x in prev)
         self._sess.clear()
         yield pd.DataFrame(
             {

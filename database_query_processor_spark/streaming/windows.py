@@ -173,11 +173,19 @@ def _run_to_parquet_sink(out: DataFrame, prefix: str) -> DataFrame:
     every session exactly once under any batching (data-closed inline,
     timer-closed on expiry), so its update-mode emissions ARE
     append-semantics rows. A fresh scratch dir per run keeps re-runs
-    independent (the file sink otherwise accumulates across runs)."""
+    independent (the file sink otherwise accumulates across runs);
+    every dir is registered for atexit removal — the read-back is
+    lazy, so the files must outlive this call, but nothing needs them
+    past process exit (at the 100M-event probe scale each run leaves
+    GBs under /tmp; any dir orphaned by a hard kill is identifiable
+    by the dqps_stream_* prefix)."""
+    import atexit
+    import shutil
     import tempfile
 
     spark = out.sparkSession
     root = tempfile.mkdtemp(prefix=f"dqps_stream_{prefix}_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     path = f"{root}/out"
     q = (
         out.writeStream.outputMode("append")
@@ -190,7 +198,12 @@ def _run_to_parquet_sink(out: DataFrame, prefix: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(path)
+    # schema-pinned read-back: a query that commits ZERO rows (e.g. an
+    # attribution join with no matches at a tiny scale factor) leaves
+    # no parquet footer to infer from — the explicit schema returns an
+    # empty typed frame instead of an unable-to-infer-schema error
+    # (the old memory sink's behavior).
+    return spark.read.schema(out.schema).parquet(path)
 
 
 def run_tumbling_stream(spark: SparkSession, sf_dir: str, size: str = "1 hour") -> DataFrame:

@@ -36,7 +36,10 @@ def duck_connect(sf_dir: str):
         # than filling the disk).
         import tempfile
 
-        spill = os.path.join(tempfile.gettempdir(), "dqps_duck_spill")
+        # per-process spill path: concurrent oracle runners (the sf10
+        # SF10T_SECTIONS sweeps) must not share one directory and one
+        # 60GiB budget, or a heavy section can starve a neighbor
+        spill = os.path.join(tempfile.gettempdir(), f"dqps_duck_spill_{os.getpid()}")
         os.makedirs(spill, exist_ok=True)
         con.execute(f"SET temp_directory='{spill}'")
         con.execute("SET max_temp_directory_size='60GiB'")

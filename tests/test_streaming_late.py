@@ -83,7 +83,8 @@ class _FakeMapState:
         return k in self.d
 
     def getValue(self, k):
-        return self.d[k]
+        # real MapState.getValue returns None for a missing key
+        return self.d.get(k)
 
     def updateValue(self, k, v):
         self.d[k] = v
