@@ -367,24 +367,31 @@ def ohlc_bars(
     first/last row of the bucket under the total order (ts, id) — the
     id tiebreak makes ties deterministic.
 
-    Shape: ONE hash shuffle with full map-side partial aggregation —
-    open/close ride a lexicographic MIN/MAX over (ts, id, value)
-    structs, so every partial combines locally and the shuffle carries
-    one struct pair per (partition × key × bucket). This beats the
-    row_number-window formulation, which must sort whole partitions
-    and cannot partial-aggregate before the exchange.
+    Shape: ONE hash shuffle with full map-side partial aggregation,
+    and the aggregate is a true HashAggregate: open/close ride
+    MIN_BY/MAX_BY over the total order (ts, id) packed into a single
+    DECIMAL(38,0) key (`unix_micros(ts)·10¹⁸ + id` — micros ≲10¹⁷ and
+    ids <10¹⁸, so the packing is order-preserving and overflow-free).
+    A lexicographic MIN/MAX over (ts, id, value) STRUCTS computes the
+    same thing but struct buffers aren't UnsafeRow-mutable, forcing a
+    SortAggregate (sort every partition by key × bucket) on both sides
+    of the exchange; decimal buffers hash-aggregate. Either way beats
+    the row_number-window formulation, which must sort whole
+    partitions and cannot partial-aggregate before the exchange.
     """
     n_units, unit = _parse_bucket(bucket)
-    s = F.struct(
-        F.col(ts_col).alias("t"), F.col(id_col).alias("e"), F.col(val_col).alias("v")
+    order_key = (
+        F.unix_micros(F.col(ts_col).cast("timestamp")).cast("decimal(38,0)")
+        * F.lit(1_000_000_000_000_000_000).cast("decimal(19,0)")
+        + F.col(id_col)
     )
     return df.groupBy(
         F.col(key_col), _bucket_start(F.col(ts_col), n_units, unit).alias("ws")
     ).agg(
-        F.min(s).getField("v").alias("open"),
+        F.min_by(F.col(val_col), order_key).alias("open"),
         F.max(F.col(val_col)).alias("high"),
         F.min(F.col(val_col)).alias("low"),
-        F.max(s).getField("v").alias("close"),
+        F.max_by(F.col(val_col), order_key).alias("close"),
         F.count("*").alias("n"),
     )
 

@@ -415,14 +415,16 @@ def test_hard_negatives_pool_group_limit(spark):
 
 def test_ohlc_single_shuffle_partial_agg(spark):
     """t07: OHLC bars must be ONE exchange with a map-side partial
-    aggregate below it (struct MIN/MAX combine locally; Spark plans
-    SortAggregate because struct buffers aren't hash-aggregable) —
+    aggregate below it, and a true HashAggregate — open/close ride
+    MIN_BY/MAX_BY over a packed decimal (ts, id) key (decimal buffers
+    are hash-aggregable; struct MIN/MAX would force SortAggregate) —
     not a window sort over whole partitions."""
     df = _specs()["t07_ohlc_bars"].build(spark, SF)
     plan = explain_str(df, "simple")
     assert count_exchanges(df) == 1, plan
     ex = plan.find("Exchange")
-    assert "partial_min" in plan[ex:], plan
+    assert "partial_min_by" in plan[ex:], plan
+    assert "SortAggregate" not in plan, plan
     assert "Window" not in plan, plan
 
 
