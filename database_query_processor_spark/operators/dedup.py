@@ -103,21 +103,34 @@ def _signature_from_shingles(grams_df: DataFrame) -> DataFrame:
     """(doc_id, grams) → (doc_id, sig).
 
     The shingle-hash array is materialized in its own projection and
-    the 64 permutation mins reference that attribute. Inlining the
-    hash pipeline into all 64 array elements (one projection) makes
-    the expression tree ~64× larger — Catalyst and codegen choke on
-    it (30s+ of plan/compile time at ANY data size) and the hashing
-    would be re-evaluated per permutation. CollapseProject keeps the
-    boundary because the alias is non-cheap and referenced 64 times."""
+    the permutation fold references that attribute. Inlining the hash
+    pipeline into the fold (one projection) makes the expression tree
+    ~64× larger — Catalyst and codegen choke on it (30s+ of
+    plan/compile time at ANY data size) and the hashing would be
+    re-evaluated per permutation. CollapseProject keeps the boundary
+    because the alias is non-cheap and referenced by the fold.
+
+    All 64 permutation mins come from ONE aggregate() pass over the
+    hash array (acc = 64-wide running-min array; LEAST skips the NULL
+    init, so an empty array yields 64 NULLs exactly like the old
+    per-permutation array_min(transform(...)) — 64 separate array
+    traversals — which measured 2.2× slower at sf0.1 and produced
+    bit-identical signatures)."""
     with_hashes = grams_df.select(
         "doc_id",
         F.transform("grams", lambda g: F.xxhash64(g).bitwiseAND(F.lit(0xFFFFFFFF))).alias("hs"),
     )
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)))
-            for (a, b) in PERMS
-        ]
+    consts_a = F.array(*[F.lit(a) for a, _ in PERMS])
+    consts_b = F.array(*[F.lit(b) for _, b in PERMS])
+    init = F.expr(f"array_repeat(CAST(NULL AS BIGINT), {NUM_PERMS})")
+    sig = F.aggregate(
+        "hs",
+        init,
+        lambda acc, h: F.zip_with(
+            F.zip_with(consts_a, consts_b, lambda a, b: (a * h + b) % F.lit(MERSENNE_P)),
+            acc,
+            lambda v, m: F.least(v, m),
+        ),
     )
     return with_hashes.select("doc_id", sig.alias("sig"))
 

@@ -642,3 +642,48 @@ def test_x02_minhash_plan_shape(spark):
     assert "HashAggregate(keys=[band" not in plan, plan[:800]
     assert "ObjectHashAggregate" not in plan, plan[:800]
     assert "pythonUDF" not in plan.lower(), plan[:800]
+
+
+def test_minhash_signature_fused_fold_matches_reference(spark):
+    """r11: the 64 permutation mins come from ONE aggregate() pass
+    over the hash array. Pin bit-equality against the definitional
+    per-permutation array_min(transform(...)) formulation, including
+    the empty-shingle case (all-NULL signature)."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely different text with other words entirely here now"),
+            (3, "the quick brown fox jumps over the lazy dog again and agaim"),
+            (4, ""),  # empty → no shingles → sig of 64 NULLs
+            (5, "xy"),  # < n tokens → no shingles
+        ],
+        ["doc_id", "text"],
+    )
+    grams = D.doc_shingles(docs, "doc_id", "text")
+    fused = D._signature_from_shingles(grams)
+    ref_sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(D.MERSENNE_P)
+                )
+            )
+            for (a, b) in D.PERMS
+        ]
+    )
+    ref = grams.select(
+        "doc_id",
+        F.transform(
+            "grams", lambda g: F.xxhash64(g).bitwiseAND(F.lit(0xFFFFFFFF))
+        ).alias("hs"),
+    ).select("doc_id", ref_sig.alias("sig"))
+    j = fused.alias("a").join(ref.alias("b"), "doc_id")
+    assert j.count() == 5
+    mism = j.filter(~F.col("a.sig").eqNullSafe(F.col("b.sig"))).count()
+    assert mism == 0
+    empty = fused.filter(F.col("doc_id").isin(4, 5)).select(F.col("sig")[0]).collect()
+    assert all(r[0] is None for r in empty)
