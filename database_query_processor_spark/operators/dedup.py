@@ -443,22 +443,37 @@ def minhash_dedup_pairs(
 
 def simhash64(text_col: str) -> Column:
     """64-bit SimHash over unigram token hashes: bit b of the signature
-    is the sign of Σ_tokens (2·bit_b(xxhash64(tok)) − 1). Computed with
-    nested higher-order functions — still a scan-side map."""
+    is the sign of Σ_tokens (2·bit_b(xxhash64(tok)) − 1). ONE fold over
+    the token-hash array accumulates all 64 bit-sums via zip_with
+    (bit-sums are integers, so the reassociation is exact; the pre-r11
+    form ran 64 separate array folds — 64 traversals). The signature
+    assembles inside the same expression: bit b set iff sums[b] > 0,
+    as 2^b via pow for b ≤ 62 (powers of two are exact in doubles and
+    fit signed-64) and the min-long literal for b = 63 — bit values
+    are distinct powers, so the final sum equals the bitwise OR."""
     hs = F.transform(F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t))
 
-    def _bit_merger(bit: int):
-        # NB: pyspark infers lambda arity from the signature — keep
-        # exactly (acc, h); the bit index must come via closure.
-        return lambda acc, h: acc + (F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        bit_sum = F.aggregate(hs, F.lit(0).cast("long"), _bit_merger(b))
-        out = out.bitwiseOR(
-            F.when(bit_sum > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+    def token_bits(h):
+        return F.array(
+            *[
+                (F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                for b in range(64)
+            ]
         )
-    return out
+
+    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+    sums = F.aggregate(hs, zero, lambda acc, h: F.zip_with(acc, token_bits(h), lambda x, y: x + y))
+    indexed = F.zip_with(
+        sums,
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda s, b: F.when(
+            s > 0,
+            F.when(b == 63, F.lit(-9223372036854775808).cast("long")).otherwise(
+                F.pow(F.lit(2.0), b.cast("double")).cast("long")
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(indexed, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def simhash60_md5(text_col: str) -> Column:
