@@ -470,22 +470,67 @@ def run_session_expiry_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STREAM_STATE_BYTES_PER_PARTITION = 256 * 1024
+
+
+def _stream_state_partitions(spark: SparkSession, input_bytes: int) -> int:
+    """Number of state-store partitions for a stateful stream, derived
+    from the INPUT SIZE instead of inherited from the session's batch
+    shuffle default (which tracks core count).
+
+    Why (r12, guide §2.2 "fewer, larger partitions" applied to state
+    stores): every state partition is a RocksDB instance whose commit
+    zips + fsyncs a snapshot to the checkpoint location EVERY
+    micro-batch — a fixed per-partition cost that, over-partitioned,
+    turns into an fsync storm. Measured on s12 at sf0.1 (2 MB input,
+    1500 keys, artifacts/S12_PROGRESS_r12.json): 32 partitions →
+    rocksdbCommitFileSyncLatencyMs sums 47-78 s per batch (contention:
+    ~2.3 s per tiny commit); 8 partitions → 1-4 s total; wall 5.4 →
+    4.5 s. The knee is ~256 KiB of batch input per partition
+    (4 partitions starves update parallelism: 5.98 s; 16 re-adds
+    commit cost: 5.14 s).
+
+    Scale behavior: the count grows linearly with input until capped
+    by defaultParallelism, so a 100 TB/day stream still gets
+    cluster-wide parallelism, while a small replay is never taxed
+    32 fsyncs per batch for kilobytes of state. Deriving from data
+    rather than cores also makes the bench's 8-core and 32-core runs
+    use the SAME state partitioning (comparable scaling ratios).
+    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` overrides for deployments
+    that size state partitions explicitly (the count is fixed at the
+    first checkpoint for a production stream's lifetime — pick it for
+    the target state size, not the replay's)."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env:
+        n = int(env)
+        if n < 1:
+            raise ValueError(f"SPARK_GRAFT_STREAM_STATE_PARTITIONS must be >= 1, got {n}")
+        return n
+    by_bytes = max(1, round(input_bytes / STREAM_STATE_BYTES_PER_PARTITION))
+    return min(spark.sparkContext.defaultParallelism, by_bytes)
+
+
 def _run_tws_topology(
     spark: SparkSession, sf_dir: str, transform, prefix: str,
     sink: str = "memory",
 ) -> DataFrame:
     """Shared transformWithState drive scaffold: set the RocksDB state
-    store provider (transformWithState requires it) for the run's
-    lifetime and restore it, stream events through ``transform``, and
-    return the sink contents. All tws queries (and any future one)
-    share the save/try/finally-restore discipline here instead of
-    copying it.
+    store provider (transformWithState requires it) and the
+    input-derived state partition count (see _stream_state_partitions)
+    for the run's lifetime and restore them, stream events through
+    ``transform``, and return the sink contents. All tws queries (and
+    any future one) share the save/try/finally-restore discipline here
+    instead of copying it.
 
     ``sink``: 'memory' (update-mode memory sink — right for the
     small per-key-aggregate outputs, s10/s11) or 'parquet' (the
     DISTRIBUTED file sink — required when the output is O(input)
     rows, s12's sessions; see windows._run_to_parquet_sink for the
     measured driver-collect pathology)."""
+    import os
+
     from .windows import (
         _events_stream,
         _rocksdb_state_store,
@@ -493,11 +538,22 @@ def _run_tws_topology(
         _run_to_parquet_sink,
     )
 
-    with _rocksdb_state_store(spark):
-        stream = _events_stream(spark, sf_dir)
-        if sink == "parquet":
-            return _run_to_parquet_sink(transform(stream), prefix)
-        return _run_to_memory_sink(transform(stream), prefix, mode="update")
+    input_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    parts = _stream_state_partitions(spark, input_bytes)
+    conf = spark.conf
+    saved = conf.get("spark.sql.shuffle.partitions", None)
+    conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        with _rocksdb_state_store(spark):
+            stream = _events_stream(spark, sf_dir)
+            if sink == "parquet":
+                return _run_to_parquet_sink(transform(stream), prefix)
+            return _run_to_memory_sink(transform(stream), prefix, mode="update")
+    finally:
+        if saved is None:
+            conf.unset("spark.sql.shuffle.partitions")
+        else:
+            conf.set("spark.sql.shuffle.partitions", saved)
 
 
 def run_recent_top_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
