@@ -93,6 +93,33 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     )
 
 
+def doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, hs64): the distinct shingle set as FULL 64-bit
+    xxhash64 values — the lightweight proxy of `doc_shingles` (guide
+    §2.3 "shuffle keys and metadata instead of payloads"): every
+    pipeline decision (signatures, banding, candidate verify) depends
+    only on shingle IDENTITY, never on shingle text, so persisting and
+    shuffling 8-byte longs instead of ~30-byte gram strings shrinks
+    the cached intermediate and every downstream exchange by ~4x.
+
+    Identity contract: xxhash64 is injective on every tested corpus
+    (artifacts/collision_check_r12.py asserts count(distinct gram) ==
+    count(distinct hash) at sf0.001/0.01/0.1, so all derived results
+    are BIT-IDENTICAL to the string form there). At 10^12 distinct
+    shingles (100 TB) the birthday bound expects ~27k colliding PAIRS
+    corpus-wide; a collision only perturbs a result when both grams
+    co-occur in one candidate pair — the same p≈2^-64 trade the LSH
+    band keys already make. The 32-bit masked hash the MinHash
+    permutations consume is derived as hs64 & 0xFFFFFFFF, exactly the
+    xxhash64(g).bitwiseAND(...) the string pipeline computed."""
+    return _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            F.array_distinct(word_ngrams(tokens(text_col), n)), lambda g: F.xxhash64(g)
+        ).alias("hs64"),
+    )
+
+
 def shingle_hashes(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles → 32-bit hashes."""
     grams = F.array_distinct(word_ngrams(tokens(text_col), n))
@@ -120,6 +147,26 @@ def _signature_from_shingles(grams_df: DataFrame) -> DataFrame:
         "doc_id",
         F.transform("grams", lambda g: F.xxhash64(g).bitwiseAND(F.lit(0xFFFFFFFF))).alias("hs"),
     )
+    return _signature_from_hash32(with_hashes)
+
+
+def _signature_from_hashes64(hs_df: DataFrame) -> DataFrame:
+    """(doc_id, hs64) → (doc_id, sig): signatures from the 64-bit
+    shingle-hash proxy. Masking to 32 bits reproduces exactly the
+    hs the string pipeline fed the permutation fold, so signatures
+    are bit-identical to `_signature_from_shingles`."""
+    return _signature_from_hash32(
+        hs_df.select(
+            "doc_id",
+            F.transform("hs64", lambda h: h.bitwiseAND(F.lit(0xFFFFFFFF))).alias("hs"),
+        )
+    )
+
+
+def _signature_from_hash32(with_hashes: DataFrame) -> DataFrame:
+    """(doc_id, hs: array<bigint> of 32-bit-masked shingle hashes) →
+    (doc_id, sig). Shared tail of both signature entries; see
+    `_signature_from_shingles` for the fold design notes."""
     consts_a = F.array(*[F.lit(a) for a, _ in PERMS])
     consts_b = F.array(*[F.lit(b) for _, b in PERMS])
     init = F.expr(f"array_repeat(CAST(NULL AS BIGINT), {NUM_PERMS})")
@@ -419,15 +466,24 @@ def minhash_dedup_pairs(
     Spark frees the blocks at context shutdown, and long-lived
     sessions issuing MANY dedup queries should call
     ``spark.catalog.clearCache()`` between queries (bench.py and
-    sweep.py both do); disk-backed blocks are not LRU-evicted."""
-    grams = doc_shingles(df, id_col, text_col)
+    sweep.py both do); disk-backed blocks are not LRU-evicted.
+
+    WHAT IS PERSISTED (r12, guide §5/§2.3): the 64-bit shingle-HASH
+    arrays, not the gram strings — shingle identity is all any
+    consumer needs (signatures mask to 32 bits; the verify intersects
+    hash sets), so the cached bytes and the two verify-join exchanges
+    carry 8-byte longs instead of ~30-byte strings. Equivalence to
+    the string pipeline: injective on every tested corpus
+    (collision_check_r12.py) → bit-identical results; see
+    doc_shingle_hashes for the 100 TB collision analysis."""
+    grams = doc_shingle_hashes(df, id_col, text_col)
     if persist_shingles:
         from pyspark import StorageLevel
 
         grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
-    cands = lsh_candidate_pairs(_signature_from_shingles(grams))
-    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    cands = lsh_candidate_pairs(_signature_from_hashes64(grams))
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("hs64").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("hs64").alias("grams_b"))
     return (
         cands.join(ga, "id_a")
         .join(gb, "id_b")
