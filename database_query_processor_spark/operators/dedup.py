@@ -506,7 +506,13 @@ def simhash64(text_col: str) -> Column:
     assembles inside the same expression: bit b set iff sums[b] > 0,
     as 2^b via pow for b ≤ 62 (powers of two are exact in doubles and
     fit signed-64) and the min-long literal for b = 63 — bit values
-    are distinct powers, so the final sum equals the bitwise OR."""
+    are distinct powers, so the final sum equals the bitwise OR.
+
+    NULL contract (changed in r11 with the fused fold): NULL text →
+    NULL signature (the final aggregate over a NULL array is NULL);
+    the pre-r11 form returned 0. NULL-in-NULL-out is the standard SQL
+    convention and the only call site filters token-less docs first —
+    coalesce at the call site if the 0 contract is needed."""
     hs = F.transform(F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t))
 
     def token_bits(h):

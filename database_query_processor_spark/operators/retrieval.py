@@ -4,14 +4,19 @@ reference analog; the reference has no text surface at all beyond
 STRING equality, src/qp/utils/Attribute.java:11-13).
 
 Scale design:
-  * BM25: term frequencies come from one explode+groupBy over the
-    token stream (shuffle keyed by (doc, term), map-side combined);
-    document frequencies and corpus stats are tiny aggregates that
-    broadcast. Scoring is scan-side arithmetic; the top-k is
+  * BM25 (bm25_topk, query-literal terms): per-document term
+    frequencies are per-row array expressions over ONE shared
+    tokenize — no explode, no (doc, term) shuffle; the only exchange
+    is the single-row corpus-stats aggregate broadcast back to the
+    scoring scan. Scoring is scan-side arithmetic; the top-k is
     TakeOrderedAndProject (per-partition heaps, driver merges k rows
-    — never a global sort). At 100 TB the only big shuffle carries
-    (doc_id, term, count) for QUERY TERMS ONLY — filtered before the
-    shuffle, so cost scales with hit count, not corpus size.
+    — never a global sort). Cost is O(|terms|·|tokens|) per row:
+    right for search-query-sized term lists (see bm25_topk).
+  * BM25 (bm25_hard_negatives, query docs × corpus): term
+    frequencies come from one explode+groupBy over the token stream
+    (shuffle keyed by (doc, term), map-side combined, query-term
+    semi-join BEFORE the shuffle); document frequencies and corpus
+    stats are tiny aggregates that broadcast.
   * Unigram-LM scoring: the "train" pass is a token-frequency
     aggregate (one shuffle of (term, count)); the "score" pass joins
     per-token log-probs back and fold-sums them per document. The
@@ -36,17 +41,32 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def _bm25_term_score() -> Column:
-    """The shared per-term Okapi BM25 score expression over columns
-    (tf, df, dl, n_docs, avgdl): idf(t) * tf*(k1+1) / (tf + k1*(1 - b
-    + b*dl/avgdl)) with RSJ idf = ln((N - df + 0.5)/(df + 0.5) + 1).
-    One definition keeps bm25_topk, bm25_hard_negatives, and their
-    DuckDB oracles from drifting apart on the formula or K1/B."""
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+def _bm25_term_score(
+    tf: Column | None = None,
+    df: Column | None = None,
+    dl: Column | None = None,
+    n_docs: Column | None = None,
+    avgdl: Column | None = None,
+) -> Column:
+    """The shared per-term Okapi BM25 score expression:
+    idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with RSJ
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1). Parameterized over column
+    expressions (defaults: the like-named columns) so bm25_topk's
+    per-index tf_i/df_i columns and bm25_hard_negatives' exploded
+    (tf, df) rows evaluate the ONE definition — keeping them and the
+    DuckDB oracles from drifting apart on the formula or K1/B. The
+    operation ORDER below is part of the cross-engine contract (float
+    addition/multiplication are not associative)."""
+    tf = F.col("tf") if tf is None else tf
+    df = F.col("df") if df is None else df
+    dl = F.col("dl") if dl is None else dl
+    n_docs = F.col("n_docs") if n_docs is None else n_docs
+    avgdl = F.col("avgdl") if avgdl is None else avgdl
+    idf = F.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
     return (
         idf
-        * (F.col("tf") * (BM25_K1 + 1.0))
-        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+        * (tf * (BM25_K1 + 1.0))
+        / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
     )
 
 
@@ -62,7 +82,18 @@ def bm25_topk(
     idf = ln((N − df + 0.5)/(df + 0.5) + 1). Per-document term scores
     are summed in term order (sorted struct array + sequential fold)
     so the result is bit-reproducible across engines and
-    partitionings."""
+    partitionings.
+
+    ``terms`` is assumed to be a search-query-sized literal list: the
+    per-row tf scans make cost O(|terms|·|tokens|) per document, the
+    right trade for short queries (it removes the (doc, term) shuffle
+    entirely) but a silent degradation for hundred-term lists — use
+    the explode-shaped bm25_hard_negatives machinery for those. An
+    empty ``terms`` matches nothing and returns an empty frame."""
+    if not terms:
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
     # Query terms are a short literal list (a search query), so per-doc
     # term frequencies are per-row ARRAY expressions over one shared
     # tokenize — no explode, no (doc_id, term) shuffle at all. One scan
@@ -101,13 +132,8 @@ def bm25_topk(
     )
 
     def term_s(i: int) -> Column:
-        tf, dfq = F.col(f"tf_{i}"), F.col(f"df_{i}")
-        idf = F.log((F.col("n_docs") - dfq + 0.5) / (dfq + 0.5) + 1.0)
-        s = (
-            idf
-            * (tf * (BM25_K1 + 1.0))
-            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
-        )
+        tf = F.col(f"tf_{i}")
+        s = _bm25_term_score(tf=tf, df=F.col(f"df_{i}"))
         return F.when(tf > 0, s).otherwise(F.lit(0.0))
 
     # Left fold in ascending-term order, seeded with 0.0 — the same

@@ -378,8 +378,28 @@ def ohlc_bars(
     of the exchange; decimal buffers hash-aggregate. Either way beats
     the row_number-window formulation, which must sort whole
     partitions and cannot partial-aggregate before the exchange.
+
+    ``id_col`` contract (what makes the packed key a total order):
+    an integral column, non-negative, < 10¹⁸, and UNIQUE per row —
+    the standard row-id shape. The type is checked here (a string or
+    floating id would silently reorder under the arithmetic packing);
+    negatives/overflow cannot occur for ids within the documented
+    range, and row-uniqueness is what makes min_by/max_by ties
+    impossible (two rows sharing (ts, id) would be picked between
+    arbitrarily — if your ids can repeat, pre-deduplicate or
+    synthesize a unique id before calling).
     """
     n_units, unit = _parse_bucket(bucket)
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"ohlc_bars id_col {id_col!r} must be an integral row id "
+            f"(got {id_type.simpleString()}): the (ts, id) order key is "
+            "packed arithmetically and a non-integral id would reorder ties "
+            "silently"
+        )
     order_key = (
         F.unix_micros(F.col(ts_col).cast("timestamp")).cast("decimal(38,0)")
         * F.lit(1_000_000_000_000_000_000).cast("decimal(19,0)")

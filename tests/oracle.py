@@ -34,15 +34,35 @@ def duck_connect(sf_dir: str):
         # SWEEP_SF10_TEXT_r09.txt. Give the limited connection a spill
         # path (bounded so a quadratic oracle still dies loudly rather
         # than filling the disk).
-        import tempfile
-
         # per-process spill path: concurrent oracle runners (the sf10
         # SF10T_SECTIONS sweeps) must not share one directory and one
-        # 60GiB budget, or a heavy section can starve a neighbor
-        spill = os.path.join(tempfile.gettempdir(), f"dqps_duck_spill_{os.getpid()}")
+        # budget, or a heavy section can starve a neighbor. The cap is
+        # PER PROCESS, so N concurrent runners can spill N*cap —
+        # DUCKDB_SPILL_BUDGET sizes it (total_disk_budget / n_runners)
+        # when running more than the default single sweep; crashed
+        # runners' dirs are reaped at the next connect (best-effort,
+        # same tempdir, so orphans never accumulate past one sweep).
+        import shutil
+        import tempfile
+
+        tmp = tempfile.gettempdir()
+        for d in os.listdir(tmp):
+            if d.startswith("dqps_duck_spill_"):
+                try:
+                    pid = int(d.rsplit("_", 1)[1])
+                    os.kill(pid, 0)  # raises if that pid is gone
+                except (ValueError, ProcessLookupError):
+                    shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
+                except PermissionError:
+                    pass  # live pid owned by someone else: leave it
+        spill = os.path.join(tmp, f"dqps_duck_spill_{os.getpid()}")
         os.makedirs(spill, exist_ok=True)
+        import atexit
+
+        atexit.register(shutil.rmtree, spill, ignore_errors=True)
         con.execute(f"SET temp_directory='{spill}'")
-        con.execute("SET max_temp_directory_size='60GiB'")
+        budget = os.environ.get("DUCKDB_SPILL_BUDGET", "60GiB")
+        con.execute(f"SET max_temp_directory_size='{budget}'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(path):  # Spark-written dataset (e.g. the sf1 scratch)

@@ -698,3 +698,41 @@ def test_merge_into_null_key_rows_keep_sql_merge_semantics(spark):
     )
     got2 = sorted([(r.k, r.v) for r in no_ins.collect()], key=str)
     assert got2 == sorted([(1, "a2"), (None, "tnull")], key=str)
+
+
+def test_ohlc_id_contract_and_ts_tie_determinism(spark):
+    """t07's open/close ride min_by/max_by over the packed decimal
+    (ts, id) key. The id contract (integral, row-unique) is what makes
+    ties impossible: (a) timestamp ties between DISTINCT ids must
+    break by id deterministically, (b) a non-integral id must be
+    rejected loudly at the API boundary (arithmetic packing would
+    silently reorder a string id), (c) duplicate (ts, id) rows —
+    a contract violation — still aggregate high/low/n correctly and
+    pick open/close from within the duplicate set."""
+    import pytest as _pytest
+
+    from database_query_processor_spark.operators.temporal import ohlc_bars
+
+    ts = "2024-01-01 00:10:00"
+    rows = [("k", ts, 5.0, 2), ("k", ts, 1.0, 1), ("k", ts, 3.0, 7)]
+    df = spark.createDataFrame(rows, "key string, ts string, v double, id int")
+    out = ohlc_bars(df, "key", "ts", "v", "id").collect()
+    assert len(out) == 1
+    r = out[0]
+    # same ts everywhere: open = value at min id (1), close = at max id (7)
+    assert (r.open, r.high, r.low, r.close, r.n) == (1.0, 5.0, 1.0, 3.0, 3)
+
+    with _pytest.raises(TypeError, match="integral row id"):
+        ohlc_bars(
+            df.withColumn("id", F.col("id").cast("string")),
+            "key", "ts", "v", "id",
+        )
+
+    # duplicate (ts, id) with EQUAL values: result well-defined even
+    # though the pair violates the row-uniqueness contract
+    dup = spark.createDataFrame(
+        [("k", ts, 2.0, 1), ("k", ts, 2.0, 1), ("k", ts, 9.0, 3)],
+        "key string, ts string, v double, id int",
+    )
+    rd = ohlc_bars(dup, "key", "ts", "v", "id").collect()[0]
+    assert (rd.open, rd.high, rd.low, rd.close, rd.n) == (2.0, 9.0, 2.0, 9.0, 3)
