@@ -687,3 +687,29 @@ def test_minhash_signature_fused_fold_matches_reference(spark):
     assert mism == 0
     empty = fused.filter(F.col("doc_id").isin(4, 5)).select(F.col("sig")[0]).collect()
     assert all(r[0] is None for r in empty)
+
+
+def test_bnlj_build_sides_bounded_x61(spark):
+    """x61 has the workload's highest BroadcastNestedLoopJoin count
+    (14: per-BPE-iteration 1-row crossJoins). Every BNLJ's build side
+    must be PROVABLY bounded from plan shape — a no-key aggregate, a
+    limit, a static range, or a product of such — so the nested-loop
+    join is a scalar broadcast, never a corpus-sized loop (the r11
+    audit counted BNLJ nodes without checking this; the r12 audit
+    classifier in artifacts/plan_audit_r12.py is the one
+    implementation, reused here as the gate)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "artifacts", "plan_audit_r12.py")
+    spec = importlib.util.spec_from_file_location("plan_audit_r12", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    df = _specs()["x61_bpe_tokenize"].build(spark, SF)
+    builds: list = []
+    mod._walk_bnlj(df._jdf.queryExecution().sparkPlan(), builds)
+    assert len(builds) >= 1, "expected BNLJ nodes in x61's iterative plan"
+    unbounded = [b for b in builds if b["bound"] is None]
+    assert not unbounded, f"unbounded BNLJ build sides: {unbounded}"
+    assert all(b["bound"] == 1 for b in builds), builds
