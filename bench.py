@@ -172,6 +172,32 @@ def _null_query_sec(spark, barrier, runs: int = 3) -> float:
     return round(min(ts), 3)
 
 
+def _fold_weather_rerun(
+    prev_runs: list[float], rerun_runs: list[float], floor: float,
+    prev_min: float, prev_median: float,
+) -> tuple[dict, float, float, list[float]]:
+    """Fold a weather re-run into a query's record. The headline
+    min/median are taken over ALL runs (a rerun is just more N on a
+    hopefully-quieter window), but the pre-rerun min-of-5 is KEPT in
+    the entry: min-of-10 is stochastically <= min-of-5, so cross-run
+    ratios (8-core scaling, vs-prev) must compare pre_rerun_min on
+    both sides (r11's 8-core run produced t01 ratio 0.84 — "8 cores
+    faster than 32" — exactly this min-bias artifact)."""
+    entry = {
+        "null_query": floor,
+        "runs": rerun_runs,
+        "pre_rerun_min": prev_min,
+        "pre_rerun_median": prev_median,
+    }
+    all_runs = prev_runs + rerun_runs
+    return (
+        entry,
+        round(min(all_runs), 3),
+        round(statistics.median(all_runs), 3),
+        all_runs,
+    )
+
+
 def _sf_number(sf: str):
     """The dir-name sf suffix as a number, or the raw string when the
     dir isn't named sf<number> — a parse crash HERE would discard the
@@ -284,11 +310,10 @@ def main() -> None:
             except Exception as ex:
                 print(f"  {name}: rerun FAILED {type(ex).__name__}: {ex}", file=sys.stderr)
                 continue
-            weather_rerun[name] = {"null_query": floor, "runs": runs}
-            all_runs = raw[name] + runs
-            timings[name] = round(min(all_runs), 3)
-            medians[name] = round(statistics.median(all_runs), 3)
-            raw[name] = all_runs
+            weather_rerun[name], timings[name], medians[name], raw[name] = (
+                _fold_weather_rerun(raw[name], runs, floor,
+                                    timings[name], medians[name])
+            )
             print(f"  {name}: weather_rerun -> {timings[name]}s "
                   f"(floor {floor}s) {[round(r, 2) for r in runs]}", file=sys.stderr)
 
@@ -309,7 +334,9 @@ def main() -> None:
         "methodology": (
             f"min of {TIMED_RUNS} after {WARM_RUNS} warm; clearCache+System.gc+drain "
             "barrier before every timed run; baseline outliers re-run once "
-            f"({TIMED_RUNS} more timed runs, min/median over all) and marked weather_rerun"
+            f"({TIMED_RUNS} more timed runs, min/median over all) and marked "
+            "weather_rerun with the pre-rerun min/median kept for "
+            "same-methodology cross-run ratios"
         ),
         "sf": _sf_number(sf),
         # io weather (BENCH_SUSPECTS_CLEAR_r09 methodology): direct-IO

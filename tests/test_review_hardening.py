@@ -1109,6 +1109,30 @@ def test_bench_outlier_gate_unrounded():
     assert r["outliers"] == ["c"], r
 
 
+def test_bench_weather_rerun_keeps_pre_rerun_min():
+    """The weather-rerun fold takes the headline min/median over all
+    10 runs but must preserve the pre-rerun min-of-5 for
+    same-methodology cross-run ratios (min-of-10 is stochastically
+    <= min-of-5; r11's 8-core t01 ratio of 0.84 was this bias)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "benchmod_t2", __file__.replace("tests/test_review_hardening.py", "bench.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    prev = [2.0, 1.8, 2.1, 1.9, 2.2]
+    rerun = [1.5, 1.6, 1.7, 1.4, 1.55]
+    entry, new_min, new_median, all_runs = m._fold_weather_rerun(
+        prev, rerun, 0.09, 1.8, 2.0
+    )
+    assert entry["pre_rerun_min"] == 1.8
+    assert entry["pre_rerun_median"] == 2.0
+    assert entry["runs"] == rerun and entry["null_query"] == 0.09
+    assert new_min == 1.4  # headline still min over all runs
+    assert all_runs == prev + rerun and new_median == 1.75
+
+
 def test_bench_failed_query_named_in_compact():
     """A crashed query's -1 sentinel is excluded from the headline
     total — the compact line must carry an explicit failed list."""
