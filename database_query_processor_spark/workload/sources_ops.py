@@ -319,7 +319,14 @@ def compaction_roundtrip(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     frag = scratch_dir("dqps_frag_")
-    e.repartition(64).write.mode("overwrite").parquet(frag)
+    # Deterministic hash split instead of keyless repartition(64): the
+    # round-robin path first LOCAL-SORTS every input partition
+    # (spark.sql.execution.sortBeforeRepartition, needed for retry
+    # determinism) — a per-byte cost with no value here. Hashing the
+    # unique event_id is retry-deterministic for free (guide §2.5) and
+    # full-entropy, so all 64 fragments stay populated (hashing a
+    # 64-value bucket column would leave ~1/e of them empty).
+    e.repartition(64, F.xxhash64("event_id")).write.mode("overwrite").parquet(frag)
     compacted = scratch_dir("dqps_compact_")
     LAY.compact(spark.read.parquet(frag), compacted, "ts", target_files=4)
     return (

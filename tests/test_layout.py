@@ -219,3 +219,20 @@ def test_bloom_filter_written_and_skips(spark, tmp_path):
     assert stat_prunable == 0  # min/max never helps on this layout
     assert present_hits >= 1  # present key found
     assert absent_hits == 0  # absent key: bloom skips every row group
+
+
+def test_src09_hash_fragmenter_populates_all_64_fragments(spark):
+    """src09's fragment step hash-splits on xxhash64(event_id) instead
+    of keyless repartition(64) (which pays a sortBeforeRepartition
+    local sort of every input row). The full-entropy key must keep the
+    scenario intact: exactly 64 NON-EMPTY fragments (hashing a 64-value
+    bucket column instead would leave ~1/e of partitions empty)."""
+    e = load_table(spark, SF, "events").select("event_id")
+    parts = (
+        e.repartition(64, F.xxhash64("event_id"))
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p").count()
+    )
+    rows = parts.collect()
+    assert len(rows) == 64
+    assert min(r["count"] for r in rows) >= 1
