@@ -8,8 +8,9 @@ asserts exactly that at every test SF:
 
     count(DISTINCT gram) == count(DISTINCT xxhash64(gram))
 
-over the documents table's word-3-gram shingle universe (the only
-shingle width the pipeline uses). Run:
+over the documents table's word-3-gram shingle universe (minhash /
+jaccard / containment) AND the 8-gram universe (x55 substring-dedup's
+hashed window key). Run:
 
     PYTHONPATH=/root/repo python artifacts/collision_check_r12.py
 """
@@ -42,17 +43,19 @@ def main() -> None:
     out = {}
     for sf_dir in SF_DIRS:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        grams = (
-            doc_shingles(docs, "doc_id", "text")
-            .select(F.explode("grams").alias("gram"))
-        )
-        row = grams.agg(
-            F.countDistinct("gram").alias("n_grams"),
-            F.countDistinct(F.xxhash64("gram")).alias("n_hashes"),
-        ).collect()[0]
-        out[sf_dir] = {"distinct_grams": row["n_grams"], "distinct_hashes": row["n_hashes"]}
-        assert row["n_grams"] == row["n_hashes"], f"collision at {sf_dir}: {out[sf_dir]}"
-        print(f"{sf_dir}: {row['n_grams']} distinct grams == {row['n_hashes']} hashes OK")
+        for n in (3, 8):
+            grams = (
+                doc_shingles(docs, "doc_id", "text", n=n)
+                .select(F.explode("grams").alias("gram"))
+            )
+            row = grams.agg(
+                F.countDistinct("gram").alias("n_grams"),
+                F.countDistinct(F.xxhash64("gram")).alias("n_hashes"),
+            ).collect()[0]
+            key = sf_dir if n == 3 else f"{sf_dir}#8gram"
+            out[key] = {"distinct_grams": row["n_grams"], "distinct_hashes": row["n_hashes"]}
+            assert row["n_grams"] == row["n_hashes"], f"collision at {key}: {out[key]}"
+            print(f"{key}: {row['n_grams']} distinct grams == {row['n_hashes']} hashes OK")
     with open(os.path.join(REPO, "artifacts", "COLLISION_CHECK_r12.json"), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     spark.stop()

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import random
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -369,9 +370,22 @@ def _ngram_shared_counts(
 ) -> DataFrame:
     """Shared machinery of the exact n-gram pair metrics: df-capped
     inverted-index self-join yielding one row per candidate pair with
-    (shared, na, nb) over the capped shingle universe."""
-    exploded = doc_shingles(df, id_col, text_col, n).select(
-        "doc_id", F.explode("grams").alias("gram")
+    (shared, na, nb) over the capped shingle universe.
+
+    The index is (doc_id, 64-bit shingle hash), persisted once (r12):
+    every consumer — the df-cap frequency count, both self-join sides,
+    the per-doc sizes — needs shingle IDENTITY only, so the inverted
+    index carries xxhash64 longs instead of gram strings (guide §2.3;
+    same identity contract and collision analysis as
+    doc_shingle_hashes) and the tokenize+shingle corpus pass runs ONCE
+    into a MEMORY_AND_DISK cache instead of once per consumer (guide
+    §1/§5 — four scans of the heaviest map in the workload). Cache
+    lifecycle as in minhash_dedup_pairs: lazy persist, freed by the
+    caller's clearCache() between queries."""
+    exploded = (
+        doc_shingle_hashes(df, id_col, text_col, n)
+        .select("doc_id", F.explode("hs64").alias("gram"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if df_cap is not None:
         rare = (
@@ -478,8 +492,6 @@ def minhash_dedup_pairs(
     doc_shingle_hashes for the 100 TB collision analysis."""
     grams = doc_shingle_hashes(df, id_col, text_col)
     if persist_shingles:
-        from pyspark import StorageLevel
-
         grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(_signature_from_hashes64(grams))
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("hs64").alias("grams_a"))
@@ -791,14 +803,22 @@ def substring_dup_spans(
     grams_f = F.when(
         F.monotonically_increasing_id() >= -1, word_ngrams(F.col("toks"), k)
     )
+    # The duplicated-gram COUNT window shuffles every token position
+    # once, keyed by the k-gram. Key it by xxhash64 of the gram (r12,
+    # guide §2.3): the marking depends on gram IDENTITY only, and the
+    # exchange + window sort then carry an 8-byte long instead of a
+    # ~50-byte k-gram string. Identity contract as doc_shingle_hashes
+    # (injective on every tested corpus, 8-gram check in
+    # artifacts/COLLISION_CHECK_r12.json; at 100 TB a colliding pair
+    # adds a spurious duplicated mark with p≈2^-64 per gram pair).
     g = (
         df.select(F.col(id_col).alias("doc_id"), toks_f.alias("toks"))
         .select("doc_id", grams_f.alias("grams"))
         .select("doc_id", F.posexplode("grams").alias("pos0", "gram"))
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), F.xxhash64("gram").alias("gh"))
     )
     dup = (
-        g.withColumn("cnt", F.count("*").over(Window.partitionBy("gram")))
+        g.withColumn("cnt", F.count("*").over(Window.partitionBy("gh")))
         .filter(F.col("cnt") >= 2)
         .select("doc_id", "pos")
     )

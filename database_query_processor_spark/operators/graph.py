@@ -58,7 +58,15 @@ def pagerank_fixedpoint(
         .repartition("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    # deg feeds every iteration's contribution join plus the node set:
+    # unpersisted it would re-aggregate the (persisted) edge list once
+    # per iteration — 5 redundant groupBys (r12, guide §2.1). It is
+    # node-cardinality, the smallest frame in the algorithm.
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = deg.select(F.col("src").alias("node_id"))
     n = nodes.count()
     if n == 0:
@@ -66,6 +74,7 @@ def pagerank_fixedpoint(
         # no nodes, so the result is an empty ranks frame — not a
         # driver-side ZeroDivisionError from scale // n.
         sym.unpersist()
+        deg.unpersist()
         return nodes.select("node_id", F.lit(0).cast("long").alias("rank"))
     base = (15 * scale // 100) // n
     ranks = nodes.select("node_id", F.lit(scale // n).alias("rank"))
@@ -95,6 +104,7 @@ def pagerank_fixedpoint(
     # one MEMORY_AND_DISK edge-list copy for the session's lifetime.
     ranks = ranks.localCheckpoint(eager=True)
     sym.unpersist()
+    deg.unpersist()
     return ranks
 
 
@@ -147,19 +157,33 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     wedge self-join on src, wedge-closure semi-join on (x, y).
     All-integer arithmetic; the single final divide is one IEEE op,
     deterministic across engines. No reference analog (the reference
-    has no self-join-with-inequality shape at all)."""
+    has no self-join-with-inequality shape at all).
+
+    REUSE (r12): und / deg / oriented feed 4, 3 and 3 consumers each
+    (deg's union reads und twice; oriented is both wedge sides plus
+    the closure's right side). Unpersisted, Spark re-derives each
+    reference from the RAW EDGE SUBTREE — for the co-purchase graph
+    that is ~8 recomputations of a lineitem self-join (92 Exchanges in
+    the r12 plan audit). All three are edge-bounded (|und| ≤ m,
+    |deg| ≤ 2m, |oriented| = |und|), so MEMORY_AND_DISK persistence is
+    safe at any scale that can hold the edge list at all. Same cache
+    lifecycle as minhash_dedup_pairs: the persists are lazy, nothing
+    here can unpersist them (the returned frame is unmaterialized);
+    bench/sweep call clearCache() between queries."""
     und = (
         edges.select(
             F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         und.select(F.col("u").alias("node"))
         .union(und.select("v"))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # orient src -> dst by (deg, id) rank; carry dst's rank for wedge ordering
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
@@ -172,7 +196,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dstd"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = oriented.alias("a"), oriented.alias("b")
     wedge = a.join(b, "src").where(
         (F.col("a.dstd") < F.col("b.dstd"))

@@ -713,3 +713,51 @@ def test_bnlj_build_sides_bounded_x61(spark):
     unbounded = [b for b in builds if b["bound"] is None]
     assert not unbounded, f"unbounded BNLJ build sides: {unbounded}"
     assert all(b["bound"] == 1 for b in builds), builds
+
+
+def test_generate_input_not_duplicated_into_filter(spark):
+    """r12: InferFiltersFromGenerate is excluded session-wide. The
+    rule copies the generator's input expression into an inferred
+    `size(e) > 0 AND isnotnull(e)` filter; every exploded array here
+    is a computed higher-order-function pipeline (CodegenFallback, no
+    subexpression reuse), so the "filter" costs two more full
+    evaluations per row than the explode itself — measured 18x on the
+    x04 shingle pipeline (29.8 s -> 1.7 s at sf0.1,
+    artifacts/X04_DECOMP_r12.json). Pin both the session conf and the
+    plan consequence: nothing sits below the Generate but the
+    projected input."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators import dedup as D
+
+    assert "InferFiltersFromGenerate" in (
+        spark.conf.get("spark.sql.optimizer.excludedRules") or ""
+    )
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over it")], ["doc_id", "text"]
+    )
+    df = D.doc_shingles(docs, "doc_id", "text").select(
+        "doc_id", F.explode("grams").alias("g")
+    )
+    plan = explain_str(df, "simple")
+    assert "Generate" in plan, plan[:800]
+    # no inferred Filter re-evaluating the shingle pipeline anywhere
+    assert "Filter" not in plan, plan[:800]
+
+
+def test_x04_ngram_index_hashed_and_persisted(spark):
+    """r12 x04/x60 shape: the inverted shingle index materializes
+    ONCE as (doc_id, xxhash64 long) — an InMemoryRelation feeds the
+    df-cap count, both self-join sides and the per-doc sizes (before:
+    four recomputations of the tokenize+shingle corpus pass), and the
+    self-join key is a LONG, so no gram string reaches any exchange
+    (guide §2.3). The pair metrics are unchanged under hash identity
+    (injective on all test corpora, artifacts/COLLISION_CHECK_r12)."""
+    df = _specs()["x04_dedup_ngram_jaccard"].build(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "InMemoryRelation" in plan, plan[:800]
+    assert "xxhash64" in plan, plan[:800]
+    # the join/aggregate region above the cache carries no tokenize
+    # pipeline — the expensive map lives only in the cached build
+    above_cache = plan.split("InMemoryRelation")[0]
+    assert "split(lower" not in above_cache, above_cache[-800:]
