@@ -48,7 +48,20 @@ def word_ngrams(toks: Column, n: int) -> Column:
     tokens are non-null and space-free, so concat(el, ' ', el, ...)
     produces exactly concat_ws(' ', slice(...)). element_at indexes
     stay within 1..size(toks) (max i+n-1 = size), so ANSI strict
-    indexing never trips."""
+    indexing never trips.
+
+    CALLER CONTRACT (r12): pass `toks` as a MATERIALIZED column (its
+    own projection alias), never an inline tokenize expression — the
+    element_at lookups sit inside a transform lambda, and higher-order
+    functions are CodegenFallback (interpreted, no subexpression reuse
+    across lambda invocations), so an inlined expression re-evaluates
+    the full tokenize pipeline once per lookup: O(n·grams) tokenizes
+    per document, measured 16x slower on the n=3 shingle map at sf0.1
+    (14.4 s vs 0.9 s, artifacts/NGRAM_SHAPE_AB_r12.json). A plain
+    projection boundary is enough — CollapseProject keeps it because
+    the alias is non-cheap and multiply-referenced (a zip_with-over-
+    slices shape that tolerates inline inputs measured 1.7x slower
+    than this form on materialized input; same artifact)."""
     parts = lambda i: [  # noqa: E731
         piece
         for k in range(n)

@@ -157,10 +157,16 @@ def decontaminate(
     Real pipelines use 8-13-gram overlap; n=5 here because the test
     corpus is short-doc. The benchmark n-gram set is distinct-ed and
     broadcast — the big side never shuffles."""
+    # tokens in their own projection: word_ngrams re-evaluates an
+    # inlined tokenize per gram lookup (see dedup.doc_shingles, r12).
     grams = df.select(
         F.col(id_col).alias("doc_id"),
         F.coalesce(bench_pred, F.lit(False)).alias("is_bench"),
-        F.array_distinct(word_ngrams(tokens(text_col), n)).alias("grams"),
+        tokens(text_col).alias("_toks"),
+    ).select(
+        "doc_id",
+        "is_bench",
+        F.array_distinct(word_ngrams(F.col("_toks"), n)).alias("grams"),
     )
     bench_grams = (
         grams.where("is_bench")
@@ -210,10 +216,15 @@ def jaccard_decontaminate(
     Per-pair Jaccard is one integer divide (engine-deterministic);
     docs with fewer than n tokens have empty shingle sets and are
     never flagged."""
+    # tokens in their own projection (see dedup.doc_shingles, r12)
     g = df.select(
         F.col(id_col).alias("doc_id"),
         F.coalesce(bench_pred, F.lit(False)).alias("is_bench"),
-        F.array_distinct(word_ngrams(tokens(text_col), n)).alias("grams"),
+        tokens(text_col).alias("_toks"),
+    ).select(
+        "doc_id",
+        "is_bench",
+        F.array_distinct(word_ngrams(F.col("_toks"), n)).alias("grams"),
     )
     bench_ex = g.where("is_bench").select(
         F.col("doc_id").alias("bench_id"),
@@ -644,7 +655,10 @@ def bigram_counts(df: DataFrame, id_col: str, text_col: str, min_count: int = 2)
     """Corpus bigram frequencies (the n-gram LM / collocation pass):
     word_ngrams(2) explode → grouped count, thresholded. Same
     skew-absorbing partial-aggregate property as vocab_counts."""
-    grams = df.select(F.explode(word_ngrams(tokens(text_col), 2)).alias("bigram"))
+    # tokens in their own projection (see dedup.doc_shingles, r12)
+    grams = df.select(tokens(text_col).alias("_toks")).select(
+        F.explode(word_ngrams(F.col("_toks"), 2)).alias("bigram")
+    )
     return (
         grams.groupBy("bigram")
         .agg(F.count("*").alias("n"))

@@ -87,10 +87,24 @@ def _spread(df: DataFrame) -> DataFrame:
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(doc_id, grams): distinct word n-gram shingle set per document.
     The single heavy text-processing map — every downstream consumer
-    (signatures, candidate verify, exact jaccard) derives from this."""
-    return _spread(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_ngrams(tokens(text_col), n)).alias("grams"),
+    (signatures, candidate verify, exact jaccard) derives from this.
+
+    The token array is materialized in its OWN projection (r12):
+    word_ngrams looks tokens up per gram position, and with the
+    tokenize expression inlined each lookup re-evaluates the full
+    split+filter pipeline (higher-order functions are CodegenFallback
+    — no subexpression reuse across lambda invocations), an
+    O(n·grams) tokenize per document. CollapseProject preserves the
+    boundary because the alias is non-cheap and multiply-referenced.
+    Measured at sf0.1: 14.4 s -> 0.9 s for the n=3 shingle map
+    (artifacts/NGRAM_SHAPE_AB_r12.json)."""
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(word_ngrams(F.col("_toks"), n)).alias("grams"),
+        )
     )
 
 
@@ -112,12 +126,19 @@ def doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) ->
     co-occur in one candidate pair — the same p≈2^-64 trade the LSH
     band keys already make. The 32-bit masked hash the MinHash
     permutations consume is derived as hs64 & 0xFFFFFFFF, exactly the
-    xxhash64(g).bitwiseAND(...) the string pipeline computed."""
-    return _spread(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(
-            F.array_distinct(word_ngrams(tokens(text_col), n)), lambda g: F.xxhash64(g)
-        ).alias("hs64"),
+    xxhash64(g).bitwiseAND(...) the string pipeline computed.
+
+    Tokens materialize in their own projection — see doc_shingles."""
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.array_distinct(word_ngrams(F.col("_toks"), n)),
+                lambda g: F.xxhash64(g),
+            ).alias("hs64"),
+        )
     )
 
 

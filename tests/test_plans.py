@@ -761,3 +761,31 @@ def test_x04_ngram_index_hashed_and_persisted(spark):
     # pipeline — the expensive map lives only in the cached build
     above_cache = plan.split("InMemoryRelation")[0]
     assert "split(lower" not in above_cache, above_cache[-800:]
+
+
+def test_tokenize_evaluated_once_in_shingle_map(spark):
+    """r12: word_ngrams' element_at lookups live inside a transform
+    lambda; an INLINED tokenize expression is re-evaluated once per
+    lookup (CodegenFallback, no cross-lambda subexpression reuse) —
+    O(n·grams) tokenizes per document, measured 16x on the n=3
+    shingle map (artifacts/NGRAM_SHAPE_AB_r12.json). doc_shingles /
+    doc_shingle_hashes / decontaminate materialize tokens in their
+    own projection; pin that the optimized plan carries exactly ONE
+    tokenize per pipeline (CollapseProject must keep the boundary)."""
+    from pyspark.sql import functions as F
+
+    from database_query_processor_spark.operators import dedup as D
+    from database_query_processor_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    for df in (
+        D.doc_shingles(docs, "doc_id", "text"),
+        D.doc_shingle_hashes(docs, "doc_id", "text"),
+        C.decontaminate(docs, "doc_id", "text", F.col("doc_id") % 97 == 0)
+        .limit(0),
+    ):
+        plan = explain_str(df, "simple")
+        n_tokenize = plan.count("split(lower")
+        assert n_tokenize <= 2, f"tokenize inlined {n_tokenize}x:\n{plan[:1500]}"
