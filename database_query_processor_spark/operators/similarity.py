@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import random
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -641,13 +642,30 @@ def embedding_dup_pairs(
     Default path is LSH-banded blocking: ``num_planes`` hyperplane
     sign bits split into ``bands`` bands of num_planes/bands bits;
     two vectors are candidates iff they agree on at least one band,
-    and candidates get an exact cosine verify. The join key is
-    (band, band_value) — an equi-join that shuffles on a real key, so
-    the pair space is Σ_bucket |bucket|² instead of n²: this is the
-    100 TB path. Banding is deterministic (fixed seeded hyperplanes,
-    double math), so the DuckDB oracle reproduces the candidate set
-    exactly. Recall < 1 by construction (a near-dup pair disagreeing
-    on every band is missed).
+    and candidates get an exact cosine verify. The blocking key is
+    (band, band_value) — one shuffle on a real key, so the pair space
+    is Σ_bucket |bucket|² instead of n²: this is the 100 TB path.
+    Banding is deterministic (fixed seeded hyperplanes, double math),
+    so the DuckDB oracle reproduces the candidate set exactly.
+    Recall < 1 by construction (a near-dup pair disagreeing on every
+    band is missed).
+
+    VERIFY KERNEL (r12, guide §4.3): the within-bucket pair verify is
+    an Arrow-batched numpy kernel (applyInPandas per bucket), not a
+    self-join — the r11 join form evaluated an interpreted
+    aggregate/zip_with dot per candidate pair (higher-order functions
+    are CodegenFallback), measured 13 s of x05's 16 s at sf0.1 with a
+    3 s join skeleton (artifacts/DOT_SHAPE_AB_r12.json; a flat 64-term
+    codegen chain measured 2x WORSE — it trips the huge-method limit).
+    numpy does the same pair space as one vectorized product per
+    bucket row block. BIT-EQUALITY with the fold (and so with the
+    DuckDB oracle): products are the same float64 multiplies and
+    np.cumsum accumulates them in the same left-to-right order as the
+    sequential aggregate() — the only divergence is a ±0.0 sign on
+    all-zero dots, which the ``cos >= threshold`` gate filters on both
+    sides (threshold > 0); zero-norm vectors give nan here vs NULL in
+    try_divide, equally excluded. Pinned by
+    tests/test_recall.py (banded-vs-exact) and the x05 oracle.
 
     SIZING (measured, SCALE.md 10x probe): bucket count per band is
     2^(num_planes/bands), a CONSTANT — so expected bucket size grows
@@ -681,24 +699,19 @@ def embedding_dup_pairs(
         else _hyperplanes(num=num_planes)
     )
     mask = (1 << bits_per_band) - 1
-    # per-vector norms hoisted ABOVE the pair join: each candidate pair
-    # then costs one dot product instead of three (the hoisted form is
-    # bit-identical — same ops, same order, just computed once). The
-    # full num_planes projection is likewise materialized ONCE per row
+    # the full num_planes projection is materialized ONCE per row
     # (`_hb`) and bit-sliced per band — inlining hyperplane_bucket
     # inside the explode array would evaluate all num_planes dot
     # products `bands` times per row, and CollapseProject keeps a
     # multiply-referenced non-cheap alias as its own projection, so
     # the hoist survives optimization.
     bands_df = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.sqrt(dot_d(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
         hyperplane_bucket(F.col(vec_col), planes).alias("_hb"),
     ).select(
-        F.col(id_col),
-        F.col(vec_col),
-        "nrm",
+        "_id",
+        "_v",
         F.explode(
             F.array(
                 *[
@@ -712,21 +725,51 @@ def embedding_dup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(F.col(id_col), F.col(vec_col), "nrm", F.col("bk.band"), F.col("bk.bval"))
-    a = bands_df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na"),
-        "band", "bval",
-    )
-    b = bands_df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"),
-        "band", "bval",
-    )
-    cos = dot_d(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    ).select("_id", "_v", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+
+    def _verify(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "cos": np.array([], dtype=np.float64),
+            }
+        )
+        m = len(pdf)
+        if m < 2:
+            return empty
+        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        mat = np.stack(pdf["_v"].to_numpy()[order]).astype(np.float64, copy=False)
+        # sequential (cumsum) accumulation = the aggregate() fold's
+        # left-to-right order — bit-identical survivors (see docstring)
+        nrm = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        out_a, out_b, out_c = [], [], []
+        for i in range(m - 1):
+            dots = np.cumsum(mat[i] * mat[i + 1 :], axis=1)[:, -1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (nrm[i] * nrm[i + 1 :])
+            keep = cos >= threshold  # nan (zero-norm) fails, like NULL
+            if keep.any():
+                out_a.append(np.full(int(keep.sum()), ids[i], dtype=np.int64))
+                out_b.append(ids[i + 1 :][keep])
+                out_c.append(cos[keep])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
     return (
-        a.join(b, ["band", "bval"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cos"))
-        .filter(F.col("cos") >= threshold)
+        bands_df.groupBy("band", "bval")
+        .applyInPandas(_verify, "id_a long, id_b long, cos double")
         .distinct()
     )
 
@@ -835,8 +878,14 @@ def semantic_dedup(
     list — the form a curation pipeline consumes directly.
 
     Drop rule = "∃ lower-id in-cluster neighbor ≥ tau" (not greedy
-    chain removal): deterministic, order-free, one self-join — the
-    published SemDeDup approximation.
+    chain removal): deterministic, order-free — the published SemDeDup
+    approximation. The within-cell pair scan is the same Arrow-batched
+    numpy kernel as embedding_dup_pairs' verify (r12, guide §4.3): the
+    r11 self-join evaluated THREE interpreted fold dots per candidate
+    pair in the join filter (cosine un-hoisted); the kernel does one
+    vectorized product block per row with cumsum accumulation —
+    bit-identical survivors for tau > 0 (see embedding_dup_pairs'
+    docstring for the float-order argument).
 
     Scale shape (100 TB): codebook is tiny (collected + broadcast
     into a literal argmax — assignment is scan-side, no shuffle);
@@ -850,18 +899,37 @@ def semantic_dedup(
     of cells flip the literal argmax to a broadcast-join of the
     codebook + per-row window-min so the expression stays bounded."""
     cents = _resolve_codebook(df, id_col, vec_col, cells, codebook)
-    assigned = _assign_cells(df, id_col, vec_col, cents)
-    dropped = (
-        assigned.alias("a")
-        .join(
-            assigned.alias("b"),
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
-        )
-        .filter(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) >= tau)
-        .select(F.col(f"a.{id_col}").alias("_dropped_id"))
-        .distinct()
+    # assigned feeds BOTH self-join sides and the final verdict join:
+    # unpersisted, the O(cells·dim)-per-row argmax assignment (the
+    # measured dominant cost at 10x scale, see docstring) re-evaluates
+    # once per reference (r12, guide §2.1). Row-bounded by the corpus;
+    # cache lifecycle as minhash_dedup_pairs (lazy persist, caller
+    # clearCache between queries).
+    assigned = _assign_cells(df, id_col, vec_col, cents).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    def _drop(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"_dropped_id": np.array([], dtype=np.int64)})
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        mat = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64, copy=False)
+        nrm = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        dropped = np.zeros(m, dtype=bool)
+        # pair (i < j): j is dropped if cos(i, j) >= tau — EVERY
+        # lower-id i counts, dropped or not (no greedy chaining)
+        for i in range(m - 1):
+            dots = np.cumsum(mat[i] * mat[i + 1 :], axis=1)[:, -1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (nrm[i] * nrm[i + 1 :])
+            dropped[i + 1 :] |= cos >= tau  # nan (zero-norm) fails, like NULL
+        return pd.DataFrame({"_dropped_id": ids[dropped]})
+
+    dropped = assigned.groupBy("cell").applyInPandas(_drop, "_dropped_id long")
     return (
         assigned.join(
             dropped, assigned[id_col] == dropped["_dropped_id"], "left"

@@ -41,6 +41,13 @@ PANDAS_OK = {
     # inverse path: per-partition Java-serialization ENCODE
     # (javaser_writer via mapInPandas) + the decode read-back
     "src18_javaser_write_roundtrip",
+    # r12: within-bucket embedding pair verify is a deliberate
+    # Arrow-batched numpy kernel (guide §4.3 vectorizable numeric
+    # batch) — the JVM fold dot is CodegenFallback and measured 13 s
+    # of x05's 16 s at sf0.1 (artifacts/DOT_SHAPE_AB_r12.json);
+    # bit-equality with the fold pinned by the oracle + recall tests
+    "x05_dedup_embedding",
+    "x49_dedup_semantic",
 }
 # Streaming specs execute during build (memory-sink result table);
 # their returned plan is the sink read, not the streaming topology.
@@ -326,14 +333,18 @@ def test_bm25_topk_plan(spark):
 
 
 def test_embedding_dedup_is_blocked_equi_join(spark):
-    """x05: near-dup pair generation must join on the (band, bval) LSH
-    blocking key — a real equi-join — never an inequality-only pair
-    join (CartesianProduct / BroadcastNestedLoopJoin), which is O(n²)
-    and dies at scale."""
+    """x05: near-dup pair generation must be BLOCKED on the
+    (band, bval) LSH key — never an inequality-only pair join
+    (CartesianProduct / BroadcastNestedLoopJoin), which is O(n²) and
+    dies at scale. Since r12 the within-bucket verify is an
+    Arrow-batched numpy kernel, so the blocking shows up as a
+    (band, bval)-keyed FlatMapGroupsInPandas instead of a self-join —
+    same Σ|bucket|² pair space, one shuffle on the real key."""
     df = _specs()["x05_dedup_embedding"].build(spark, SF)
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
-    assert "Join" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "hashpartitioning(band" in plan, plan
 
 
 def test_lateral_topk_decorrelated(spark):
