@@ -45,7 +45,7 @@ SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 # x05/x49 joined in r12: within-bucket embedding pair verify is a
 # deliberate Arrow-batched numpy kernel (tests/test_plans.py PANDAS_OK
 # carries the justification and the bit-equality argument)
-PYTHON_OK = {"x12_", "x14_", "x15_", "x16_", "src06_", "src18_", "x05_", "x49_"}
+PYTHON_OK = {"x12_", "x14_", "x15_", "x16_", "src06_", "src18_", "x05_", "x49_", "x66_"}
 
 # nodes that cannot INCREASE the row count of their child: walking
 # through them preserves any bound established below

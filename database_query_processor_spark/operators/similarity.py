@@ -540,31 +540,60 @@ def ann_pq_rerank(
         ]
         for s in range(m)
     ]
-    vec = F.col(vec_col)
-    # per-subspace code: argmin L2² over the literal codebook, ties to
-    # the smaller code index (struct sort is lexicographic)
-    approx_terms = []
-    for s in range(m):
-        sub = F.slice(vec, s * d + 1, d)
-        entries = F.array(
-            *[
-                F.struct(
-                    _l2sq(sub, _lit_vec(cv[s * d : (s + 1) * d])).alias("dist"),
-                    F.lit(j).alias("j"),
-                )
-                for j, (_, cv) in enumerate(cents)
-            ]
-        )
-        code = F.element_at(F.sort_array(entries), 1)["j"]
-        approx_terms.append(
-            F.element_at(F.array(*[F.lit(t) for t in tables[s]]), code + 1)
-        )
-    approx = approx_terms[0]
-    for t in approx_terms[1:]:  # left-assoc: first-element-init fold
-        approx = approx + t
+    # per-subspace encode: argmin L2² over the codebook, ties to the
+    # smaller code index; then ADC = left-assoc sum of table lookups
+    # in subspace order. Since r12 this runs as an Arrow-batched numpy
+    # kernel (guide §4.3) — the expression form was m·ncodes (128)
+    # interpreted 8-dim folds per ROW (CodegenFallback), ~8 s of
+    # x66's 9 s at sf0.1 (artifacts/X66_DECOMP note in the r12 round
+    # log). Bit-equality with the expression form: per-(row, code)
+    # L2² is the same (x−y)·(x−y) float64 products accumulated by
+    # np.cumsum in the fold's left-to-right order; np.argmin returns
+    # the FIRST minimum = the sort_array (dist, j) tie-break; the ADC
+    # sum adds per-subspace lookups in the same left-assoc order; the
+    # distance tables are the same driver-computed float64 values.
+    cent_subs = [
+        [
+            [float(x) for x in cv[s * d : (s + 1) * d]]
+            for _, cv in cents
+        ]
+        for s in range(m)
+    ]
+
+    def _encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        cb = [np.array(cs, dtype=np.float64) for cs in cent_subs]  # m × (ncodes, d)
+        tabs = [np.array(t, dtype=np.float64) for t in tables]  # m × (ncodes,)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
+            acc = None
+            for s in range(m):
+                sub = mat[:, s * d : (s + 1) * d]
+                dm = np.empty((len(pdf), len(cb[s])), dtype=np.float64)
+                for j in range(len(cb[s])):
+                    diff = sub - cb[s][j]
+                    dm[:, j] = np.cumsum(diff * diff, axis=1)[:, -1]
+                t = tabs[s][np.argmin(dm, axis=1)]
+                acc = t if acc is None else acc + t
+            yield pd.DataFrame(
+                {"_id": pdf["_id"], "_v": pdf["_v"], "_approx": acc}
+            )
+
+    encoded = df.filter(F.col(id_col) != query_id).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(
+        _encode,
+        f"_id {df.schema[id_col].dataType.simpleString()}, "
+        f"_v {df.schema[vec_col].dataType.simpleString()}, _approx double",
+    )
     cand = (
-        df.filter(F.col(id_col) != query_id)
-        .select(F.col(id_col), vec.alias("_v"), F.round(approx, 9).alias("approx"))
+        encoded.select(
+            F.col("_id").alias(id_col), "_v", F.round("_approx", 9).alias("approx")
+        )
         .orderBy(F.col("approx").asc(), F.col(id_col).asc())
         .limit(pool)
     )

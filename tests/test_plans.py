@@ -48,6 +48,10 @@ PANDAS_OK = {
     # bit-equality with the fold pinned by the oracle + recall tests
     "x05_dedup_embedding",
     "x49_dedup_semantic",
+    # r12: PQ encode is the same kernel class — m*ncodes interpreted
+    # L2 folds per row (~8 of x66's 9 s) become one vectorized numpy
+    # pass; bit-equality argument in ann_pq_rerank's encode comment
+    "x66_ann_pq_rerank",
 }
 # Streaming specs execute during build (memory-sink result table);
 # their returned plan is the sink read, not the streaming topology.
