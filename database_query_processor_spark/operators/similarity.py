@@ -545,8 +545,8 @@ def ann_pq_rerank(
     # in subspace order. Since r12 this runs as an Arrow-batched numpy
     # kernel (guide §4.3) — the expression form was m·ncodes (128)
     # interpreted 8-dim folds per ROW (CodegenFallback), ~8 s of
-    # x66's 9 s at sf0.1 (artifacts/X66_DECOMP note in the r12 round
-    # log). Bit-equality with the expression form: per-(row, code)
+    # x66's 9 s at sf0.1 (OPTIMIZATION_r12.md §16 has the
+    # decomposition). Bit-equality with the expression form: per-(row, code)
     # L2² is the same (x−y)·(x−y) float64 products accumulated by
     # np.cumsum in the fold's left-to-right order; np.argmin returns
     # the FIRST minimum = the sort_array (dist, j) tie-break; the ADC
